@@ -1,0 +1,335 @@
+"""Parse layer: raw log/transcript text → normalized event columns.
+
+Re-expresses the reference's per-line parser chain (reference:
+internal/parse/parse.go:50-86 dispatcher; json.go, ecs.go, metric.go)
+as a single declarative column-expression DAG:
+
+  * the text is JSON-decoded **once** into a ``map<string,string>``
+    column (nested objects kept as raw JSON text — mirrors the single
+    ``json.Unmarshal`` pass at parse.go:56-69);
+  * format detection is a ``when()`` cascade on cheap predicates
+    (first-byte gate → metric-key check → ECS markers → generic JSON),
+    mirroring the decision tree at parse.go:50-86 / docs/log_format/
+    detection.md;
+  * every field extraction is a ``coalesce`` over alias-group
+    candidates (json.go:94-207), all native expressions — the whole
+    layer stays inside whole-stage codegen; no Python runs per row.
+
+Everything is ANSI-mode safe (``try_cast`` / ``try_element_at`` /
+``try_to_timestamp``) so the layer behaves identically under the
+caller's session config.
+
+Determinism policy: the reference falls back to ``time.Now()`` when a
+payload carries no parseable timestamp (parse.go:107-142); we use a
+pinned per-run ``ingest_ts`` constant instead so results are
+reproducible (documented delta).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .schemas import (
+    DEFAULT_INGEST_TS,
+    FORMAT_ECS,
+    FORMAT_EMPTY,
+    FORMAT_JSON,
+    FORMAT_METRIC,
+    FORMAT_PLAIN,
+    NORMALIZED_COLUMN_NAMES,
+)
+
+# Gate for timestamp-looking strings: both Go layout families require a
+# full date+time prefix (json.go:190-196); the gate keeps Spark's more
+# liberal ISO parser from accepting date-only strings Go would reject.
+_TS_STRING_RE = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
+_NUM_RE = r"^-?\d+(\.\d+)?$"
+_INT_RE = r"^-?\d+$"
+# duration regex, reference: internal/parse/json.go:130
+_DURATION_RE = r"^([\d.]+)\s*(ms|s|µs|us|ns)?$"
+
+# alias groups (reference: internal/parse/json.go)
+TS_KEYS = ["ts", "time", "@timestamp", "timestamp", "datetime"]  # json.go:183
+LEVEL_KEYS = ["level", "severity", "lvl", "log_level"]  # json.go:95
+SERVICE_KEYS = ["service", "service_name", "app", "application", "component"]  # json.go:104
+STATUS_KEYS = ["status_code", "status", "http.status", "code", "http_status"]  # json.go:113
+LATENCY_KEYS = [  # json.go:133-138
+    "latency", "duration", "elapsed", "response_time",
+    "latency_ms", "duration_ms", "elapsed_ms",
+    "latency_s", "duration_s",
+    "request_time",
+]
+TRACE_KEYS = ["trace_id", "traceId", "trace.id", "X-Trace-Id", "x-trace-id"]  # json.go:62
+SPAN_KEYS = ["span_id", "spanId", "span.id"]  # json.go:63
+DST_KEYS = ["upstream", "target", "remote_service", "peer.service", "dst_service"]  # json.go:64
+
+
+def _get(raw: Column, key: str) -> Column:
+    """Map lookup, NULL when absent (ANSI-safe)."""
+    return F.try_element_at(raw, F.lit(key))
+
+
+def _nonempty(raw: Column, key: str) -> Column:
+    """Go firstString semantics: value present and non-empty, else NULL."""
+    return F.nullif(_get(raw, key), F.lit(""))
+
+
+def first_string(raw: Column, keys: list[str]) -> Column:
+    """coalesce over an alias group (reference: json.go:173-180)."""
+    return F.coalesce(*[_nonempty(raw, k) for k in keys])
+
+
+def extract_level(raw: Column) -> Column:
+    """reference: json.go:94-101 (lowered)."""
+    return F.lower(first_string(raw, LEVEL_KEYS))
+
+
+def extract_service(raw: Column) -> Column:
+    """reference: json.go:103-110."""
+    return first_string(raw, SERVICE_KEYS)
+
+
+def extract_status_code(raw: Column) -> Column:
+    """reference: json.go:112-128. First alias key whose value parses;
+    integer strings via Atoi, numbers truncated toward zero."""
+    cands = []
+    for k in STATUS_KEYS:
+        v = _get(raw, k)
+        cands.append(
+            F.when(v.rlike(_INT_RE), v.try_cast("int")).when(
+                v.rlike(_NUM_RE), v.try_cast("double").try_cast("int")
+            )
+        )
+    return F.coalesce(*cands, F.lit(0))
+
+
+def extract_latency_us(raw: Column) -> Column:
+    """reference: json.go:130-171, as microseconds (Go stores ns).
+
+    Bare numbers: seconds for ``*_s`` keys else milliseconds (the Go
+    float64 path); unit-suffixed strings via the duration regex with
+    ms default. Truncation toward zero matches ``time.Duration(float)``.
+    """
+    cands = []
+    for k in LATENCY_KEYS:
+        v = _get(raw, k)
+        num = F.regexp_extract(v, _DURATION_RE, 1).try_cast("double")
+        unit = F.regexp_extract(v, _DURATION_RE, 2)
+        default_mult_us = 1e6 if k.endswith("_s") else 1e3
+        mult_us = (
+            F.when(unit == "s", F.lit(1e6))
+            .when(unit.isin("µs", "us"), F.lit(1.0))
+            .when(unit == "ns", F.lit(1e-3))
+            .otherwise(F.lit(default_mult_us))
+        )
+        cands.append((num * mult_us).try_cast("long"))
+    return F.coalesce(*cands, F.lit(0).cast("long"))
+
+
+def _ts_candidate(v: Column) -> Column:
+    """One alias-key timestamp candidate (reference: json.go:182-207):
+    date-time strings via the layout family; numbers as unix epoch
+    (>1e12 → millis, else seconds)."""
+    d = v.try_cast("double")
+    return F.when(v.rlike(_TS_STRING_RE), F.try_to_timestamp(v)).when(
+        v.rlike(_NUM_RE),
+        F.when(d > 1e12, F.timestamp_millis(d.try_cast("long"))).otherwise(
+            F.timestamp_seconds(d.try_cast("long"))
+        ),
+    )
+
+
+def extract_timestamp(raw: Column) -> Column:
+    """reference: json.go:182-207 (no fallback here; caller coalesces
+    with the pinned ingest_ts)."""
+    return F.coalesce(*[_ts_candidate(_get(raw, k)) for k in TS_KEYS])
+
+
+def extract_operation(raw: Column) -> Column:
+    """reference: json.go:68-80 — explicit operation, else method+url
+    synthesis."""
+    explicit = first_string(raw, ["operation", "event", "rpc.method"])
+    method = first_string(raw, ["method", "http.method"])
+    url = first_string(raw, ["url", "path", "uri", "http.url", "http.path"])
+    return F.coalesce(
+        explicit,
+        F.when(method.isNotNull() & url.isNotNull(), F.concat(method, F.lit(" "), url)),
+        method,
+        url,
+    )
+
+
+# ── ECS (reference: internal/parse/ecs.go) ──
+
+
+def is_ecs(raw: Column) -> Column:
+    """reference: ecs.go:10-26."""
+    return (
+        F.map_contains_key(raw, "@timestamp")
+        | F.map_contains_key(raw, "ecs.version")
+        | F.map_contains_key(raw, "log.level")
+        | F.get_json_object(_get(raw, "log"), "$.level").isNotNull()
+    )
+
+
+def _ecs_json(raw: Column, key: str, path: str) -> Column:
+    """Nested ECS field: the top-level value is kept as raw JSON text in
+    the map; extract the inner path from it."""
+    return F.get_json_object(_get(raw, key), path)
+
+
+def ecs_timestamp(raw: Column) -> Column:
+    """reference: ecs.go:81-87 — @timestamp via RFC3339(Nano) only."""
+    v = _get(raw, "@timestamp")
+    return F.when(v.rlike(_TS_STRING_RE), F.try_to_timestamp(v))
+
+
+def ecs_level(raw: Column) -> Column:
+    """reference: ecs.go:92-101 — nested log.level first, flat key second."""
+    return F.lower(
+        F.coalesce(
+            F.nullif(_ecs_json(raw, "log", "$.level"), F.lit("")),
+            _get(raw, "log.level"),
+        )
+    )
+
+
+def ecs_operation(raw: Column) -> Column:
+    """reference: ecs.go:126-142 — UPPER(method) + url.path (fallback
+    url.full); method alone if no path; never path alone."""
+    method = F.nullif(_ecs_json(raw, "http", "$.request.method"), F.lit(""))
+    path = F.coalesce(
+        F.nullif(_ecs_json(raw, "url", "$.path"), F.lit("")),
+        F.nullif(_ecs_json(raw, "url", "$.full"), F.lit("")),
+    )
+    return F.when(
+        method.isNotNull() & path.isNotNull(),
+        F.concat(F.upper(method), F.lit(" "), path),
+    ).when(method.isNotNull(), F.upper(method))
+
+
+def ecs_latency_us(raw: Column) -> Column:
+    """reference: ecs.go:120-124 — event.duration in ns, only if > 0."""
+    ns = _ecs_json(raw, "event", "$.duration").try_cast("double")
+    return F.when(ns > 0, (ns / 1000).try_cast("long"))
+
+
+def ecs_dst_service(raw: Column) -> Column:
+    """reference: ecs.go:144-151 — destination.address else server.address."""
+    return F.coalesce(
+        F.nullif(_ecs_json(raw, "destination", "$.address"), F.lit("")),
+        F.nullif(_ecs_json(raw, "server", "$.address"), F.lit("")),
+    )
+
+
+# ── dispatcher (reference: internal/parse/parse.go:50-86) ──
+
+
+def parse_normalized(
+    df: DataFrame,
+    text_col: str = "text",
+    source_name: Column | str = "spark",
+    ingest_ts: str = DEFAULT_INGEST_TS,
+) -> DataFrame:
+    """Append the normalized-event columns to ``df``.
+
+    ``source_name`` may be a literal string or a Column (for transcripts
+    the role column plays the reference's source name, backfilling
+    src_service downstream). Every input row yields exactly one output
+    row — nothing is ever dropped (docs/normalization-spec.md:250-261);
+    ``parse_ok`` marks rows the reference would count as parse errors
+    (empty src_service, parse.go:72-85).
+    """
+    src_name = source_name if isinstance(source_name, Column) else F.lit(source_name)
+    ingest = F.lit(ingest_ts).cast("timestamp")
+    text = F.col(text_col)
+
+    out = df.withColumn("_s", F.trim(text))
+    s = F.col("_s")
+    # first-byte gate before the (single) JSON decode — parse.go:88-93
+    out = out.withColumn(
+        "_raw",
+        F.when(
+            F.substring(s, 1, 1).isin("{", "["),
+            F.from_json(s, "map<string,string>"),
+        ),
+    )
+    raw = F.col("_raw")
+
+    is_metric = F.map_contains_key(raw, "metric") & F.map_contains_key(raw, "value")
+    fmt = (
+        F.when(s == "", F.lit(FORMAT_EMPTY))
+        .when(raw.isNull(), F.lit(FORMAT_PLAIN))
+        .when(is_metric, F.lit(FORMAT_METRIC))
+        .when(is_ecs(raw), F.lit(FORMAT_ECS))
+        .otherwise(F.lit(FORMAT_JSON))
+    )
+    out = out.withColumn("format", fmt)
+    fmt = F.col("format")
+    is_json = fmt == FORMAT_JSON
+    is_ecs_f = fmt == FORMAT_ECS
+    is_met = fmt == FORMAT_METRIC
+
+    def blank(c: Column) -> Column:
+        return F.coalesce(c, F.lit(""))
+
+    cols = {
+        "trace_id": blank(F.when(is_json, first_string(raw, TRACE_KEYS)).when(
+            is_ecs_f, F.nullif(_ecs_json(raw, "trace", "$.id"), F.lit(""))
+        )),
+        "span_id": blank(F.when(is_json, first_string(raw, SPAN_KEYS)).when(
+            is_ecs_f, F.nullif(_ecs_json(raw, "span", "$.id"), F.lit(""))
+        )),
+        "event_ts": F.coalesce(
+            F.when(is_json | is_met, extract_timestamp(raw)).when(
+                is_ecs_f, ecs_timestamp(raw)
+            ),
+            ingest,
+        ),
+        "src_service": blank(
+            F.when(is_json | is_met, extract_service(raw)).when(
+                is_ecs_f, F.nullif(_ecs_json(raw, "service", "$.name"), F.lit(""))
+            )
+        ),
+        "dst_service": blank(
+            F.when(is_json, first_string(raw, DST_KEYS)).when(
+                is_ecs_f, ecs_dst_service(raw)
+            )
+        ),
+        "operation": blank(
+            F.when(is_json, extract_operation(raw))
+            .when(is_ecs_f, ecs_operation(raw))
+            .when(is_met, _get(raw, "metric"))
+        ),
+        "status_code": F.coalesce(
+            F.when(is_json, extract_status_code(raw)).when(
+                is_ecs_f, _ecs_json(raw, "http", "$.response.status_code").try_cast("int")
+            ),
+            F.lit(0),
+        ),
+        "latency_us": F.coalesce(
+            F.when(is_json, extract_latency_us(raw)).when(is_ecs_f, ecs_latency_us(raw)),
+            F.lit(0).cast("long"),
+        ),
+        "level": blank(
+            F.when(is_json, extract_level(raw)).when(is_ecs_f, ecs_level(raw))
+        ),
+        "source_name": src_name,
+        "raw": F.coalesce(
+            F.when(fmt == FORMAT_PLAIN, F.create_map(F.lit("message"), text)).when(
+                fmt == FORMAT_EMPTY,
+                F.create_map().cast("map<string,string>"),
+            ),
+            raw,
+        ),
+    }
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    out = out.withColumn("parse_ok", F.col("src_service") != "")
+    return out.drop("_s", "_raw")
+
+
+def normalized_select(df: DataFrame) -> DataFrame:
+    """Project to the bare normalized schema (column order pinned)."""
+    return df.select(*NORMALIZED_COLUMN_NAMES)
