@@ -1,0 +1,220 @@
+"""Call-graph and service aggregations (reference: internal/graph/,
+internal/tui/screen1.go, screen2.go).
+
+The reference's CallGraph is a mutex-guarded in-memory map updated per
+event (graph.go:63-154). Here it is a plain shuffle aggregation —
+``groupBy(src, dst, op)`` with map-side partial aggregation — and the
+"snapshot" is simply the resulting immutable DataFrame (A8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+P99_WINDOW = 100  # ring-buffer size (reference: types.go:61)
+
+
+def is_error_col(status_code: Column) -> Column:
+    """IsError mapping used by the graph sink (reference: app.go:140-148)."""
+    return status_code >= 500
+
+
+def edge_agg(
+    df: DataFrame,
+    src_col: str = "src_service",
+    dst_col: str = "dst_service",
+    op_col: str = "operation",
+    ts_col: str = "event_ts",
+    latency_col: str = "latency_us",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-edge aggregate (reference: graph.go:63-154, types.go:30-58).
+
+    Rows with empty src or dst are skipped (graph.go:68-70). LatencyP99
+    uses the reference's exact nearest-rank percentile over the **last
+    100 events** per edge (types.go:60-86): idx = int((n-1)*0.99) on the
+    sorted window. ``order_cols`` pins the "last" ordering (stable turn
+    ordering — W11); defaults to the timestamp alone.
+    """
+    order_cols = order_cols or [ts_col]
+    src, dst, op = F.col(src_col), F.col(dst_col), F.col(op_col)
+    fed = df.filter((src != "") & (dst != ""))
+    keys = [src.alias("src"), dst.alias("dst"), op.alias("op")]
+
+    base = fed.groupBy(*keys).agg(
+        F.count("*").alias("call_count"),
+        F.sum(is_error_col(F.col("status_code")).cast("long")).alias("error_count"),
+        F.sum(latency_col).alias("latency_sum_us"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+    w = Window.partitionBy(src_col, dst_col, op_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    last_n = fed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= P99_WINDOW)
+    p99 = (
+        last_n.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list(latency_col)).alias("_lats"))
+        .select(
+            "src",
+            "dst",
+            "op",
+            F.element_at(
+                F.col("_lats"),
+                (F.floor((F.size("_lats") - 1) * 0.99) + 1).cast("int"),
+            ).alias("latency_p99_us"),
+        )
+    )
+    return base.join(p99, ["src", "dst", "op"]).select(
+        "src", "dst", "op", "call_count", "error_count", "latency_sum_us",
+        "latency_p99_us", "first_seen", "last_seen",
+    )
+
+
+def derived_edge_metrics(edges: DataFrame) -> DataFrame:
+    """ErrorRate / AvgLatency with zero-call guards (types.go:46-58);
+    integer-truncated avg matches Go's Duration division."""
+    calls = F.col("call_count")
+    return edges.withColumn(
+        "error_rate",
+        F.when(calls == 0, F.lit(0.0)).otherwise(F.col("error_count") / calls),
+    ).withColumn(
+        "avg_latency_us",
+        F.when(calls == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(F.col("latency_sum_us") / calls).cast("long")
+        ),
+    )
+
+
+def nodes(edges: DataFrame) -> DataFrame:
+    """Distinct services appearing as src or dst (graph.go:78-79,211-220)."""
+    return (
+        edges.select(F.col("src").alias("service"))
+        .unionByName(edges.select(F.col("dst").alias("service")))
+        .distinct()
+    )
+
+
+def first_seen_edges(
+    df: DataFrame,
+    src_col: str = "src_service",
+    dst_col: str = "dst_service",
+    op_col: str = "operation",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """New-edge detection, batch form (graph.go:108-127): the first
+    occurrence timestamp per edge key — emitted exactly once per key."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    return (
+        df.filter((src != "") & (dst != ""))
+        .groupBy(src.alias("src"), dst.alias("dst"), F.col(op_col).alias("op"))
+        .agg(F.min(ts_col).alias("first_seen"))
+    )
+
+
+def sweep_stale(edges: DataFrame, now_ts: str, ttl_seconds: int = 300) -> DataFrame:
+    """TTL eviction (graph.go:247-293 watermark semantics): keep edges
+    whose last_seen is within the TTL of the sweep time."""
+    deadline = F.lit(now_ts).cast("timestamp") - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+    return edges.filter(F.col("last_seen") >= deadline)
+
+
+def service_rollup(edges: DataFrame, anomaly_counts: DataFrame | None = None) -> DataFrame:
+    """Per-service rollup (reference: screen1.go:58-108): in/out degree,
+    weighted avg latency over outgoing edges, error rate, risk score.
+
+    Mirrors the reference's integer arithmetic: per-edge AvgLatency is
+    an integer division before re-weighting, and the risk formula uses
+    whole milliseconds.
+    """
+    calls = F.col("call_count")
+    per_edge_avg = F.floor(F.col("latency_sum_us") / calls)  # Go Duration division
+    out_side = edges.groupBy(F.col("src").alias("service")).agg(
+        F.count("*").alias("out_deg"),
+        F.sum(per_edge_avg * calls).alias("_lat_weighted"),
+        F.sum(calls).alias("_calls"),
+        F.sum("error_count").alias("_errors"),
+    )
+    in_side = edges.groupBy(F.col("dst").alias("service")).agg(
+        F.count("*").alias("in_deg")
+    )
+    svc = out_side.join(in_side, "service", "full_outer").fillna(
+        0, subset=["out_deg", "in_deg", "_lat_weighted", "_calls", "_errors"]
+    )
+    avg_lat = F.when(F.col("_calls") > 0, F.floor(F.col("_lat_weighted") / F.col("_calls"))).otherwise(
+        F.lit(0)
+    ).cast("long")
+    err_rate = F.when(F.col("_calls") > 0, F.col("_errors") / F.col("_calls")).otherwise(F.lit(0.0))
+    svc = svc.withColumn("avg_latency_us", avg_lat).withColumn("error_rate", err_rate)
+
+    if anomaly_counts is not None:
+        svc = svc.join(anomaly_counts, "service", "left").fillna(0, subset=["anomalies"])
+    else:
+        svc = svc.withColumn("anomalies", F.lit(0).cast("long"))
+
+    # riskScore (screen1.go:105-108): whole milliseconds, truncated
+    ms = F.floor(F.col("avg_latency_us") / 1000)
+    svc = svc.withColumn(
+        "risk", F.col("anomalies") * 2.0 + F.col("error_rate") * 10.0 + ms / 100.0
+    )
+    return svc.select(
+        "service", "in_deg", "out_deg", "avg_latency_us", "error_rate", "anomalies", "risk"
+    )
+
+
+def filter_services(rollup: DataFrame, contains: str) -> DataFrame:
+    """Case-insensitive substring filter (screen1.go:110-117)."""
+    return rollup.filter(F.lower(F.col("service")).contains(contains.lower()))
+
+
+def sort_services(rollup: DataFrame, by: str = "risk", asc: bool = False) -> DataFrame:
+    """Sortable service list (screen1.go:119-138)."""
+    col = F.col(by)
+    return rollup.orderBy(col.asc() if asc else col.desc(), F.col("service"))
+
+
+def upstream_downstream(edges: DataFrame, service: str) -> DataFrame:
+    """Screen2 split (screen2.go:66-98): edges into the service are
+    upstream, edges out of it downstream."""
+    up = edges.filter(F.col("dst") == service).withColumn("direction", F.lit("upstream"))
+    down = edges.filter(F.col("src") == service).withColumn("direction", F.lit("downstream"))
+    return up.unionByName(down)
+
+
+def last_n_events(
+    df: DataFrame,
+    n: int = 100,
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Last-N ring per edge (screen3.go:59-75 / W9)."""
+    key_cols = key_cols or ["src_service", "dst_service", "operation"]
+    order_cols = order_cols or ["event_ts"]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+def top_k(df: DataFrame, by: str, k: int, tiebreak: list[str] | None = None) -> DataFrame:
+    """Top-k (W8): deterministic ordering with explicit tiebreak."""
+    order = [F.col(by).desc()] + [F.col(c) for c in (tiebreak or [])]
+    return df.orderBy(*order).limit(k)
+
+
+def time_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 minute",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts (A13; the honest version of the TUI's
+    calls/min approximation, screen2.go:211-217)."""
+    keys = [F.window(F.col(ts_col), duration).alias("w")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("calls"))
+        .select(F.col("w.start").alias("window_start"), *(extra_keys or []), "calls")
+    )

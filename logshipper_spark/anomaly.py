@@ -1,0 +1,126 @@
+"""Z-score anomaly detection (reference: internal/anomaly/).
+
+Batch layer:
+
+* rolling mean / population stddev / z-score over the last-N window per
+  (key, metric) — pure window functions (reference RollingStats,
+  stats.go:21-67; note **population** stddev: m2/n);
+* min-samples gate (detector.go:73-75);
+* edge-trigger + cooldown (detector.go:78-94) — inherently sequential
+  per key because the in-anomaly flag flips only on *emitted* alerts
+  and cooldown suppresses emissions. This is the engine's one
+  per-key-sequential kernel: an Arrow-batched ``applyInPandas`` whose
+  Python loop touches only the (rare) above-threshold rows; all stats
+  stay vectorized. Documented policy, SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_WINDOW = 100
+DEFAULT_THRESHOLD = 3.0
+DEFAULT_COOLDOWN_S = 30.0
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    window_size: int = DEFAULT_WINDOW,
+    min_samples: int | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Append rolling mean/stddev/z-score/is_anomaly columns.
+
+    Window includes the current row (the reference Adds the value
+    before scoring it, detector.go:71-77). stddev is population
+    (stats.go:50-55); z is 0 when stddev is 0 (stats.go:61-67); no
+    verdict below min_samples (default window/2, detector.go:41).
+    """
+    if min_samples is None:
+        min_samples = window_size // 2
+    order_cols = order_cols or ["ts"]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    v = F.col(value_col)
+    out = (
+        df.withColumn("mean", F.avg(v).over(w))
+        .withColumn("stddev", F.coalesce(F.stddev_pop(v).over(w), F.lit(0.0)))
+        .withColumn("n_samples", F.count(v).over(w))
+    )
+    z = F.when(F.col("stddev") == 0.0, F.lit(0.0)).otherwise(
+        (v - F.col("mean")) / F.col("stddev")
+    )
+    out = out.withColumn("zscore", z)
+    gated = (F.col("n_samples") >= min_samples) & (F.abs(F.col("zscore")) > threshold)
+    return out.withColumn("is_anomaly", gated)
+
+
+def detect_alerts(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    window_size: int = DEFAULT_WINDOW,
+    min_samples: int | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+    cooldown_s: float = DEFAULT_COOLDOWN_S,
+) -> DataFrame:
+    """Emit alert rows with exact reference gating (detector.go:59-112):
+    alert only on the false→true transition of the in-anomaly state,
+    where the state becomes true only when an alert is actually emitted
+    (a cooldown-suppressed candidate leaves the state false), and an
+    alert within ``cooldown_s`` of the previous emitted alert for the
+    same key is suppressed.
+
+    Scored via vectorized windows; the sequential replay runs per key
+    over Arrow batches and loops only where ``is_anomaly`` is set.
+    """
+    order_cols = order_cols or [ts_col]
+    scored = rolling_zscore(
+        df, key_cols, value_col, order_cols, window_size, min_samples, threshold
+    )
+    cols = [*key_cols, *order_cols, ts_col, value_col, "mean", "stddev", "zscore", "is_anomaly"]
+    seen, dedup = set(), []
+    for c in cols:
+        if c not in seen:
+            seen.add(c)
+            dedup.append(c)
+    scored = scored.select(*dedup)
+    schema = scored.withColumn("alert", F.lit(True)).schema
+
+    ts_name, order_names = ts_col, list(order_cols)
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_names, kind="mergesort").reset_index(drop=True)
+        alert = pd.Series(False, index=pdf.index)
+        in_anomaly = False
+        last_alert_ts: pd.Timestamp | None = None
+        anom_idx = pdf.index[pdf["is_anomaly"].fillna(False)]
+        prev_scored = -1
+        for i in anom_idx:
+            # any below-threshold (scored) row between anomalies resets the state
+            if in_anomaly and i > prev_scored + 1:
+                between = pdf["is_anomaly"].iloc[prev_scored + 1 : i]
+                if (~between.fillna(False)).any():
+                    in_anomaly = False
+            if not in_anomaly:
+                ts_i = pdf[ts_name].iloc[i]
+                if last_alert_ts is None or (ts_i - last_alert_ts).total_seconds() >= cooldown_s:
+                    alert.iloc[i] = True
+                    in_anomaly = True
+                    last_alert_ts = ts_i
+            prev_scored = i
+        out = pdf[alert.values].copy()
+        out["alert"] = True
+        return out
+
+    return scored.groupBy(*key_cols).applyInPandas(replay, schema=schema)

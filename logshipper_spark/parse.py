@@ -116,14 +116,17 @@ def extract_latency_us(raw: Column) -> Column:
         v = _get(raw, k)
         num = F.regexp_extract(v, _DURATION_RE, 1).try_cast("double")
         unit = F.regexp_extract(v, _DURATION_RE, 2)
-        default_mult_us = 1e6 if k.endswith("_s") else 1e3
-        mult_us = (
-            F.when(unit == "s", F.lit(1e6))
-            .when(unit.isin("µs", "us"), F.lit(1.0))
-            .when(unit == "ns", F.lit(1e-3))
-            .otherwise(F.lit(default_mult_us))
+        default_mult_ns = 1e9 if k.endswith("_s") else 1e6
+        mult_ns = (
+            F.when(unit == "s", F.lit(1e9))
+            .when(unit.isin("µs", "us"), F.lit(1e3))
+            .when(unit == "ns", F.lit(1.0))
+            .otherwise(F.lit(default_mult_ns))
         )
-        cands.append((num * mult_us).try_cast("long"))
+        # two-step truncation mirrors Go exactly: time.Duration(n*mult)
+        # truncates at ns, then integer-divides to µs
+        ns = (num * mult_ns).try_cast("long")
+        cands.append(F.floor(ns / 1000).try_cast("long"))
     return F.coalesce(*cands, F.lit(0).cast("long"))
 
 
@@ -210,9 +213,10 @@ def ecs_operation(raw: Column) -> Column:
 
 
 def ecs_latency_us(raw: Column) -> Column:
-    """reference: ecs.go:120-124 — event.duration in ns, only if > 0."""
+    """reference: ecs.go:120-124 — event.duration in ns, only if > 0;
+    int64-truncated at ns before the µs division (two-step, as Go)."""
     ns = _ecs_json(raw, "event", "$.duration").try_cast("double")
-    return F.when(ns > 0, (ns / 1000).try_cast("long"))
+    return F.when(ns > 0, F.floor(ns.try_cast("long") / 1000).try_cast("long"))
 
 
 def ecs_dst_service(raw: Column) -> Column:

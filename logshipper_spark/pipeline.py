@@ -1,0 +1,172 @@
+"""End-to-end pipeline wiring: parse → enrich → route → aggregate.
+
+The reference wires bounded channels between stages (reference:
+internal/pipeline/pipeline.go:38-175). Here the stages are one
+declarative DataFrame chain: Catalyst fuses parse+transform+enrich into
+a single narrow whole-stage-codegen pass over the scan; the only wide
+boundaries are the aggregate shuffles. Fan-out writes share one cached
+intermediate (the reference's transform output channel).
+
+Exactly-once + lineage (north rule): every batch writes its sinks under
+``batch_id=N`` directories (re-running a batch overwrites its own
+output — idempotent restart), and appends per-partition lineage rows
+plus pipeline counters (mirroring the reference's Prometheus counters,
+internal/metrics/metrics.go:12-72) to a checkpoint table, committed
+last so a half-written batch is re-done on restart.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import aggregate as agg
+from . import enrich, gen, parse, route
+from .schemas import DEFAULT_INGEST_TS
+
+
+def normalize_and_enrich(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    ingest_ts: str = DEFAULT_INGEST_TS,
+    lookup_roles: DataFrame | None = None,
+    lookup_hosts: DataFrame | None = None,
+) -> DataFrame:
+    """The narrow stage: parse the text column (role plays the
+    reference's source name), broadcast-enrich on (role, tool), resolve
+    dst/src services, and pin stable turn ordering (W11) with a
+    row_number over (conv_id, turn_idx)."""
+    parsed = parse.parse_normalized(
+        transcripts, text_col="text", source_name=F.col("role"), ingest_ts=ingest_ts
+    )
+    enriched = enrich.enrich_roles(
+        parsed, lookup_roles if lookup_roles is not None else gen.lookup_roles(spark)
+    )
+    enriched = enrich.resolve_services(
+        enriched, lookup_hosts if lookup_hosts is not None else gen.lookup_hosts(spark)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return enriched.withColumn("turn_rank", F.row_number().over(w))
+
+
+def _partition_counts(df: DataFrame, stage: str) -> DataFrame:
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows_out"))
+        .withColumn("stage", F.lit(stage))
+    )
+
+
+def run_batch(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    batch_id: int = 0,
+    ingest_ts: str = DEFAULT_INGEST_TS,
+    rules: list[tuple[str, str, int]] | None = None,
+    write: bool = True,
+) -> dict:
+    """One batch of the full pipeline. Returns a summary dict with the
+    per-sink row counts and counters (the numbers the north rule
+    compares against the reference's fixture tests)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    rules = rules or gen.routing_rules()
+    t0 = time.time()
+
+    enriched = normalize_and_enrich(spark, transcripts, ingest_ts=ingest_ts)
+    enriched = enriched.cache()  # one parse, N filtered sink writes (K3)
+
+    rows_in = enriched.count()
+
+    # counters mirroring metrics.go: events parsed per format + parse errors
+    fmt_counts = {r["format"]: r["cnt"] for r in
+                  enriched.groupBy("format").agg(F.count("*").alias("cnt")).collect()}
+    parse_errors = enriched.filter(~F.col("parse_ok")).count()
+
+    routed = route.routed_rows(enriched, rules)
+    sink_rows: dict[str, int] = {}
+    lineage_parts = [_partition_counts(enriched, "parse")]
+
+    if write:
+        for sink, pred, _ in sorted(rules, key=lambda r: r[2]):
+            sink_df = enriched.filter(F.expr(pred))
+            path = os.path.join(out_dir, "sinks", sink, f"batch_id={batch_id}")
+            sink_df.write.mode("overwrite").parquet(path)
+            lineage_parts.append(_partition_counts(sink_df, f"sink:{sink}"))
+            sink_rows[sink] = sink_df.count()
+    else:
+        for r in routed.groupBy("sink").agg(F.count("*").alias("cnt")).collect():
+            sink_rows[r["sink"]] = r["cnt"]
+
+    counts = route.sink_counts(routed, ts_col="ts", window_duration="1 minute")
+    edges = agg.edge_agg(
+        enriched, ts_col="event_ts", order_cols=["ts", "conv_id", "turn_idx"]
+    )
+    if write:
+        counts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "sink_counts", f"batch_id={batch_id}")
+        )
+        edges.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "edge_agg", f"batch_id={batch_id}")
+        )
+
+    # lineage + counters checkpoint rows, committed last (restart point)
+    counters = [
+        ("events_received_total", rows_in),
+        ("parse_errors_total", parse_errors),
+        *[(f"parse_total_{fmt}", n) for fmt, n in sorted(fmt_counts.items())],
+        *[(f"sink_rows_{sink}", n) for sink, n in sorted(sink_rows.items())],
+    ]
+    lineage = lineage_parts[0]
+    for part in lineage_parts[1:]:
+        lineage = lineage.unionByName(part)
+    lineage = lineage.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        "stage",
+        F.col("partition_id").cast("int"),
+        F.lit(rows_in).cast("long").alias("rows_in"),
+        F.col("rows_out").cast("long"),
+        F.lit(None).cast("string").alias("counter"),
+        F.lit(None).cast("long").alias("value"),
+        F.current_timestamp().alias("committed_at"),
+    )
+    counter_df = spark.createDataFrame(
+        [(run_id, batch_id, "counters", -1, rows_in, None, k, int(v)) for k, v in counters],
+        "run_id string, batch_id long, stage string, partition_id int, "
+        "rows_in long, rows_out long, counter string, value long",
+    ).withColumn("committed_at", F.current_timestamp())
+    if write:
+        lineage.unionByName(counter_df).write.mode("append").parquet(
+            os.path.join(out_dir, "lineage")
+        )
+
+    elapsed = time.time() - t0
+    enriched.unpersist()
+    return {
+        "run_id": run_id,
+        "batch_id": batch_id,
+        "rows_in": rows_in,
+        "sink_rows": sink_rows,
+        "format_counts": fmt_counts,
+        "parse_errors": parse_errors,
+        "elapsed_sec": elapsed,
+        "turns_per_sec": rows_in / elapsed if elapsed > 0 else 0.0,
+    }
+
+
+def completed_batches(spark: SparkSession, out_dir: str) -> set[int]:
+    """Batches whose lineage committed — the resume point for restarts."""
+    path = os.path.join(out_dir, "lineage")
+    try:
+        return {
+            r["batch_id"]
+            for r in spark.read.parquet(path).select("batch_id").distinct().collect()
+        }
+    except Exception:
+        return set()

@@ -1,0 +1,72 @@
+"""Rule-based fan-out routing to multiple sinks (north rule K3).
+
+The reference wires sinks by config ``inputs`` edges (reference:
+internal/app/app.go:299-312, internal/config/validate.go:25-34); a
+sink consumes everything its transform produces. Here routing is
+data-driven: each sink declares a SQL predicate over the normalized
+columns; a row fans out to **every** sink whose predicate matches.
+
+Two physical strategies:
+
+* ``route()`` — per-sink filtered DataFrames off one shared (cached)
+  parse result: N filtered writes, each with its own pushed-down
+  predicate. Right for writing real per-sink tables.
+* ``routed_rows()`` — single-pass fan-out: builds the array of
+  matching sinks per row and explodes it. One scan regardless of the
+  number of sinks; right for per-sink aggregate counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def route(df: DataFrame, rules: list[tuple[str, str, int]]) -> dict[str, DataFrame]:
+    """Per-sink filtered views (fan-out, not switch)."""
+    return {sink: df.filter(F.expr(pred)) for sink, pred, _ in sorted(rules, key=lambda r: r[2])}
+
+
+def routed_rows(df: DataFrame, rules: list[tuple[str, str, int]]) -> DataFrame:
+    """One-pass fan-out: adds a ``sink`` column, one output row per
+    (input row, matching sink)."""
+    ordered = sorted(rules, key=lambda r: r[2])
+    sink_arr = F.array_compact(
+        F.array(*[F.when(F.expr(pred), F.lit(sink)) for sink, pred, _ in ordered])
+    )
+    return df.withColumn("sink", F.explode(sink_arr))
+
+
+def sink_counts(
+    routed: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+) -> DataFrame:
+    """Per-sink windowed aggregates grouped by conv_id and time bucket
+    (north rule): turn counts, tool-call counts, error-pattern counts.
+
+    One shuffle on (sink, conv_id, bucket); partial aggregation is
+    map-side (Spark partial+final) so hot conversations cost one
+    combiner row per partition, not one shuffled row per turn.
+    """
+    is_error = (F.col("level") == "error") | (F.col("status_code") >= 500)
+    return (
+        routed.groupBy(
+            "sink",
+            "conv_id",
+            F.window(F.col(ts_col), window_duration).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("turn_count"),
+            F.count_if(F.col("tool") != "").alias("tool_call_count"),
+            F.count_if(is_error).alias("error_pattern_count"),
+        )
+        .select(
+            "sink",
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            "turn_count",
+            "tool_call_count",
+            "error_pattern_count",
+        )
+    )
