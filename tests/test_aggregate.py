@@ -1,0 +1,201 @@
+"""Aggregate-layer tests (reference: internal/graph/types_test.go,
+internal/tui/tui_test.go)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logshipper_spark import aggregate as agg
+
+SCHEMA = (
+    "src_service string, dst_service string, operation string, "
+    "status_code int, latency_us long, event_ts timestamp"
+)
+
+
+def _ts(i):
+    return datetime(2024, 3, 1, 0, 0, i)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+# ── types_test.go:143-176 basic feed aggregation ──
+def test_edge_agg_basic(spark):
+    rows = [
+        ("a", "b", "op", 200, 10_000, _ts(1)),
+        ("a", "b", "op", 500, 30_000, _ts(2)),
+        ("a", "b", "op", 200, 20_000, _ts(3)),
+        ("a", "c", "op2", 200, 5_000, _ts(4)),
+    ]
+    edges = {(r["src"], r["dst"], r["op"]): r.asDict() for r in agg.edge_agg(_df(spark, rows)).collect()}
+    e = edges[("a", "b", "op")]
+    assert e["call_count"] == 3
+    assert e["error_count"] == 1  # only status >= 500
+    assert e["latency_sum_us"] == 60_000
+    assert e["first_seen"] == _ts(1)
+    assert e["last_seen"] == _ts(3)
+    assert edges[("a", "c", "op2")]["call_count"] == 1
+
+
+# ── graph.go:68-70: empty src or dst skipped ──
+def test_edge_agg_skips_empty(spark):
+    rows = [
+        ("", "b", "op", 200, 1, _ts(1)),
+        ("a", "", "op", 200, 1, _ts(1)),
+        ("a", "b", "op", 200, 1, _ts(1)),
+    ]
+    out = agg.edge_agg(_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["call_count"] == 1
+
+
+# ── types_test.go:77-110 p99 ring-buffer semantics ──
+def test_p99_nearest_rank_small_n(spark):
+    # n=10 → idx = int(9*0.99) = 8 → 2nd largest
+    rows = [("a", "b", "op", 200, (i + 1) * 1000, _ts(i)) for i in range(10)]
+    e = agg.edge_agg(_df(spark, rows)).collect()[0]
+    assert e["latency_p99_us"] == 9000
+
+
+def test_p99_window_slides_last_100(spark):
+    # 150 events: first 50 latency=1000, then 100 latency=2000..
+    # window holds only the last 100 → p99 ignores the early values
+    rows = [("a", "b", "op", 200, 1_000_000, _ts(0))] * 50
+    rows = [("a", "b", "op", 200, 1_000_000, datetime(2024, 3, 1, 0, 0, 0, i)) for i in range(50)]
+    rows += [
+        ("a", "b", "op", 200, 5_000, datetime(2024, 3, 1, 0, 1, 0, i)) for i in range(100)
+    ]
+    e = agg.edge_agg(_df(spark, rows), order_cols=["event_ts"]).collect()[0]
+    assert e["latency_p99_us"] == 5_000  # early 1s latencies fell out of the ring
+
+
+# ── types_test.go:49-75 derived metrics ──
+def test_derived_metrics(spark):
+    rows = [
+        ("a", "b", "op", 500, 10_000, _ts(1)),
+        ("a", "b", "op", 200, 25_000, _ts(2)),
+    ]
+    e = agg.derived_edge_metrics(agg.edge_agg(_df(spark, rows))).collect()[0]
+    assert e["error_rate"] == 0.5
+    assert e["avg_latency_us"] == 17_500
+
+
+# ── graph.go:211-220 node set ──
+def test_nodes(spark):
+    rows = [
+        ("a", "b", "op", 200, 1, _ts(1)),
+        ("b", "c", "op", 200, 1, _ts(1)),
+    ]
+    nodes = {r["service"] for r in agg.nodes(agg.edge_agg(_df(spark, rows))).collect()}
+    assert nodes == {"a", "b", "c"}
+
+
+# ── types_test.go:247-257 new-edge first seen once ──
+def test_first_seen(spark):
+    rows = [
+        ("a", "b", "op", 200, 1, _ts(5)),
+        ("a", "b", "op", 200, 1, _ts(2)),
+        ("a", "b", "op", 200, 1, _ts(9)),
+    ]
+    out = agg.first_seen_edges(_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["first_seen"] == _ts(2)
+
+
+# ── types_test.go:310-361 TTL eviction ──
+def test_sweep_stale(spark):
+    rows = [
+        ("a", "b", "op", 200, 1, _ts(1)),     # stale
+        ("c", "d", "op", 200, 1, _ts(50)),    # fresh
+    ]
+    edges = agg.edge_agg(_df(spark, rows))
+    kept = agg.sweep_stale(edges, "2024-03-01 00:00:59", ttl_seconds=30).collect()
+    assert [(r["src"], r["dst"]) for r in kept] == [("c", "d")]
+
+
+# ── screen1.go:58-108 service rollup ──
+def test_service_rollup(spark):
+    rows = [
+        ("a", "b", "op", 500, 10_000, _ts(1)),
+        ("a", "b", "op", 200, 30_000, _ts(2)),
+        ("a", "c", "op", 200, 100_000, _ts(3)),
+        ("b", "c", "op", 200, 50_000, _ts(4)),
+    ]
+    edges = agg.edge_agg(_df(spark, rows))
+    roll = {r["service"]: r.asDict() for r in agg.service_rollup(edges).collect()}
+    a = roll["a"]
+    assert a["out_deg"] == 2 and a["in_deg"] == 0
+    # weighted avg over outgoing: (floor(40000/2)*2 + 100000*1) / 3
+    assert a["avg_latency_us"] == (20_000 * 2 + 100_000) // 3
+    assert a["error_rate"] == pytest.approx(1 / 3)
+    # risk = anomalies*2 + errRate*10 + whole_ms/100 (screen1.go:105-108)
+    assert a["risk"] == pytest.approx(0 + (1 / 3) * 10 + 46 / 100)
+    c = roll["c"]
+    assert c["in_deg"] == 2 and c["out_deg"] == 0
+    assert c["avg_latency_us"] == 0 and c["error_rate"] == 0.0
+
+
+# ── tui_test.go sort/filter ──
+def test_filter_and_sort(spark):
+    rows = [
+        ("api-gw", "db", "op", 200, 10_000, _ts(1)),
+        ("auth", "db", "op", 500, 90_000, _ts(2)),
+    ]
+    roll = agg.service_rollup(agg.edge_agg(_df(spark, rows)))
+    assert [r["service"] for r in agg.filter_services(roll, "AUTH").collect()] == ["auth"]
+    by_risk = [r["service"] for r in agg.sort_services(roll, "risk").collect()]
+    assert by_risk[0] == "auth"  # errors dominate risk
+
+
+# ── screen2.go:66-98 upstream/downstream ──
+def test_upstream_downstream(spark):
+    rows = [
+        ("a", "b", "op", 200, 1, _ts(1)),
+        ("b", "c", "op", 200, 1, _ts(2)),
+        ("x", "b", "op", 200, 1, _ts(3)),
+    ]
+    edges = agg.edge_agg(_df(spark, rows))
+    split = agg.upstream_downstream(edges, "b").collect()
+    ups = {(r["src"], r["dst"]) for r in split if r["direction"] == "upstream"}
+    downs = {(r["src"], r["dst"]) for r in split if r["direction"] == "downstream"}
+    assert ups == {("a", "b"), ("x", "b")}
+    assert downs == {("b", "c")}
+
+
+# ── screen3.go:59-75 last-N ring ──
+def test_last_n_events(spark):
+    rows = [("a", "b", "op", 200, i, _ts(i % 60)) for i in range(150)]
+    df = spark.createDataFrame(
+        [(s, d, o, st, lat, datetime(2024, 3, 1, 0, i // 60, i % 60))
+         for i, (s, d, o, st, lat, _) in enumerate(rows)],
+        SCHEMA,
+    )
+    out = agg.last_n_events(df, n=100)
+    assert out.count() == 100
+    assert out.agg(F.min("latency_us")).first()[0] == 50  # oldest 50 dropped
+
+
+def test_time_buckets(spark):
+    df = spark.createDataFrame(
+        [("c1", datetime(2024, 3, 1, 0, 0, 30)), ("c1", datetime(2024, 3, 1, 0, 0, 45)),
+         ("c1", datetime(2024, 3, 1, 0, 1, 10)), ("c2", datetime(2024, 3, 1, 0, 0, 5))],
+        "conv_id string, ts timestamp",
+    )
+    out = {
+        (r["conv_id"], r["window_start"].minute): r["calls"]
+        for r in agg.time_buckets(df, ts_col="ts", extra_keys=["conv_id"]).collect()
+    }
+    assert out == {("c1", 0): 2, ("c1", 1): 1, ("c2", 0): 1}
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("d", 1)], "name string, v int"
+    )
+    got = [r["name"] for r in agg.top_k(df, "v", 2, tiebreak=["name"]).collect()]
+    assert got == ["b", "c"]

@@ -1,0 +1,143 @@
+"""Anomaly-layer tests (reference: internal/anomaly/anomaly_test.go)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from logshipper_spark.anomaly import detect_alerts, rolling_zscore
+
+
+def _df(spark, values, key="e:latency", start=None, step_s=1):
+    start = start or datetime(2024, 3, 1)
+    rows = [
+        (key, i, float(v), start + timedelta(seconds=i * step_s))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "key string, idx long, value double, ts timestamp")
+
+
+# ── anomaly_test.go:25-97 rolling stats: population stddev ──
+def test_population_stddev(spark):
+    vals = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    out = rolling_zscore(
+        _df(spark, vals), ["key"], "value", ["idx"], window_size=8, min_samples=1
+    ).orderBy("idx").collect()
+    last = out[-1]
+    assert last["mean"] == pytest.approx(5.0)
+    assert last["stddev"] == pytest.approx(2.0)  # √(m2/n), not /n-1
+    assert last["zscore"] == pytest.approx((9.0 - 5.0) / 2.0)
+
+
+def test_window_slides(spark):
+    vals = [1.0] * 10 + [100.0] * 10
+    out = rolling_zscore(
+        _df(spark, vals), ["key"], "value", ["idx"], window_size=5, min_samples=1
+    ).orderBy("idx").collect()
+    # once the window holds only 100s, stddev is 0 → z = 0 (stats.go:61-67)
+    assert out[-1]["stddev"] == 0.0
+    assert out[-1]["zscore"] == 0.0
+
+
+# ── detector.go:73-75 min-samples gate ──
+def test_min_samples_gate(spark):
+    vals = [10.0, 10.0, 10.0, 500.0]
+    out = rolling_zscore(
+        _df(spark, vals), ["key"], "value", ["idx"], window_size=100, min_samples=10
+    ).orderBy("idx").collect()
+    assert all(not r["is_anomaly"] for r in out)  # below gate, never flagged
+
+
+# ── anomaly_test.go:138-175 edge-trigger dedup ──
+def test_edge_trigger_single_alert(spark):
+    vals = [50.0] * 30 + [500.0, 500.0, 500.0] + [50.0] * 5
+    alerts = detect_alerts(
+        _df(spark, vals), ["key"], "value", ["idx"],
+        window_size=100, min_samples=10, threshold=3.0, cooldown_s=0.0,
+    ).collect()
+    # consecutive in-anomaly samples alert once (transition only)
+    assert len(alerts) == 1
+    assert alerts[0]["value"] == 500.0
+
+
+def test_retrigger_after_recovery(spark):
+    base = [50.0] * 30
+    vals = base + [500.0] + [50.0] * 10 + [500.0]
+    alerts = detect_alerts(
+        _df(spark, vals), ["key"], "value", ["idx"],
+        window_size=100, min_samples=10, threshold=3.0, cooldown_s=0.0,
+    ).orderBy("idx").collect()
+    assert len(alerts) == 2  # state reset on recovery → second alert fires
+
+
+# ── anomaly_test.go:191-210 cooldown suppression ──
+def test_cooldown_suppression(spark):
+    base = [50.0] * 30
+    # two spikes 5 seconds apart with a 30s cooldown → second suppressed
+    vals = base + [500.0] + [50.0] * 4 + [500.0]
+    alerts = detect_alerts(
+        _df(spark, vals), ["key"], "value", ["idx"],
+        window_size=100, min_samples=10, threshold=3.0, cooldown_s=30.0,
+    ).collect()
+    assert len(alerts) == 1
+    # with cooldown elapsed (spikes 40s apart via step), both fire
+    df2 = _df(spark, vals, step_s=40)
+    alerts2 = detect_alerts(
+        df2, ["key"], "value", ["idx"],
+        window_size=100, min_samples=10, threshold=3.0, cooldown_s=30.0,
+    ).collect()
+    assert len(alerts2) == 2
+
+
+# ── anomaly_test.go multi-key isolation ──
+def test_multi_key_isolation(spark):
+    a = _df(spark, [50.0] * 30 + [500.0], key="a:latency")
+    b = _df(spark, [50.0] * 31, key="b:latency")
+    df = a.unionByName(b)
+    alerts = detect_alerts(
+        df, ["key"], "value", ["idx"],
+        window_size=100, min_samples=10, threshold=3.0,
+    ).collect()
+    assert len(alerts) == 1
+    assert alerts[0]["key"] == "a:latency"
+
+
+# ── bench/anomaly_eval_test.go:14-153 statistical eval: F1 ≥ 0.85 ──
+def test_statistical_eval_f1(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    n, n_anoms = 10_000, 50
+    values = rng.normal(50.0, 10.0, n)
+    labels = np.zeros(n, dtype=bool)
+    positions = rng.choice(np.arange(200, n), size=n_anoms, replace=False)
+    ks = rng.choice([4.0, 5.0, 6.0], size=n_anoms)
+    values[positions] = 50.0 + ks * 10.0
+    labels[positions] = True
+
+    df = spark.createDataFrame(
+        [("eval", int(i), float(v), datetime(2024, 3, 1) + timedelta(seconds=int(i)))
+         for i, v in enumerate(values)],
+        "key string, idx long, value double, ts timestamp",
+    ).cache()
+
+    grid = [(2.0, 50), (2.5, 50), (3.0, 50), (3.0, 100), (3.0, 200), (3.5, 100)]
+    best_f1 = 0.0
+    for threshold, window in grid:
+        flagged = rolling_zscore(
+            df, ["key"], "value", ["idx"],
+            window_size=window, min_samples=window // 2, threshold=threshold,
+        ).filter("is_anomaly").select("idx").collect()
+        got = {r["idx"] for r in flagged}
+        want = set(map(int, positions))
+        tp = len(got & want)
+        fp = len(got - want)
+        fn = len(want - got)
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        best_f1 = max(best_f1, f1)
+    df.unpersist()
+    assert best_f1 >= 0.85, best_f1
