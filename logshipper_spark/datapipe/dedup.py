@@ -1,0 +1,240 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale posture: every variant avoids the O(n²) cross product — exact
+dedup is a hash groupBy; Jaccard candidates come from a posting-list
+self-join on shared shingles (with a document-frequency cutoff so
+stop-shingles don't explode the join); MinHash compresses shingle sets
+into fixed-width signatures and LSH bands turn near-dup search into an
+equi-join on band hashes; SimHash reduces a document to one 64-bit key
+compared by Hamming distance within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash groupBy: one row per distinct text, keeping
+    the minimal id and the duplicate count."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as strings; shorter docs yield their
+    whole token string as the single shingle."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(full))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard ≥ threshold via posting-list self-join.
+
+    ``max_shingle_df`` drops shingles appearing in more documents than
+    the cutoff (stop-shingles) before the join — the standard guard that
+    keeps the candidate count near-linear at 100 TB scale.
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    posting = docs.select("doc_id", "sh_size", F.explode("sh").alias("shingle"))
+    df_counts = posting.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    posting = posting.join(
+        F.broadcast(df_counts.filter(F.col("df_cnt") <= max_shingle_df)), "shingle"
+    )
+    a = posting.select(
+        F.col("doc_id").alias("id_a"), F.col("sh_size").alias("size_a"), "shingle"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("id_b"), F.col("sh_size").alias("size_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature: per salt, the minimum xxhash64 over the
+    document's shingles — array<long> of length num_hashes."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by estimated
+    Jaccard (signature agreement rate). Candidate generation is an
+    equi-join on (band index, band hash) — a shuffle on small keys, no
+    cross product."""
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, computed relationally: explode tokens,
+    xxhash64 each, and for every bit position sum ±1 votes in a single
+    groupBy pass (64 aggregate expressions, one shuffle)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits → XOR == OR
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (sign
+    signature over deterministic ±1 planes) then exact cosine inside
+    buckets only."""
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(v) - 1),
+                        lambda j, p=p: F.when(
+                            F.pmod(F.xxhash64(j, F.lit(p)), F.lit(2)) == 0, F.lit(1.0)
+                        ).otherwise(F.lit(-1.0)),
+                    ),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
+    docs = df.select(
+        F.col(id_col).alias("vid"), v.alias("vec"), norm.alias("nrm"), bucket.alias("bucket")
+    )
+    a = docs.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), "bucket",
+    )
+    b = docs.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,196 @@
+"""Training-data pipeline operator tests (dedup, similarity, text stats,
+multimodal plumbing) over the driver-provided documents/embeddings
+tables plus handcrafted cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from logshipper_spark.datapipe import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ── text stats ──
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("one",), ("",), ("  a  b   c ",)], ["text"]
+    )
+    got = [r[0] for r in df.select(textstats.token_count(F.col("text"))).collect()]
+    assert got == [2, 1, 0, 3]
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([("hello, world 42!",)], ["text"])
+    # tokens: hello , world 4 2 !  → 6
+    assert df.select(textstats.bpe_ish_token_count(F.col("text"))).first()[0] == 6
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is that for",),
+            ("der hund ist ein tier und das ist nicht gut",),
+            ("le chat est une bête et la vie est pour que",),
+            ("xyzzy qwerty",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(textstats.lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_score_bounds(docs):
+    stats = textstats.text_stats(docs)
+    row = stats.agg(
+        F.min("quality").alias("lo"), F.max("quality").alias("hi")
+    ).first()
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], ["text"])
+    got = [r[0] for r in df.select(textstats.fingerprint(F.col("text"))).collect()]
+    assert got[0] == got[2]
+    assert got[0] != got[1]
+
+
+# ── dedup ──
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "unique")], ["doc_id", "text"]
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == pytest.approx(6 / 8, abs=1e-6)  # 6 shared of 8 distinct 3-shingles
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_estimates_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+            (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 zz"),
+            (2, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             dedup.minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.3).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.4  # true jaccard = 8/12 ≈ 0.67, estimate within band
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_vs_far(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta iota"),
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[0], sh[1]) < hamming(sh[0], sh[2])
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.limit(50)).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.limit(50)).collect()}
+    assert a == b
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_dup_pairs(df, threshold=0.99, num_planes=4).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in ids
+    assert (0, 2) not in ids and (1, 2) not in ids
+
+
+# ── similarity ──
+def test_cosine_topk_exact(spark, embs):
+    query = embs.first()["embedding"]
+    out = similarity.cosine_topk(embs, list(query), k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == embs.first()["vec_id"]  # self is the best match
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    sims = [r["cosine"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_recall(spark, embs):
+    query = list(embs.first()["embedding"])
+    exact = [r["vec_id"] for r in similarity.cosine_topk(embs, query, k=5).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(embs, query, k=5, num_cells=8, n_probe=4).collect()]
+    # the query's own cell is probed → its exact nearest (itself) is found
+    assert exact[0] == approx[0]
+    assert len(set(exact) & set(approx)) >= 2  # reasonable recall on 500 rows
+
+
+# ── multimodal plumbing ──
+def test_media_features(spark):
+    media = multimodal.gen_media(spark, 50)
+    feats = multimodal.decode_stub_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+        assert r["n_bytes"] == 64
+    # deterministic across runs
+    again = {r["media_id"]: r["features"] for r in multimodal.decode_stub_features(media).collect()}
+    assert again[rows[0]["media_id"]] == rows[0]["features"]
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"", "image", {})
+
+
+def test_frame_sample(spark):
+    media = multimodal.gen_media(spark, 30)
+    frames = multimodal.frame_sample(media, every_ms=1000)
+    joined = frames.groupBy("media_id").count().join(
+        media.select("media_id", F.col("meta.duration_ms").alias("d")), "media_id"
+    )
+    for r in joined.collect():
+        assert r["count"] == r["d"] // 1000 + 1
