@@ -35,11 +35,17 @@ def normalize_and_enrich(
     ingest_ts: str = DEFAULT_INGEST_TS,
     lookup_roles: DataFrame | None = None,
     lookup_hosts: DataFrame | None = None,
+    skip_turn_rank: bool = False,
 ) -> DataFrame:
     """The narrow stage: parse the text column (role plays the
     reference's source name), broadcast-enrich on (role, tool), resolve
     dst/src services, and pin stable turn ordering (W11) with a
-    row_number over (conv_id, turn_idx)."""
+    row_number over (conv_id, turn_idx).
+
+    ``skip_turn_rank=True`` keeps the chain fully narrow (no window
+    shuffle) — required for the native streaming path, where arbitrary
+    window functions are unsupported and ordering is carried by
+    (conv_id, turn_idx) itself."""
     parsed = parse.parse_normalized(
         transcripts, text_col="text", source_name=F.col("role"), ingest_ts=ingest_ts
     )
@@ -49,6 +55,8 @@ def normalize_and_enrich(
     enriched = enrich.resolve_services(
         enriched, lookup_hosts if lookup_hosts is not None else gen.lookup_hosts(spark)
     )
+    if skip_turn_rank:
+        return enriched
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     return enriched.withColumn("turn_rank", F.row_number().over(w))
 

@@ -1,0 +1,141 @@
+"""Structured Streaming wiring: the reference's long-running collector
+loop (reference: internal/pipeline/pipeline.go:38-175, bounded channels
++ goroutines) re-expressed as a Structured Streaming query.
+
+Two modes:
+
+* ``run_stream`` — `readStream` on the transcript table directory →
+  ``foreachBatch`` running the full batch pipeline (parse → enrich →
+  route fan-out → per-sink windowed aggregates) with exactly-once
+  restart semantics: Spark's checkpoint gives at-least-once batch
+  replay, and batch outputs are written under ``batch_id=N`` paths
+  (idempotent overwrite) with the lineage/counter rows appended last —
+  a replayed half-written batch simply re-commits the same result.
+  The reference has no restart story at all (process state is lost);
+  this is the north rule's addition.
+
+* ``streaming_sink_counts`` — the per-sink windowed aggregate as a
+  *native* streaming aggregation with an event-time watermark: late
+  turns beyond the watermark are dropped (documented delta vs the
+  reference, which only knows processing time — SURVEY.md §2.10).
+
+Backpressure: ``maxFilesPerTrigger`` plays the reference's bounded
+channel capacity (pipeline.go:49-52).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import gen, pipeline, route
+from .schemas import DEFAULT_INGEST_TS, TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def run_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    ingest_ts: str = DEFAULT_INGEST_TS,
+    rules: list[tuple[str, str, int]] | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start (or resume) the streaming pipeline. With
+    ``available_now=True`` the query drains all currently-available
+    input and stops — the batch-oriented test/benchmark mode; a
+    production run would use a continuous trigger instead.
+
+    Restart semantics: Spark's streaming checkpoint tracks which input
+    files belong to which epoch; on restart, finished epochs are not
+    re-read, and a half-finished epoch is replayed — idempotent because
+    `pipeline.run_batch` overwrites its own ``batch_id=N`` output paths
+    before appending lineage.
+    """
+    rules = rules or gen.routing_rules()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pipeline.run_batch(
+            spark,
+            batch_df,
+            out_dir,
+            run_id=run_id,
+            batch_id=batch_id,
+            ingest_ts=ingest_ts,
+            rules=rules,
+            write=True,
+        )
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_sink_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    window_duration: str = "1 minute",
+    rules: list[tuple[str, str, int]] | None = None,
+    ingest_ts: str = DEFAULT_INGEST_TS,
+    available_now: bool = True,
+):
+    """Native streaming per-sink windowed aggregate with a watermark.
+
+    The full parse+enrich chain is narrow, so it rides inside the
+    streaming micro-batch untouched; the windowed `groupBy` runs as a
+    stateful streaming aggregation whose state is bounded by the
+    watermark (append mode emits a window once it is final)."""
+    stream = read_transcript_stream(spark, input_dir)
+    enriched = pipeline.normalize_and_enrich(
+        spark, stream, ingest_ts=ingest_ts, skip_turn_rank=True
+    )
+    routed = route.routed_rows(enriched, rules or gen.routing_rules())
+    is_error = (F.col("level") == "error") | (F.col("status_code") >= 500)
+    counts = (
+        routed.withWatermark("ts", watermark)
+        .groupBy(
+            "sink",
+            "conv_id",
+            F.window(F.col("ts"), window_duration).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("turn_count"),
+            F.count_if(F.col("tool") != "").alias("tool_call_count"),
+            F.count_if(is_error).alias("error_pattern_count"),
+        )
+        .select(
+            "sink", "conv_id", F.col("w.start").alias("window_start"),
+            "turn_count", "tool_call_count", "error_pattern_count",
+        )
+    )
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,99 @@
+"""Streaming pipeline: exactly-once restart + watermarked aggregates.
+
+Reference has no restart story (state dies with the process); the north
+rule adds checkpoint/resume — these tests pin that behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from logshipper_spark import gen, pipeline, route, streaming
+
+
+def _write_input(spark, path, n_turns, n_files):
+    tr = gen.transcripts(spark, n_turns)
+    tr.repartition(n_files).write.mode("overwrite").parquet(path)
+    return tr
+
+
+def test_stream_drains_and_resumes(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, input_dir, 2000, 4)
+
+    q = streaming.run_stream(
+        spark, input_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    q.awaitTermination(120)
+
+    done = pipeline.completed_batches(spark, out_dir)
+    assert len(done) >= 2  # maxFilesPerTrigger=2 over 4 files → ≥2 epochs
+
+    # all routed sink rows present exactly once across batches
+    total = 0
+    for sink, _, _ in gen.routing_rules():
+        p = os.path.join(out_dir, "sinks", sink)
+        total += spark.read.parquet(p).count()
+    enr = pipeline.normalize_and_enrich(spark, spark.read.parquet(input_dir))
+    expected = route.routed_rows(enr, gen.routing_rules()).count()
+    assert total == expected
+
+    # resume with new data: only the new file becomes a new batch
+    more = gen.transcripts(spark, 3000).filter("turn_idx >= 20")  # disjoint-ish rows
+    more.coalesce(1).write.mode("append").parquet(input_dir)
+    q2 = streaming.run_stream(
+        spark, input_dir, out_dir, ckpt, max_files_per_trigger=2
+    )
+    q2.awaitTermination(120)
+    done2 = pipeline.completed_batches(spark, out_dir)
+    assert len(done2) == len(done) + 1
+
+    # lineage counters reconcile with input rows per batch
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    got = (
+        lineage.filter("counter = 'events_received_total'")
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    assert got == spark.read.parquet(input_dir).count()
+
+
+def test_streaming_sink_counts_watermark(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_input(spark, input_dir, 2000, 2)
+
+    q = streaming.streaming_sink_counts(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    # append mode only emits windows sealed by the watermark; every emitted
+    # row must match the batch-mode aggregate for its (sink, conv, window)
+    enr = pipeline.normalize_and_enrich(spark, spark.read.parquet(input_dir))
+    batch = route.sink_counts(
+        route.routed_rows(enr, gen.routing_rules()), ts_col="ts"
+    )
+    joined = got.join(
+        batch.withColumnRenamed("turn_count", "expected_turns"),
+        ["sink", "conv_id", "window_start"],
+        "left",
+    )
+    assert joined.filter("expected_turns IS NULL").count() == 0
+    assert joined.filter("turn_count <> expected_turns").count() == 0
+    assert got.count() > 0
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    tr = gen.transcripts(spark, 1000)
+    r1 = pipeline.run_batch(spark, tr, out_dir, run_id="r", batch_id=7)
+    r2 = pipeline.run_batch(spark, tr, out_dir, run_id="r", batch_id=7)  # replay
+    assert r1["sink_rows"] == r2["sink_rows"]
+    for sink in r1["sink_rows"]:
+        p = os.path.join(out_dir, "sinks", sink, "batch_id=7")
+        assert spark.read.parquet(p).count() == r1["sink_rows"][sink]
