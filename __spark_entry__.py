@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 is exposed here twice: as a
+`queries()` callable (our Spark implementation) and, where ANSI-SQL can
+express the exact semantics, as an `oracle_sql()` DuckDB query over the
+same parquet tables. The parse-layer queries use a *roundtrip* oracle:
+log/transcript text is constructed deterministically from `events`
+columns, our parse layer extracts fields from the text, and the oracle
+recomputes the expected fields directly from the source columns — an
+independent ground truth, not a re-implementation of the parser.
+
+Hash-based operators (MinHash, SimHash, xxhash fingerprints, LSH
+buckets) and the sequential stateful kernel (edge-trigger + cooldown
+alerts) have no DuckDB twin → rows-only entries (documented weaker
+check).
 """
 
 from __future__ import annotations
@@ -12,27 +20,827 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logshipper_spark import aggregate as agg
+from logshipper_spark import anomaly, enrich, gen, graphalg, parse, pipeline, route, template, transform
+from logshipper_spark.datapipe import dedup, multimodal, similarity, textstats
+from logshipper_spark.schemas import DEFAULT_INGEST_TS
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ── shared synthesized normalized view over `events` (oracle mirror in SQL) ──
+
+_FED_SQL = """
+    SELECT event_id, ts,
+           'svc-' || CAST(user_id % 8 AS VARCHAR) AS src,
+           'dst-' || CAST(user_id % 5 AS VARCHAR) AS dst,
+           event_type AS op,
+           CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code,
+           CAST(floor(value * 1000) AS BIGINT) AS latency_us
+    FROM events
+"""
+
+_BASE_SQL = """
+    SELECT src, dst, op,
+           COUNT(*) AS call_count,
+           CAST(SUM(CASE WHEN status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+           CAST(SUM(latency_us) AS BIGINT) AS latency_sum_us,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen
+    FROM fed GROUP BY src, dst, op
+"""
+
+
+def _events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "ts",
+        "'svc-' || CAST(user_id % 8 AS STRING) AS src_service",
+        "'dst-' || CAST(user_id % 5 AS STRING) AS dst_service",
+        "event_type AS operation",
+        "CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code",
+        "CAST(floor(value * 1000) AS LONG) AS latency_us",
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.edge_agg(
+        _events_normalized(spark, sf_dir), ts_col="ts", order_cols=["ts", "event_id"]
+    )
+
+
+# ── aggregate queries (A1–A13) ──
+
+
+def q_edge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir)
+
+
+def q_edge_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.derived_edge_metrics(_edges(spark, sf_dir)).select(
+        "src", "dst", "op", "call_count", "error_rate", "avg_latency_us"
+    )
+
+
+def q_service_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.service_rollup(_edges(spark, sf_dir))
+
+
+def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.first_seen_edges(_events_normalized(spark, sf_dir), ts_col="ts")
+
+
+def q_p99_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events_normalized(spark, sf_dir)
+    d = df.groupBy(F.col("src_service").alias("src")).agg(
+        F.sort_array(F.collect_list("latency_us")).alias("_l"),
+        F.count("*").alias("n"),
+    )
+    return d.select(
+        "src",
+        F.element_at("_l", (F.floor((F.col("n") - 1) * 0.99) + 1).cast("int")).alias(
+            "p99_us"
+        ),
+    )
+
+
+def q_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(spark, sf_dir).select("src", "dst", "op", "call_count").orderBy(
+        F.col("call_count").desc(), "src", "dst", "op"
+    ).limit(10)
+
+
+def q_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    scored = anomaly.rolling_zscore(
+        ev, key_cols=["user_id"], value_col="value",
+        order_cols=["ts", "event_id"], window_size=100, threshold=3.0,
+    )
+    # +1e-9 before rounding: means of 2-decimal inputs land exactly on
+    # round-half boundaries, where engines tie-break differently; the
+    # nudge moves every value off the boundary by far more than the
+    # cross-engine summation noise (~1e-13) without changing any
+    # non-boundary digit.
+    eps = F.lit(1e-9)
+    return scored.select(
+        "event_id", "user_id",
+        F.round(F.col("mean") + eps, 4).alias("mean_r"),
+        F.round(F.col("stddev") + eps, 4).alias("stddev_r"),
+        F.round(F.col("zscore") + eps, 4).alias("zscore_r"),
+        "n_samples", "is_anomaly",
+    )
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.time_buckets(
+        _t(spark, sf_dir, "events"), ts_col="ts", duration="1 minute",
+        extra_keys=["event_type"],
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "raw", F.from_json("props", "map<string,string>")
+    )
+    return ev.select(
+        "event_id",
+        parse.first_string(F.col("raw"), ["missing_key", "k"]).alias("k_str"),
+        F.try_element_at(F.col("raw"), F.lit("k")).cast("int").alias("k_int"),
+    )
+
+
+# ── parse-layer roundtrips (P1–P20): text constructed from events columns,
+#    oracle recomputes expected fields from the source columns directly ──
+
+
+def _jpart(*cols) -> F.Column:
+    return F.concat(*[c if not isinstance(c, str) else F.lit(c) for c in cols])
+
+
+def _parse_json_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lat = F.expr("CAST(floor(value * 100) AS LONG)").cast("string")
+    even = F.expr("event_id % 2 = 0")
+    m3 = F.expr("event_id % 3")
+    status = F.expr(
+        "CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS STRING)"
+    )
+    level_in = F.expr("CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'Info' END")
+    svc = F.expr("'svc-' || CAST(user_id % 8 AS STRING)")
+    dst = F.expr("'dst-' || CAST(user_id % 5 AS STRING)")
+    tr = F.expr("'tr-' || CAST(event_id AS STRING)")
+    tss = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+
+    key = lambda a, b: F.when(even, F.lit(a)).otherwise(F.lit(b))  # noqa: E731
+    lat_part = (
+        F.when(m3 == 0, _jpart('"latency":"', lat, 'ms"'))
+        .when(m3 == 1, _jpart('"duration_ms":', lat))
+        .otherwise(_jpart('"latency":"', lat, 'us"'))
+    )
+    status_part = F.when(even, _jpart('"status_code":', status)).otherwise(
+        _jpart('"status":"', status, '"')
+    )
+    op_part = F.when(
+        even, _jpart('"operation":"do_', F.col("event_type"), '"')
+    ).otherwise(_jpart('"method":"GET","url":"/', F.col("event_type"), '"'))
+
+    text = _jpart(
+        '{"', key("timestamp", "ts"), '":"', tss, '","',
+        key("level", "severity"), '":"', level_in, '","',
+        key("service", "app"), '":"', svc, '","',
+        key("upstream", "target"), '":"', dst, '","',
+        key("trace_id", "traceId"), '":"', tr, '",',
+        lat_part, ",", status_part, ",", op_part, "}",
+    )
+    return ev.withColumn("text", text)
+
+
+def q_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse.parse_normalized(
+        _parse_json_input(spark, sf_dir), text_col="text", source_name="oracle"
+    )
+    return parsed.select(
+        "event_id", "format",
+        F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+        "src_service", "dst_service", "operation", "status_code", "latency_us",
+        "level", "trace_id",
+    )
+
+
+def _parse_ecs_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lat_ns = F.expr("CAST(floor(value * 100) AS LONG) * 1000000").cast("string")
+    even = F.expr("event_id % 2 = 0")
+    status = F.expr(
+        "CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS STRING)"
+    )
+    level_in = F.expr("CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'Info' END")
+    svc = F.expr("'svc-' || CAST(user_id % 8 AS STRING)")
+    dst = F.expr("'dst-' || CAST(user_id % 5 AS STRING)")
+    tr = F.expr("'tr-' || CAST(event_id AS STRING)")
+    tss = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    url_part = F.when(
+        even, _jpart('"url":{"path":"/p/', F.col("event_id").cast("string"), '"},')
+    ).otherwise(F.lit(""))
+    text = _jpart(
+        '{"@timestamp":"', tss, '",',
+        '"log":{"level":"', level_in, '"},',
+        '"service":{"name":"', svc, '"},',
+        '"trace":{"id":"', tr, '"},',
+        '"http":{"request":{"method":"get"},"response":{"status_code":', status, "}},",
+        '"event":{"duration":', lat_ns, "},",
+        '"destination":{"address":"', dst, '"},',
+        url_part,
+        '"message":"ecs"}',
+    )
+    return ev.withColumn("text", text)
+
+
+def q_parse_ecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse.parse_normalized(
+        _parse_ecs_input(spark, sf_dir), text_col="text", source_name="oracle"
+    )
+    return parsed.select(
+        "event_id", "format",
+        F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+        "src_service", "dst_service", "operation", "status_code", "latency_us",
+        "level", "trace_id", "span_id",
+    )
+
+
+def q_parse_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m4 = F.expr("event_id % 4")
+    svc = F.expr("'svc-' || CAST(user_id % 8 AS STRING)")
+    lat = F.expr("CAST(floor(value * 100) AS LONG)").cast("string")
+    secs = F.expr("unix_seconds(CAST(ts AS TIMESTAMP))").cast("string")
+    text = (
+        F.when(m4 == 0, _jpart('{"service":"', svc, '","message":"hello"}'))
+        .when(
+            m4 == 1,
+            _jpart(
+                '{"metric":"req_ms","value":', lat, ',"service":"', svc,
+                '","timestamp":', secs, "}",
+            ),
+        )
+        .when(m4 == 2, _jpart("plain hello #", F.col("event_id").cast("string")))
+        .otherwise(F.lit(""))
+    )
+    parsed = parse.parse_normalized(
+        ev.withColumn("text", text), text_col="text", source_name="stdin"
+    )
+    return parsed.select(
+        "event_id", "format", "operation", "src_service",
+        F.col("event_ts").cast("timestamp_ntz").alias("event_ts"), "parse_ok",
+    )
+
+
+NGINX_TEMPLATE = (
+    '$remote_addr - $remote_user [$time_local] "$request" '
+    "$status $body_bytes_sent $request_time"
+)
+
+
+def q_template_nginx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tl = F.concat(F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000"))
+    status = F.expr(
+        "CASE WHEN event_type = 'error' THEN '500' WHEN event_type = 'click' "
+        "THEN '404' ELSE '200' END"
+    )
+    line = F.concat(
+        F.expr("'10.0.' || CAST(user_id % 200 AS STRING) || '.9'"),
+        F.lit(" - - ["), tl, F.lit('] "'),
+        F.expr("'GET /p/' || CAST(event_id AS STRING) || ' HTTP/1.1'"),
+        F.lit('" '), status, F.lit(" "),
+        F.expr("CAST(floor(value * 100) AS LONG)").cast("string"), F.lit(" "),
+        F.expr("CAST(floor(value) AS LONG)").cast("string"),
+    )
+    tmpl = template.TemplateParser(NGINX_TEMPLATE)
+    parsed = tmpl.parse_normalized(
+        ev.withColumn("text", line), text_col="text", source_name="nginx"
+    )
+    return parsed.select(
+        "event_id", "template_matched", "operation", "status_code", "latency_us",
+        "level", F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+    )
+
+
+# ── transforms (T1–T3) ──
+
+
+def q_case_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        transform.apply_case(F.col("text"), "snake").alias("snake"),
+        transform.apply_case(F.col("text"), "camel").alias("camel"),
+    )
+
+
+# ── enrichment / resolver (J1–J7) ──
+
+
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE user_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+        "WHEN 2 THEN 'system' ELSE 'tool' END AS role",
+        "CASE WHEN user_id % 4 = 3 THEN (CASE event_id % 2 WHEN 0 THEN 'search' "
+        "ELSE 'db_query' END) ELSE '' END AS tool",
+    )
+    return enrich.enrich_roles(facts, gen.lookup_roles(spark)).select(
+        "event_id", "role", "tool", "team", "cost_tier", "sink_hint"
+    )
+
+
+def q_resolver_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE user_id % 5 WHEN 0 THEN 'db' "
+        "WHEN 1 THEN 'node' || CAST(user_id % 3 AS STRING) || '.redis.svc' "
+        "WHEN 2 THEN 'cache' "
+        "WHEN 3 THEN 'unknown-' || CAST(user_id % 7 AS STRING) "
+        "ELSE 'MAILER' END AS dst_service",
+        "'' AS src_service",
+        "'stdin' AS source_name",
+    )
+    return enrich.resolve_services(facts, gen.lookup_hosts(spark)).select(
+        "event_id", "dst_service", "src_service"
+    )
+
+
+# ── routing fan-out + per-sink windowed counts (K3, A12–A13) ──
+
+_EVENT_RULES = [
+    ("sink_errors", "event_type = 'error'", 0),
+    ("sink_big", "value > 50.0", 1),
+    ("sink_default", "true", 2),
+]
+
+
+def q_routing_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = route.routed_rows(_t(spark, sf_dir, "events"), _EVENT_RULES)
+    return routed.groupBy("sink").agg(F.count("*").alias("cnt"))
+
+
+def q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts = _t(spark, sf_dir, "events").selectExpr(
+        "event_id", "ts", "event_type", "value",
+        "'u' || CAST(user_id % 50 AS STRING) AS conv_id",
+        "CASE WHEN event_type = 'click' THEN 'search' ELSE '' END AS tool",
+        "CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level",
+        "CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code",
+    )
+    routed = route.routed_rows(facts, _EVENT_RULES)
+    return route.sink_counts(routed, ts_col="ts", window_duration="1 minute")
+
+
+# ── training-data pipeline ops (dedup / similarity / text stats) ──
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "keep_id", "dup_count"
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    return dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.5, max_shingle_df=100000)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "quality", "lang_guess"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["v"]]
+    q = F.array(*[F.lit(x) for x in qv])
+    scored = emb.select(
+        "vec_id",
+        F.round(similarity.cosine_similarity(F.col("v"), q), 4).alias("cosine_r"),
+    )
+    return scored.orderBy(F.col("cosine_r").desc(), "vec_id").limit(10)
+
+
+# ── rows-only queries (hash-based / stateful / driver-side — no SQL twin) ──
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 5 = 0").select(
+        "doc_id", "text"
+    )
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    return dedup.minhash_lsh_pairs(docs.unionByName(dup), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    return dedup.embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.95)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return similarity.ivf_topk(emb, qv, k=10, num_cells=16, n_probe=4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_stub_features(multimodal.gen_media(spark, 200))
+
+
+PIPELINE_TURNS = 20_000
+
+
+def _pipeline_enriched(spark: SparkSession) -> DataFrame:
+    # cache() makes the generated table a leaf relation: without it the
+    # generator's big literal-array expression tree is inlined into every
+    # parse-layer reference and Catalyst canonicalization blows up.
+    tr = gen.transcripts(spark, PIPELINE_TURNS).cache()
+    return pipeline.normalize_and_enrich(spark, tr)
+
+
+def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    routed = route.routed_rows(_pipeline_enriched(spark), gen.routing_rules())
+    return route.sink_counts(routed, ts_col="ts", window_duration="1 minute")
+
+
+def q_pipeline_edge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return agg.edge_agg(
+        _pipeline_enriched(spark), ts_col="event_ts",
+        order_cols=["ts", "conv_id", "turn_idx"],
+    )
+
+
+def q_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    enr = _pipeline_enriched(spark).filter(
+        "src_service <> '' AND dst_service <> ''"
+    ).selectExpr(
+        "src_service || '|' || dst_service || '|' || operation AS edge_key",
+        "ts", "conv_id", "turn_idx",
+        "latency_us / 1000.0 AS value",
+    )
+    return anomaly.detect_alerts(
+        enr, key_cols=["edge_key"], value_col="value",
+        order_cols=["ts", "conv_id", "turn_idx"], ts_col="ts",
+        window_size=100, threshold=3.0, cooldown_s=30.0,
+    )
+
+
+def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    edges = agg.edge_agg(
+        _pipeline_enriched(spark), ts_col="event_ts",
+        order_cols=["ts", "conv_id", "turn_idx"],
+    )
+    cycles = graphalg.find_new_cycles(edges)
+    rows = [(graphalg.cycle_key(c), c) for c in cycles]
+    return spark.createDataFrame(rows, "cycle_key string, cycle array<string>")
+
+
+# ── driver contract ──
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse constructed JSON transcripts end-to-end →
+    edge aggregate → per-service rollup (SURVEY.md §3.2 read path)."""
+    parsed = parse.parse_normalized(
+        _parse_json_input(spark, SF_SMOKE), text_col="text", source_name="flagship"
+    )
+    edges = agg.edge_agg(parsed, ts_col="event_ts", order_cols=["event_ts", "event_id"])
+    return agg.service_rollup(edges)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edge_agg": q_edge_agg,
+        "edge_metrics": q_edge_metrics,
+        "service_rollup": q_service_rollup,
+        "first_seen": q_first_seen,
+        "p99_exact": q_p99_exact,
+        "topk_edges": q_topk_edges,
+        "zscore_flags": q_zscore_flags,
+        "time_buckets": q_time_buckets,
+        "json_extract": q_json_extract,
+        "parse_json": q_parse_json,
+        "parse_ecs": q_parse_ecs,
+        "parse_formats": q_parse_formats,
+        "template_nginx": q_template_nginx,
+        "case_transforms": q_case_transforms,
+        "enrich_lookup": q_enrich_lookup,
+        "resolver_chain": q_resolver_chain,
+        "routing_fanout": q_routing_fanout,
+        "sink_counts": q_sink_counts,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "text_stats": q_text_stats,
+        "cosine_topk": q_cosine_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "media_features": q_media_features,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_edge_agg": q_pipeline_edge_agg,
+        "anomaly_alerts": q_anomaly_alerts,
+        "graph_cycles": q_graph_cycles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ingest = DEFAULT_INGEST_TS
+    return {
+        "edge_agg": f"""
+            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL}),
+            lastn AS (
+              SELECT * FROM (
+                SELECT src, dst, op, latency_us,
+                       row_number() OVER (PARTITION BY src, dst, op
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM fed) t
+              WHERE rn <= 100),
+            p99 AS (
+              SELECT src, dst, op,
+                     list_sort(list(latency_us))[CAST(floor((COUNT(*) - 1) * 0.99) AS INT) + 1]
+                       AS latency_p99_us
+              FROM lastn GROUP BY src, dst, op)
+            SELECT base.src, base.dst, base.op, call_count, error_count,
+                   latency_sum_us, latency_p99_us, first_seen, last_seen
+            FROM base JOIN p99 USING (src, dst, op)
+        """,
+        "edge_metrics": f"""
+            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL})
+            SELECT src, dst, op, call_count,
+                   error_count / call_count AS error_rate,
+                   CAST(floor(latency_sum_us / call_count) AS BIGINT) AS avg_latency_us
+            FROM base
+        """,
+        "service_rollup": f"""
+            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL}),
+            out_side AS (
+              SELECT src AS service, COUNT(*) AS out_deg,
+                     CAST(SUM(CAST(floor(latency_sum_us / call_count) AS BIGINT) * call_count) AS BIGINT) AS lat_weighted,
+                     CAST(SUM(call_count) AS BIGINT) AS calls,
+                     CAST(SUM(error_count) AS BIGINT) AS errors
+              FROM base GROUP BY src),
+            in_side AS (SELECT dst AS service, COUNT(*) AS in_deg FROM base GROUP BY dst),
+            svc AS (
+              SELECT COALESCE(o.service, i.service) AS service,
+                     COALESCE(in_deg, 0) AS in_deg, COALESCE(out_deg, 0) AS out_deg,
+                     COALESCE(lat_weighted, 0) AS lat_weighted,
+                     COALESCE(calls, 0) AS calls, COALESCE(errors, 0) AS errors
+              FROM out_side o FULL OUTER JOIN in_side i ON o.service = i.service),
+            d AS (
+              SELECT service, in_deg, out_deg,
+                     CASE WHEN calls > 0 THEN CAST(floor(lat_weighted / calls) AS BIGINT)
+                          ELSE 0 END AS avg_latency_us,
+                     CASE WHEN calls > 0 THEN errors / calls ELSE 0.0 END AS error_rate
+              FROM svc)
+            SELECT service, in_deg, out_deg, avg_latency_us, error_rate,
+                   CAST(0 AS BIGINT) AS anomalies,
+                   CAST(0 AS BIGINT) * 2.0 + error_rate * 10.0
+                     + CAST(floor(avg_latency_us / 1000) AS BIGINT) / 100.0 AS risk
+            FROM d
+        """,
+        "first_seen": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT src, dst, op, MIN(ts) AS first_seen FROM fed GROUP BY src, dst, op
+        """,
+        "p99_exact": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT src,
+                   list_sort(list(latency_us))[CAST(floor((COUNT(*) - 1) * 0.99) AS INT) + 1]
+                     AS p99_us
+            FROM fed GROUP BY src
+        """,
+        "topk_edges": f"""
+            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL})
+            SELECT src, dst, op, call_count FROM base
+            ORDER BY call_count DESC, src, dst, op LIMIT 10
+        """,
+        "zscore_flags": """
+            SELECT event_id, user_id,
+                   round(mean + 1e-9, 4) AS mean_r, round(stddev + 1e-9, 4) AS stddev_r,
+                   round(CASE WHEN stddev = 0 THEN 0.0 ELSE (value - mean) / stddev END + 1e-9, 4) AS zscore_r,
+                   n_samples,
+                   (n_samples >= 50 AND
+                    abs(CASE WHEN stddev = 0 THEN 0.0 ELSE (value - mean) / stddev END) > 3.0)
+                     AS is_anomaly
+            FROM (
+              SELECT event_id, user_id, value,
+                     AVG(value) OVER w AS mean,
+                     COALESCE(stddev_pop(value) OVER w, 0.0) AS stddev,
+                     COUNT(value) OVER w AS n_samples
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+        """,
+        "time_buckets": """
+            SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                   event_type, COUNT(*) AS calls
+            FROM events GROUP BY 1, 2
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_str,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+            FROM events
+        """,
+        "parse_json": """
+            SELECT event_id, 'json' AS format,
+                   date_trunc('milliseconds', ts) AS event_ts,
+                   'svc-' || CAST(user_id % 8 AS VARCHAR) AS src_service,
+                   'dst-' || CAST(user_id % 5 AS VARCHAR) AS dst_service,
+                   CASE WHEN event_id % 2 = 0 THEN 'do_' || event_type
+                        ELSE 'GET /' || event_type END AS operation,
+                   CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code,
+                   CASE WHEN event_id % 3 = 2 THEN CAST(floor(value * 100) AS BIGINT)
+                        ELSE CAST(floor(value * 100) AS BIGINT) * 1000 END AS latency_us,
+                   CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+                   'tr-' || CAST(event_id AS VARCHAR) AS trace_id
+            FROM events
+        """,
+        "parse_ecs": """
+            SELECT event_id, 'ecs_json' AS format,
+                   date_trunc('milliseconds', ts) AS event_ts,
+                   'svc-' || CAST(user_id % 8 AS VARCHAR) AS src_service,
+                   'dst-' || CAST(user_id % 5 AS VARCHAR) AS dst_service,
+                   CASE WHEN event_id % 2 = 0 THEN 'GET /p/' || CAST(event_id AS VARCHAR)
+                        ELSE 'GET' END AS operation,
+                   CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code,
+                   CAST(floor(value * 100) AS BIGINT) * 1000 AS latency_us,
+                   CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+                   'tr-' || CAST(event_id AS VARCHAR) AS trace_id,
+                   '' AS span_id
+            FROM events
+        """,
+        "parse_formats": f"""
+            SELECT event_id,
+                   CASE event_id % 4 WHEN 0 THEN 'json' WHEN 1 THEN 'metric_json'
+                        WHEN 2 THEN 'plain' ELSE 'empty' END AS format,
+                   CASE WHEN event_id % 4 = 1 THEN 'req_ms' ELSE '' END AS operation,
+                   CASE WHEN event_id % 4 IN (0, 1)
+                        THEN 'svc-' || CAST(user_id % 8 AS VARCHAR) ELSE '' END AS src_service,
+                   CASE WHEN event_id % 4 = 1 THEN date_trunc('second', ts)
+                        ELSE TIMESTAMP '{ingest}' END AS event_ts,
+                   (event_id % 4 IN (0, 1)) AS parse_ok
+            FROM events
+        """,
+        "template_nginx": """
+            SELECT event_id, true AS template_matched,
+                   'GET /p/' || CAST(event_id AS VARCHAR) || ' HTTP/1.1' AS operation,
+                   CASE WHEN event_type = 'error' THEN 500
+                        WHEN event_type = 'click' THEN 404 ELSE 200 END AS status_code,
+                   CAST(floor(value) AS BIGINT) * 1000000 AS latency_us,
+                   CASE WHEN event_type = 'error' THEN 'error'
+                        WHEN event_type = 'click' THEN 'warn' ELSE 'info' END AS level,
+                   date_trunc('second', ts) AS event_ts
+            FROM events
+        """,
+        "case_transforms": r"""
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\s+', '_', 'g')) AS snake,
+                   CASE WHEN len(toks) = 0 THEN lower(text)
+                        ELSE toks[1] || array_to_string(
+                               list_transform(toks[2:], w -> upper(w[1:1]) || w[2:]), '')
+                   END AS camel
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents)
+        """,
+        "enrich_lookup": """
+            WITH lk(role, tool, team, cost_tier, sink_hint) AS (VALUES
+              ('user', '', 'end-user', 'free', 'sink_default'),
+              ('assistant', '', 'model', 'free', 'sink_default'),
+              ('system', '', 'platform', 'free', 'sink_default'),
+              ('tool', 'search', 'tooling', 'low', 'sink_tools'),
+              ('tool', 'code_exec', 'tooling', 'high', 'sink_tools'),
+              ('tool', 'db_query', 'tooling', 'medium', 'sink_tools'),
+              ('tool', 'http_get', 'tooling', 'low', 'sink_tools'),
+              ('tool', 'none', 'tooling', 'free', 'sink_tools')),
+            facts AS (
+              SELECT event_id,
+                     CASE user_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                          WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+                     CASE WHEN user_id % 4 = 3
+                          THEN (CASE event_id % 2 WHEN 0 THEN 'search' ELSE 'db_query' END)
+                          ELSE '' END AS tool
+              FROM events)
+            SELECT event_id, facts.role, facts.tool,
+                   COALESCE(team, '') AS team,
+                   COALESCE(cost_tier, '') AS cost_tier,
+                   COALESCE(sink_hint, '') AS sink_hint
+            FROM facts LEFT JOIN lk ON facts.role = lk.role AND facts.tool = lk.tool
+        """,
+        "resolver_chain": """
+            SELECT event_id,
+                   CASE user_id % 5 WHEN 0 THEN 'db-service'
+                        WHEN 1 THEN 'redis-cache'
+                        WHEN 2 THEN 'redis-cache'
+                        WHEN 3 THEN 'unknown-' || CAST(user_id % 7 AS VARCHAR)
+                        ELSE 'mail-service' END AS dst_service,
+                   'stdin' AS src_service
+            FROM events
+        """,
+        "routing_fanout": """
+            SELECT 'sink_errors' AS sink, COUNT(*) AS cnt FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'sink_big', COUNT(*) FROM events WHERE value > 50.0
+            UNION ALL
+            SELECT 'sink_default', COUNT(*) FROM events
+        """,
+        "sink_counts": """
+            WITH f AS (
+              SELECT *, 'u' || CAST(user_id % 50 AS VARCHAR) AS conv_id,
+                     CASE WHEN event_type = 'click' THEN 'search' ELSE '' END AS tool,
+                     CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+                     CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status_code
+              FROM events),
+            r AS (
+              SELECT 'sink_errors' AS sink, * FROM f WHERE event_type = 'error'
+              UNION ALL SELECT 'sink_big', * FROM f WHERE value > 50.0
+              UNION ALL SELECT 'sink_default', * FROM f)
+            SELECT sink, conv_id, time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                   COUNT(*) AS turn_count,
+                   CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_call_count,
+                   CAST(SUM(CASE WHEN level = 'error' OR status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_pattern_count
+            FROM r GROUP BY sink, conv_id, 3
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "jaccard_pairs": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+              FROM documents WHERE doc_id % 5 = 0),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.toks, b.toks)) AS common,
+                     len(a.toks) AS sa, len(b.toks) AS sb
+              FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(common / (sa + sb - common), 6) AS jaccard
+            FROM pairs
+            WHERE round(common / (sa + sb - common), 6) >= 0.5 AND common > 0
+        """,
+        "text_stats": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+                     length(text) AS n_chars
+              FROM documents),
+            hits AS (
+              SELECT *,
+                CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tok,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS h_de,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['el','la','los','y','es','un','una','de','que','por'], t))) AS h_es,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['le','la','les','et','est','un','une','de','que','pour'], t))) AS h_fr,
+                len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+                len(regexp_extract_all(text, '[A-Za-z]+|\d|[^A-Za-z\d\s]')) AS n_bpe
+              FROM base)
+            SELECT doc_id, n_tok AS n_tokens, n_bpe AS n_bpe_tokens,
+                   round(((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
+                                THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'unknown'
+                        WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        ELSE 'de' END AS lang_guess
+            FROM hits
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            sc AS (
+              SELECT vec_id,
+                     list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS dot,
+                     sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nv,
+                     sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) AS nq
+              FROM s, q)
+            SELECT vec_id,
+                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4) AS cosine_r
+            FROM sc ORDER BY cosine_r DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,182 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline is the north-rule metric — end-to-end routed turns/sec
+through parse → enrich → route → aggregate on the synthetic transcript
+table (turn count scaled by sf). `--scaling` re-runs the pipeline in
+two fresh subprocesses at N and 4N cores on the SAME input and reports
+throughput at both plus scaling efficiency (the sandbox stand-in for
+the N → 4N executor criterion; see BASELINE.md).
+
+Forced evaluation uses the `noop` datasource — full computation of
+every output column, no sink IO in the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logshipper_spark import aggregate as agg  # noqa: E402
+from logshipper_spark import anomaly, gen, parse, pipeline, route  # noqa: E402
+from logshipper_spark.datapipe import dedup, similarity  # noqa: E402
+from logshipper_spark.session import get_spark  # noqa: E402
+
+TURNS_PER_SF = 6_000_000  # sf0.1 → 600k turns
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
+    sf = _sf_of(sf_dir)
+    n_turns = max(10_000, int(TURNS_PER_SF * sf))
+    spark = get_spark(app_name="logshipper-bench")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    times: dict[str, float] = {}
+
+    # headline: parse → enrich → stable ordering, full column evaluation
+    tr = gen.transcripts(spark, n_turns).cache()
+    tr.count()  # materialize the input so the measurement excludes generation
+    t0 = time.time()
+    enriched = pipeline.normalize_and_enrich(spark, tr)
+    _force(enriched)
+    times["pipeline_parse_enrich"] = round(time.time() - t0, 3)
+    turns_per_sec = round(n_turns / times["pipeline_parse_enrich"], 1)
+
+    enriched = enriched.cache()
+    enriched.count()
+    times["route_sink_counts"] = _timed(
+        lambda: _force(
+            route.sink_counts(
+                route.routed_rows(enriched, gen.routing_rules()), ts_col="ts"
+            )
+        )
+    )
+    times["edge_agg"] = _timed(
+        lambda: _force(
+            agg.edge_agg(
+                enriched, ts_col="event_ts", order_cols=["ts", "conv_id", "turn_idx"]
+            )
+        )
+    )
+    result: dict = {
+        "metric": "end_to_end_routed_turns_per_sec",
+        "value": turns_per_sec,
+        "unit": "sec",
+        "sf": sf,
+        "n_turns": n_turns,
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "queries": times,
+    }
+    if pipeline_only:
+        enriched.unpersist()
+        tr.unpersist()
+        return result
+
+    times["anomaly_zscore"] = _timed(
+        lambda: _force(
+            anomaly.rolling_zscore(
+                enriched.filter("src_service <> '' AND dst_service <> ''").selectExpr(
+                    "src_service || '|' || dst_service AS edge_key",
+                    "ts", "conv_id", "turn_idx", "latency_us / 1000.0 AS value",
+                ),
+                key_cols=["edge_key"], value_col="value",
+                order_cols=["ts", "conv_id", "turn_idx"],
+            )
+        )
+    )
+    enriched.unpersist()
+    tr.unpersist()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat = "CAST(floor(value * 100) AS LONG)"
+    jtext = F.expr(
+        "concat('{\"timestamp\":\"', date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\"),"
+        " '\",\"level\":\"info\",\"service\":\"svc-', CAST(user_id % 8 AS STRING),"
+        f" '\",\"latency\":\"', {lat}, 'ms\",\"status_code\":200,"
+        "\"operation\":\"do_', event_type, '\"}')"
+    )
+    times["parse_json_events"] = _timed(
+        lambda: _force(
+            parse.parse_normalized(
+                ev.withColumn("text", jtext), text_col="text", source_name="bench"
+            )
+        )
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    times["minhash_lsh"] = _timed(
+        lambda: _force(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    times["cosine_topk"] = _timed(
+        lambda: _force(similarity.cosine_topk(emb, qv, vec_col="embedding", k=10))
+    )
+
+    result["value"] = turns_per_sec
+    return result
+
+
+def run_scaling(sf_dir: str, n: int = 8) -> dict:
+    """Same job, two parallelism levels (N and 4N cores), fresh JVMs."""
+    out = {}
+    for cores in (n, 4 * n):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pipeline-only", sf_dir],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[f"cores_{cores}"] = json.loads(line)
+    tp_n = out[f"cores_{n}"]["value"]
+    tp_4n = out[f"cores_{4 * n}"]["value"]
+    return {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(tp_4n / tp_n / 4.0, 3),
+        "unit": "ratio",
+        "sf": _sf_of(sf_dir),
+        "throughput_turns_per_sec": {f"{n}_cores": tp_n, f"{4 * n}_cores": tp_4n},
+        "queries": {
+            f"{n}_cores": out[f"cores_{n}"]["queries"],
+            f"{4 * n}_cores": out[f"cores_{4 * n}"]["queries"],
+        },
+    }
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, pipeline_only="--pipeline-only" in sys.argv)))
