@@ -337,3 +337,39 @@ def parse_normalized(
 def normalized_select(df: DataFrame) -> DataFrame:
     """Project to the bare normalized schema (column order pinned)."""
     return df.select(*NORMALIZED_COLUMN_NAMES)
+
+
+# ── event predicates / derived keys (reference: internal/event/) ──
+
+
+def correlation_key(
+    trace_id: Column, src: Column, dst: Column, op: Column
+) -> Column:
+    """trace_id when set, else "src->dst:op" (reference:
+    internal/event/helpers.go:166-171)."""
+    return F.coalesce(
+        F.nullif(trace_id, F.lit("")),
+        F.concat(src, F.lit("->"), dst, F.lit(":"), op),
+    )
+
+
+def is_metric_event(latency_us: Column, status_code: Column) -> Column:
+    """Latency > 0 or StatusCode >= 100 (reference:
+    internal/event/validate.go:19-21)."""
+    return (latency_us > 0) | (status_code >= 100)
+
+
+def has_correlation_key(trace_id: Column, src: Column, dst: Column) -> Column:
+    """trace_id set, or both src and dst set (reference:
+    internal/event/validate.go:24-26)."""
+    return (trace_id != "") | ((src != "") & (dst != ""))
+
+
+def truncate_message(msg: Column, max_chars: int = 120) -> Column:
+    """Log-hygiene truncation: first 120 chars + ellipsis (reference:
+    internal/parse/parse.go:144-149; the Go code slices bytes, but its
+    inputs are ASCII log lines where bytes == chars)."""
+    return F.when(
+        F.length(msg) > max_chars,
+        F.concat(F.substring(msg, 1, max_chars), F.lit("…")),
+    ).otherwise(msg)

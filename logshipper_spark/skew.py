@@ -1,0 +1,130 @@
+"""Skew handling for hot conversations (north rule: salted
+repartitioning + AQE skew hints).
+
+At 10^12-turn scale a single hot conversation can carry millions of
+turns. Two operators here keep per-task state bounded:
+
+* ``turn_rank_salted`` — the stable turn ordering (W11) computed in two
+  phases so no task ever holds a whole hot conversation: rows are
+  bucketed by contiguous ``turn_idx`` blocks, ranked locally per
+  (conv, block), then shifted by per-block offsets (a tiny aggregate —
+  one row per (conv, block) — windowed over blocks). Equivalent to
+  ``row_number() over (partition by conv_id order by turn_idx)`` for
+  any input (turn_idx need not be dense), verified against the
+  single-phase window in tests.
+
+* ``salted_agg`` — generic two-level aggregation with an explicit salt
+  column for aggregates whose combine is associative. Note Spark's
+  hash aggregation already does map-side partial aggregation, which
+  absorbs most key skew for plain groupBys; the explicit salt matters
+  when the first level itself is a wide operator (e.g. collect_list /
+  exact percentiles per hot key) or under sort-based aggregation.
+
+AQE's skew-join splitting (enabled in session.py) covers the join
+side; these cover windows and aggregations, which AQE does not split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def turn_rank_salted(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    block_size: int = 4096,
+    out_col: str = "turn_rank",
+) -> DataFrame:
+    """Distributed row_number over (conv ordered by turn) with bounded
+    per-task partitions.
+
+    Phase 1 partitions by (conv, floor(turn/block)) — blocks are ranges
+    of the ordering key, so block order == row order. Phase 2 computes
+    each block's starting offset as the running sum of earlier blocks'
+    counts (a window over the per-block count table, which has
+    ~n_turns/block_size rows — tiny)."""
+    blk = F.floor(F.col(turn_col) / block_size).alias("_blk")
+    local_w = Window.partitionBy(conv_col, "_blk").orderBy(turn_col)
+    with_blk = df.withColumn("_blk", blk)
+    ranked = with_blk.withColumn("_local_rank", F.row_number().over(local_w))
+
+    counts = with_blk.groupBy(conv_col, "_blk").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        Window.partitionBy(conv_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))
+    ).drop("_cnt")
+
+    return (
+        ranked.join(offsets, [conv_col, "_blk"])
+        .withColumn(out_col, (F.col("_local_rank") + F.col("_off")).cast("int"))
+        .drop("_blk", "_local_rank", "_off")
+    )
+
+
+def with_salt(df: DataFrame, salt_buckets: int, *salt_source: str) -> DataFrame:
+    """Deterministic salt column derived from row content (never
+    rand() — re-runs stay stable)."""
+    cols = [F.col(c) for c in salt_source] or [F.lit(0)]
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salt_buckets: int = 32,
+    salt_source: list[str] | None = None,
+) -> DataFrame:
+    """Two-level aggregation: groupBy(keys + salt) with ``partial_aggs``
+    then groupBy(keys) with ``final_aggs`` over the partial columns.
+    ``salt_source`` defaults to all non-key columns' hash via
+    monotonically varying turn content; pass explicit columns for
+    reproducibility."""
+    salted = with_salt(df, salt_buckets, *(salt_source or keys))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_sink_counts(
+    routed: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 minute",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-hardened variant of route.sink_counts: identical result,
+    but a hot (sink, conv, window) key is first reduced across
+    ``salt_buckets`` sub-keys (salt = hash(turn_idx)) before the final
+    combine — bounding any single reducer's input even if sort-based
+    aggregation is in play."""
+    is_error = (F.col("level") == "error") | (F.col("status_code") >= 500)
+    keyed = routed.select(
+        "sink",
+        "conv_id",
+        F.window(F.col(ts_col), window_duration)["start"].alias("window_start"),
+        F.col("tool"),
+        is_error.alias("_is_err"),
+        F.col("turn_idx"),
+    )
+    return salted_agg(
+        keyed,
+        keys=["sink", "conv_id", "window_start"],
+        partial_aggs=[
+            F.count("*").alias("_tc"),
+            F.count_if(F.col("tool") != "").alias("_tool"),
+            F.count_if(F.col("_is_err")).alias("_err"),
+        ],
+        final_aggs=[
+            F.sum("_tc").alias("turn_count"),
+            F.sum("_tool").alias("tool_call_count"),
+            F.sum("_err").alias("error_pattern_count"),
+        ],
+        salt_buckets=salt_buckets,
+        salt_source=["turn_idx"],
+    )

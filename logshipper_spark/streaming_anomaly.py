@@ -1,0 +1,127 @@
+"""Streaming stateful z-score anomaly detection:
+``applyInPandasWithState`` port of the reference's sequential detector
+(reference: internal/anomaly/detector.go:59-112, stats.go:21-67).
+
+Per (key, metric) state carries exactly what the reference's in-memory
+detector holds: the last-N value ring, the in-anomaly flag, and the
+last-alert timestamp — so a resumed stream continues mid-window
+instead of recomputing from scratch (the batch variant in anomaly.py
+re-derives everything from history; this one is O(window) state per
+key forever, the right shape for an unbounded 10^12-turn stream).
+
+Rows inside a micro-batch are processed in (ts, *order_cols) order;
+cross-batch order follows arrival, as in the reference's channel FIFO.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_WINDOW = 100
+DEFAULT_THRESHOLD = 3.0
+DEFAULT_COOLDOWN_S = 30.0
+
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("mean", T.DoubleType(), False),
+        T.StructField("stddev", T.DoubleType(), False),
+        T.StructField("zscore", T.DoubleType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ring", T.ArrayType(T.DoubleType()), False),
+        T.StructField("in_anomaly", T.BooleanType(), False),
+        T.StructField("last_alert_epoch", T.DoubleType(), True),
+    ]
+)
+
+
+def make_detector(
+    window_size: int = DEFAULT_WINDOW,
+    threshold: float = DEFAULT_THRESHOLD,
+    cooldown_s: float = DEFAULT_COOLDOWN_S,
+    min_samples: int | None = None,
+):
+    """Build the per-key stateful function. Mirrors detector.go exactly:
+    add value to ring → gate on min samples → z over population stddev →
+    alert only on false→true transition, suppressed within cooldown of
+    the last *emitted* alert (suppression leaves the flag false)."""
+    min_n = min_samples if min_samples is not None else window_size // 2
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ring, in_anomaly, last_alert = state.get
+            ring = list(ring)
+        else:
+            ring, in_anomaly, last_alert = [], False, None
+
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts"], kind="mergesort")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ring.append(float(value))
+                if len(ring) > window_size:
+                    ring.pop(0)
+                n = len(ring)
+                mean = sum(ring) / n
+                var = sum((x - mean) ** 2 for x in ring) / n  # population
+                sd = math.sqrt(var)
+                z = 0.0 if sd == 0 else (float(value) - mean) / sd
+                is_anom = n >= min_n and abs(z) > threshold
+                if not is_anom:
+                    in_anomaly = False
+                    continue
+                if in_anomaly:
+                    continue  # edge-triggered: still inside an episode
+                epoch = ts.timestamp()
+                if last_alert is not None and epoch - last_alert < cooldown_s:
+                    continue  # cooldown suppression; flag stays false
+                in_anomaly = True
+                last_alert = epoch
+                out_rows.append((key[0], ts, float(value), mean, sd, z))
+
+        state.update((ring, in_anomaly, last_alert))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["key", "ts", "value", "mean", "stddev", "zscore"]
+            )
+
+    return fn
+
+
+def streaming_alerts(
+    metrics: DataFrame,
+    key_col: str = "key",
+    window_size: int = DEFAULT_WINDOW,
+    threshold: float = DEFAULT_THRESHOLD,
+    cooldown_s: float = DEFAULT_COOLDOWN_S,
+    min_samples: int | None = None,
+) -> DataFrame:
+    """``metrics`` is a (streaming or batch) DataFrame with columns
+    (key string, ts timestamp, value double); returns the alert
+    stream. Works identically on a batch DataFrame via the same code
+    path (applyInPandasWithState requires streaming; for batch use
+    anomaly.detect_alerts, which is the window-function equivalent)."""
+    keyed = metrics.select(
+        metrics[key_col].alias("key"), "ts", "value"
+    ).groupBy("key")
+    return keyed.applyInPandasWithState(
+        make_detector(window_size, threshold, cooldown_s, min_samples),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
