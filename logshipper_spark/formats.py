@@ -1,0 +1,269 @@
+"""Extended log-format parsers — the formats the reference *specifies*
+but does not implement in code (reference: docs/normalization-spec.md
+§5, docs/log_format/detection.md §"future formats"; exercised by its
+mixed-format test corpus). All native column expressions, composed on
+top of the core dispatcher as a refinement of its ``plain`` fallback
+(plus an interception of the docker JSON envelope).
+
+Formats:
+
+* ``syslog_3164``  — ``<PRI>Mon dd HH:MM:SS host tag[pid]: msg``
+* ``syslog_5424``  — ``<PRI>1 ISOTS host app pid msgid [SD] msg``
+* ``python_logging`` — ``YYYY-mm-dd HH:MM:SS,mmm - name - LEVEL - msg``
+* ``logfmt``       — ``ts=... level=... service=... msg=...`` (key=value
+  pairs → ``str_to_map`` → the SAME alias-group extractors as JSON)
+* ``plain_json``   — free text with a trailing JSON object
+* ``docker_json``  — ``{"log": "<inner>", "stream": "...", "time": ...}``
+  envelope; the inner line is re-parsed one level (JSON or plain)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import parse
+from .schemas import DEFAULT_INGEST_TS, FORMAT_PLAIN
+
+FORMAT_SYSLOG_3164 = "syslog_3164"
+FORMAT_SYSLOG_5424 = "syslog_5424"
+FORMAT_PYTHON_LOGGING = "python_logging"
+FORMAT_LOGFMT = "logfmt"
+FORMAT_PLAIN_JSON = "plain_json"
+FORMAT_DOCKER = "docker_json"
+
+_R3164 = (
+    r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s+"
+    r"(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:\s*(.*)$"
+)
+_R5424 = (
+    r"^<(\d{1,3})>1\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+"
+    r"(?:\[.*\]|-)\s*(.*)$"
+)
+_RPY = (
+    r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),(\d{3})\s+-\s+(\S+)\s+-\s+"
+    r"([A-Z]+)\s+-\s+(.*)$"
+)
+_RLOGFMT = r"^(?:[A-Za-z_][A-Za-z0-9_.]*=\S*\s*)+$"
+_RPLAINJSON = r"^[^{}]+\{.*\}\s*$"
+
+
+def severity_level(pri: Column) -> Column:
+    """Syslog PRI → level (severity = pri % 8): 0-3 error, 4 warn,
+    5-6 info, 7 debug."""
+    sev = F.pmod(pri.cast("int"), F.lit(8))
+    return (
+        F.when(sev <= 3, "error")
+        .when(sev == 4, "warn")
+        .when(sev <= 6, "info")
+        .otherwise("debug")
+    )
+
+
+def _g(text: Column, pattern: str, idx: int) -> Column:
+    return F.regexp_extract(text, pattern, idx)
+
+
+def is_syslog_3164(text: Column) -> Column:
+    return text.rlike(_R3164)
+
+
+def is_syslog_5424(text: Column) -> Column:
+    return text.rlike(_R5424)
+
+
+def is_python_logging(text: Column) -> Column:
+    return text.rlike(_RPY)
+
+
+def is_logfmt(text: Column) -> Column:
+    return text.rlike(_RLOGFMT) & text.contains("=")
+
+
+def is_plain_json_suffix(text: Column) -> Column:
+    json_part = F.expr(f"substring({_SQL_TEXT}, instr({_SQL_TEXT}, '{{'))")
+    return text.rlike(_RPLAINJSON) & F.from_json(
+        json_part, "map<string,string>"
+    ).isNotNull()
+
+
+_SQL_TEXT = "_ext_text"  # working-column name used in SQL snippets
+
+
+def syslog_3164_fields(text: Column, ingest_ts: str) -> dict[str, Column]:
+    """RFC3164 carries no year: take it from the pinned ingest_ts
+    (deterministic; documented delta vs wall-clock implementations)."""
+    year = F.date_format(F.lit(ingest_ts).cast("timestamp"), "yyyy")
+    # single-digit days are space-padded ("Mar  7") — collapse runs
+    ts_part = F.regexp_replace(_g(text, _R3164, 2), r"\s+", " ")
+    ts = F.try_to_timestamp(
+        F.concat(year, F.lit(" "), ts_part),
+        F.lit("yyyy MMM d HH:mm:ss"),
+    )
+    return {
+        "level": severity_level(_g(text, _R3164, 1)),
+        "event_ts": ts,
+        "src_service": _g(text, _R3164, 4),
+        "message": _g(text, _R3164, 6),
+        "host": _g(text, _R3164, 3),
+        "pid": _g(text, _R3164, 5),
+    }
+
+
+def syslog_5424_fields(text: Column) -> dict[str, Column]:
+    nil = lambda c: F.when(c != "-", c).otherwise(F.lit(""))  # noqa: E731
+    return {
+        "level": severity_level(_g(text, _R5424, 1)),
+        "event_ts": F.try_to_timestamp(_g(text, _R5424, 2)),
+        "src_service": nil(_g(text, _R5424, 4)),
+        "message": _g(text, _R5424, 7),
+        "host": nil(_g(text, _R5424, 3)),
+        "pid": nil(_g(text, _R5424, 5)),
+    }
+
+
+def python_logging_fields(text: Column) -> dict[str, Column]:
+    ts = F.try_to_timestamp(
+        F.concat(_g(text, _RPY, 1), F.lit("."), _g(text, _RPY, 2)),
+        F.lit("yyyy-MM-dd HH:mm:ss.SSS"),
+    )
+    return {
+        "level": F.lower(_g(text, _RPY, 4)),
+        "event_ts": ts,
+        "src_service": _g(text, _RPY, 3),
+        "message": _g(text, _RPY, 5),
+    }
+
+
+def logfmt_map(text: Column) -> Column:
+    """key=value pairs → map, then the JSON alias-group extractors
+    apply unchanged (the whole point of normalizing to a map)."""
+    return F.str_to_map(F.trim(text), F.lit(r"\s+"), F.lit("="))
+
+
+def plain_json_suffix_map(text_sql: str) -> Column:
+    return F.from_json(
+        F.expr(f"substring({text_sql}, instr({text_sql}, '{{'))"),
+        "map<string,string>",
+    )
+
+
+def parse_extended(
+    df: DataFrame,
+    text_col: str = "text",
+    source_name: Column | str = "spark",
+    ingest_ts: str = DEFAULT_INGEST_TS,
+) -> DataFrame:
+    """Core dispatcher + spec'd formats.
+
+    Runs ``parse.parse_normalized`` first; rows it classifies ``plain``
+    are refined through the extended detectors (in spec order:
+    syslog 5424 → syslog 3164 → python logging → logfmt → JSON suffix),
+    and generic-JSON rows matching the docker envelope are unwrapped
+    and their inner line reparsed one level (JSON or plain).
+    """
+    out = parse.parse_normalized(df, text_col, source_name, ingest_ts)
+    out = out.withColumn(_SQL_TEXT, F.trim(F.col(text_col)))
+    t = F.col(_SQL_TEXT)
+    ingest = F.lit(ingest_ts).cast("timestamp")
+
+    is_plain = F.col("format") == FORMAT_PLAIN
+    s5424 = is_plain & is_syslog_5424(t)
+    s3164 = is_plain & ~s5424 & is_syslog_3164(t)
+    spy = is_plain & ~s5424 & ~s3164 & is_python_logging(t)
+    slog = is_plain & ~s5424 & ~s3164 & ~spy & is_logfmt(t)
+    sjson = (
+        is_plain & ~s5424 & ~s3164 & ~spy & ~slog
+        & t.rlike(_RPLAINJSON)
+        & plain_json_suffix_map(_SQL_TEXT).isNotNull()
+    )
+
+    # docker envelope: JSON whose map carries log+stream+time. The core
+    # dispatcher may have classified it ecs_json (the nested log.level
+    # probe fires on an inner JSON line) — intercept both.
+    raw0 = F.from_json(t, "map<string,string>")
+    docker = (
+        F.col("format").isin("json", "ecs_json")
+        & F.map_contains_key(raw0, "log")
+        & F.map_contains_key(raw0, "stream")
+        & F.map_contains_key(raw0, "time")
+    )
+    inner = F.trim(F.try_element_at(raw0, F.lit("log")))
+    inner_raw = F.when(
+        F.substring(inner, 1, 1).isin("{", "["), F.from_json(inner, "map<string,string>")
+    )
+
+    f3164 = syslog_3164_fields(t, ingest_ts)
+    f5424 = syslog_5424_fields(t)
+    fpy = python_logging_fields(t)
+    lfm = logfmt_map(t)
+    jsm = plain_json_suffix_map(_SQL_TEXT)
+
+    def ext(name: str) -> Column:
+        """Per-field refinement cascade over the detected format."""
+        if name == "format":
+            return (
+                F.when(docker, FORMAT_DOCKER)
+                .when(s5424, FORMAT_SYSLOG_5424)
+                .when(s3164, FORMAT_SYSLOG_3164)
+                .when(spy, FORMAT_PYTHON_LOGGING)
+                .when(slog, FORMAT_LOGFMT)
+                .when(sjson, FORMAT_PLAIN_JSON)
+                .otherwise(F.col("format"))
+            )
+        if name == "level":
+            return (
+                F.when(docker, F.coalesce(parse.extract_level(inner_raw), F.lit("")))
+                .when(s5424, f5424["level"])
+                .when(s3164, f3164["level"])
+                .when(spy, fpy["level"])
+                .when(slog, F.coalesce(parse.extract_level(lfm), F.lit("")))
+                .when(sjson, F.coalesce(parse.extract_level(jsm), F.lit("")))
+                .otherwise(F.col("level"))
+            )
+        if name == "event_ts":
+            docker_ts = F.coalesce(
+                parse.extract_timestamp(inner_raw),
+                parse._ts_candidate(F.try_element_at(raw0, F.lit("time"))),
+                ingest,
+            )
+            return (
+                F.when(docker, docker_ts)
+                .when(s5424, F.coalesce(f5424["event_ts"], ingest))
+                .when(s3164, F.coalesce(f3164["event_ts"], ingest))
+                .when(spy, F.coalesce(fpy["event_ts"], ingest))
+                .when(slog, F.coalesce(parse.extract_timestamp(lfm), ingest))
+                .when(sjson, F.coalesce(parse.extract_timestamp(jsm), ingest))
+                .otherwise(F.col("event_ts"))
+            )
+        if name == "src_service":
+            return (
+                F.when(docker, F.coalesce(parse.extract_service(inner_raw), F.lit("")))
+                .when(s5424, f5424["src_service"])
+                .when(s3164, f3164["src_service"])
+                .when(spy, fpy["src_service"])
+                .when(slog, F.coalesce(parse.extract_service(lfm), F.lit("")))
+                .when(sjson, F.coalesce(parse.extract_service(jsm), F.lit("")))
+                .otherwise(F.col("src_service"))
+            )
+        if name == "status_code":
+            return (
+                F.when(docker, F.coalesce(parse.extract_status_code(inner_raw), F.lit(0)))
+                .when(slog, parse.extract_status_code(lfm))
+                .when(sjson, parse.extract_status_code(jsm))
+                .otherwise(F.col("status_code"))
+            )
+        if name == "latency_us":
+            return (
+                F.when(docker, F.coalesce(parse.extract_latency_us(inner_raw), F.lit(0).cast("long")))
+                .when(slog, parse.extract_latency_us(lfm))
+                .when(sjson, parse.extract_latency_us(jsm))
+                .otherwise(F.col("latency_us"))
+            )
+        raise KeyError(name)
+
+    for name in ["level", "event_ts", "src_service", "status_code", "latency_us"]:
+        out = out.withColumn(name, ext(name))
+    out = out.withColumn("format", ext("format"))
+    out = out.withColumn("parse_ok", F.col("src_service") != "")
+    return out.drop(_SQL_TEXT)

@@ -1,0 +1,107 @@
+"""Extended (spec-only) formats: syslog, python logging, logfmt,
+plain+JSON suffix, docker envelope."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from logshipper_spark import formats
+
+INGEST = "2024-01-01 00:00:00"
+
+
+def _parse_lines(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], "text string")
+    out = formats.parse_extended(df, text_col="text", source_name="t", ingest_ts=INGEST)
+    return {r["text"]: r.asDict() for r in out.collect()}
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    lines = [
+        "<34>Oct 11 22:14:15 myhost su[123]: auth failure for root",
+        "<165>Mar  7 09:00:01 web01 nginx: started",
+        '<165>1 2024-03-01T10:30:00.123Z web01 payments 77 ID47 - checkout slow',
+        "2024-03-01 12:00:00,250 - billing.worker - WARNING - retrying invoice",
+        "ts=2024-03-01T08:00:00Z level=ERROR service=auth latency=87ms status=500 msg=denied",
+        'request failed for user 42 {"service":"cart","level":"warn","duration_ms":12}',
+        '{"log":"{\\"service\\":\\"inner-svc\\",\\"level\\":\\"info\\",\\"latency_ms\\":5}","stream":"stdout","time":"2024-03-01T01:02:03Z"}',
+        '{"log":"plain container line","stream":"stderr","time":1709250000}',
+        "just some plain text",
+    ]
+    return _parse_lines(spark, lines)
+
+
+def test_syslog_3164(parsed):
+    r = parsed["<34>Oct 11 22:14:15 myhost su[123]: auth failure for root"]
+    assert r["format"] == "syslog_3164"
+    assert r["level"] == "error"  # 34 % 8 == 2 → crit bucket
+    assert r["src_service"] == "su"
+    assert r["event_ts"] == datetime.datetime(2024, 10, 11, 22, 14, 15)
+
+    r2 = parsed["<165>Mar  7 09:00:01 web01 nginx: started"]
+    assert r2["format"] == "syslog_3164"
+    assert r2["level"] == "info"  # 165 % 8 == 5
+    assert r2["src_service"] == "nginx"
+    assert r2["event_ts"] == datetime.datetime(2024, 3, 7, 9, 0, 1)
+
+
+def test_syslog_5424(parsed):
+    r = parsed['<165>1 2024-03-01T10:30:00.123Z web01 payments 77 ID47 - checkout slow']
+    assert r["format"] == "syslog_5424"
+    assert r["src_service"] == "payments"
+    assert r["level"] == "info"
+    assert r["event_ts"] == datetime.datetime(2024, 3, 1, 10, 30, 0, 123000)
+
+
+def test_python_logging(parsed):
+    r = parsed["2024-03-01 12:00:00,250 - billing.worker - WARNING - retrying invoice"]
+    assert r["format"] == "python_logging"
+    assert r["src_service"] == "billing.worker"
+    assert r["level"] == "warning"
+    assert r["event_ts"] == datetime.datetime(2024, 3, 1, 12, 0, 0, 250000)
+
+
+def test_logfmt(parsed):
+    r = parsed[
+        "ts=2024-03-01T08:00:00Z level=ERROR service=auth latency=87ms status=500 msg=denied"
+    ]
+    assert r["format"] == "logfmt"
+    assert r["src_service"] == "auth"
+    assert r["level"] == "error"
+    assert r["status_code"] == 500
+    assert r["latency_us"] == 87_000
+    assert r["event_ts"] == datetime.datetime(2024, 3, 1, 8, 0, 0)
+
+
+def test_plain_json_suffix(parsed):
+    r = parsed['request failed for user 42 {"service":"cart","level":"warn","duration_ms":12}']
+    assert r["format"] == "plain_json"
+    assert r["src_service"] == "cart"
+    assert r["level"] == "warn"
+    assert r["latency_us"] == 12_000
+
+
+def test_docker_envelope_inner_json(parsed):
+    key = '{"log":"{\\"service\\":\\"inner-svc\\",\\"level\\":\\"info\\",\\"latency_ms\\":5}","stream":"stdout","time":"2024-03-01T01:02:03Z"}'
+    r = parsed[key]
+    assert r["format"] == "docker_json"
+    assert r["src_service"] == "inner-svc"
+    assert r["latency_us"] == 5_000
+
+
+def test_docker_envelope_inner_plain(parsed):
+    r = parsed['{"log":"plain container line","stream":"stderr","time":1709250000}']
+    assert r["format"] == "docker_json"
+    assert r["src_service"] == ""
+    # envelope time (unix seconds) becomes the event time
+    assert r["event_ts"] == datetime.datetime(2024, 2, 29, 23, 40, 0)
+
+
+def test_plain_unchanged(parsed):
+    r = parsed["just some plain text"]
+    assert r["format"] == "plain"
+    assert r["event_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
