@@ -169,6 +169,9 @@ def run_scaling(sf_dir: str, n: int = 4, turns: int = 4_800_000) -> dict:
             os.environ, SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_BENCH_TURNS=str(turns),
             SPARK_GRAFT_BENCH_RUNS="4",
+            # heap scales with cores, as a real cluster's aggregate
+            # executor memory scales with executor count
+            SPARK_DRIVER_MEMORY=f"{max(8, cores)}g",
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only", sf_dir],
