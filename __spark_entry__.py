@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logshipper_spark import aggregate as agg
-from logshipper_spark import anomaly, enrich, gen, graphalg, parse, pipeline, route, template, transform
+from logshipper_spark import (
+    anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, skew,
+    template, transform,
+)
 from logshipper_spark.datapipe import dedup, multimodal, similarity, textstats
 from logshipper_spark.schemas import DEFAULT_INGEST_TS
 
@@ -312,6 +315,53 @@ def q_template_nginx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-only formats roundtrip: syslog 5424/3164, python logging,
+    logfmt lines constructed from events columns; oracle recomputes the
+    expected fields directly."""
+    ev = _t(spark, sf_dir, "events")
+    m4 = F.expr("event_id % 4")
+    svc = F.expr("'svc-' || CAST(user_id % 8 AS STRING)")
+    lat = F.expr("CAST(floor(value * 100) AS LONG)").cast("string")
+    iso_ms = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    iso_s = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    line = (
+        F.when(m4 == 0, _jpart("<165>1 ", iso_ms, " host1 ", svc, " 42 MID - started"))
+        .when(
+            m4 == 1,
+            _jpart("<11>", F.date_format("ts", "MMM d HH:mm:ss"), " host2 ", svc,
+                   "[7]: cron tick"),
+        )
+        .when(
+            m4 == 2,
+            _jpart(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), ",",
+                   F.date_format("ts", "SSS"), " - worker.", svc,
+                   " - ERROR - job failed"),
+        )
+        .otherwise(
+            _jpart("level=warn service=", svc, " latency=", lat,
+                   "ms status=404 ts=", iso_s)
+        )
+    )
+    parsed = formats.parse_extended(
+        ev.withColumn("text", line), text_col="text", source_name="mixed"
+    )
+    return parsed.select(
+        "event_id", "format", "level", "src_service", "status_code", "latency_us",
+        F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+    )
+
+
+def q_turn_rank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted row_number == plain window row_number (W11 at
+    hot-conversation scale); events play the transcript role with
+    user_id as conv and event_id as the ordering key."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return skew.turn_rank_salted(
+        ev, conv_col="user_id", turn_col="event_id", block_size=512
+    )
+
+
 # ── transforms (T1–T3) ──
 
 
@@ -535,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_ecs": q_parse_ecs,
         "parse_formats": q_parse_formats,
         "template_nginx": q_template_nginx,
+        "parse_extended": q_parse_extended,
+        "turn_rank_salted": q_turn_rank_salted,
         "case_transforms": q_case_transforms,
         "enrich_lookup": q_enrich_lookup,
         "resolver_chain": q_resolver_chain,
@@ -705,6 +757,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_type = 'error' THEN 'error'
                         WHEN event_type = 'click' THEN 'warn' ELSE 'info' END AS level,
                    date_trunc('second', ts) AS event_ts
+            FROM events
+        """,
+        "parse_extended": """
+            SELECT event_id,
+                   CASE event_id % 4 WHEN 0 THEN 'syslog_5424' WHEN 1 THEN 'syslog_3164'
+                        WHEN 2 THEN 'python_logging' ELSE 'logfmt' END AS format,
+                   CASE event_id % 4 WHEN 0 THEN 'info' WHEN 1 THEN 'error'
+                        WHEN 2 THEN 'error' ELSE 'warn' END AS level,
+                   CASE WHEN event_id % 4 = 2 THEN 'worker.svc-' || CAST(user_id % 8 AS VARCHAR)
+                        ELSE 'svc-' || CAST(user_id % 8 AS VARCHAR) END AS src_service,
+                   CASE WHEN event_id % 4 = 3 THEN 404 ELSE 0 END AS status_code,
+                   CASE WHEN event_id % 4 = 3 THEN CAST(floor(value * 100) AS BIGINT) * 1000
+                        ELSE 0 END AS latency_us,
+                   CASE event_id % 4
+                        WHEN 0 THEN date_trunc('milliseconds', ts)
+                        WHEN 1 THEN date_trunc('second', ts)
+                        WHEN 2 THEN date_trunc('milliseconds', ts)
+                        ELSE date_trunc('second', ts) END AS event_ts
+            FROM events
+        """,
+        "turn_rank_salted": """
+            SELECT user_id, event_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INT)
+                     AS turn_rank
             FROM events
         """,
         "case_transforms": r"""
