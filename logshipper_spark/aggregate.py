@@ -42,34 +42,29 @@ def edge_agg(
     fed = df.filter((src != "") & (dst != ""))
     keys = [src.alias("src"), dst.alias("dst"), op.alias("op")]
 
-    base = fed.groupBy(*keys).agg(
+    # Single-shuffle plan: the row_number window hash-partitions on the
+    # edge key; the groupBy on the same keys reuses that partitioning
+    # (no second exchange, no join). The last-100 ring folds into the
+    # same aggregation as a conditional collect_list (nulls skipped).
+    w = Window.partitionBy(src_col, dst_col, op_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = fed.withColumn("_rn", F.row_number().over(w))
+    lat_in_ring = F.when(F.col("_rn") <= P99_WINDOW, F.col(latency_col))
+    aggd = ranked.groupBy(*keys).agg(
         F.count("*").alias("call_count"),
         F.sum(is_error_col(F.col("status_code")).cast("long")).alias("error_count"),
         F.sum(latency_col).alias("latency_sum_us"),
         F.min(ts_col).alias("first_seen"),
         F.max(ts_col).alias("last_seen"),
+        F.sort_array(F.collect_list(lat_in_ring)).alias("_lats"),
     )
-
-    w = Window.partitionBy(src_col, dst_col, op_col).orderBy(
-        *[F.col(c).desc() for c in order_cols]
-    )
-    last_n = fed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= P99_WINDOW)
-    p99 = (
-        last_n.groupBy(*keys)
-        .agg(F.sort_array(F.collect_list(latency_col)).alias("_lats"))
-        .select(
-            "src",
-            "dst",
-            "op",
-            F.element_at(
-                F.col("_lats"),
-                (F.floor((F.size("_lats") - 1) * 0.99) + 1).cast("int"),
-            ).alias("latency_p99_us"),
-        )
-    )
-    return base.join(p99, ["src", "dst", "op"]).select(
+    return aggd.select(
         "src", "dst", "op", "call_count", "error_count", "latency_sum_us",
-        "latency_p99_us", "first_seen", "last_seen",
+        F.element_at(
+            F.col("_lats"), (F.floor((F.size("_lats") - 1) * 0.99) + 1).cast("int")
+        ).alias("latency_p99_us"),
+        "first_seen", "last_seen",
     )
 
 
