@@ -113,6 +113,12 @@ def q_p99_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-sessionized edge lifetimes (re-appearing edge is new again);
+    oracle = lag-gap sessionization, which session_window must match."""
+    return agg.edge_sessions(_events_normalized(spark, sf_dir), ts_col="ts", ttl="1 day")
+
+
 def q_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges(spark, sf_dir).select("src", "dst", "op", "call_count").orderBy(
         F.col("call_count").desc(), "src", "dst", "op"
@@ -578,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen": q_first_seen,
         "p99_exact": q_p99_exact,
         "topk_edges": q_topk_edges,
+        "edge_sessions": q_edge_sessions,
         "zscore_flags": q_zscore_flags,
         "time_buckets": q_time_buckets,
         "json_extract": q_json_extract,
@@ -679,6 +686,23 @@ def oracle_sql() -> dict[str, str]:
             WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL})
             SELECT src, dst, op, call_count FROM base
             ORDER BY call_count DESC, src, dst, op LIMIT 10
+        """,
+        "edge_sessions": f"""
+            WITH fed AS ({_FED_SQL}),
+            s AS (
+              SELECT src, dst, op, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL '1 day'
+                          THEN 1 ELSE 0 END AS is_start
+              FROM fed
+              WINDOW w AS (PARTITION BY src, dst, op ORDER BY ts)),
+            g AS (
+              SELECT *, SUM(is_start) OVER (PARTITION BY src, dst, op ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS sess
+              FROM s)
+            SELECT src, dst, op, COUNT(*) AS call_count,
+                   MIN(ts) AS first_seen, MAX(ts) AS last_seen
+            FROM g GROUP BY src, dst, op, sess
         """,
         "zscore_flags": """
             SELECT event_id, user_id,

@@ -109,6 +109,33 @@ def first_seen_edges(
     )
 
 
+def edge_sessions(
+    df: DataFrame,
+    src_col: str = "src_service",
+    dst_col: str = "dst_service",
+    op_col: str = "operation",
+    ts_col: str = "event_ts",
+    ttl: str = "5 minutes",
+) -> DataFrame:
+    """Batch form of "TTL eviction + a re-appearing edge is new again"
+    (reference: graph.go:247-293 with EdgeTTL, types_test.go:345-361):
+    observations of an edge key more than ``ttl`` apart belong to
+    different lifetimes. ``session_window`` sessionizes exactly that —
+    one row per edge lifetime with its first/last observation and call
+    count; a "new edge" event ≙ each session's start."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    return (
+        df.filter((src != "") & (dst != ""))
+        .groupBy(
+            src.alias("src"), dst.alias("dst"), F.col(op_col).alias("op"),
+            F.session_window(F.col(ts_col), ttl).alias("w"),
+        )
+        .agg(F.count("*").alias("call_count"), F.min(ts_col).alias("first_seen"),
+             F.max(ts_col).alias("last_seen"))
+        .select("src", "dst", "op", "call_count", "first_seen", "last_seen")
+    )
+
+
 def sweep_stale(edges: DataFrame, now_ts: str, ttl_seconds: int = 300) -> DataFrame:
     """TTL eviction (graph.go:247-293 watermark semantics): keep edges
     whose last_seen is within the TTL of the sweep time."""
