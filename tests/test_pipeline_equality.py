@@ -84,6 +84,18 @@ def test_routed_row_equality(frames):
         )
 
 
+def test_routed_rows_carry_text_verbatim(frames):
+    """The literal per-turn text-equality invariant: every routed row's
+    text column is byte-identical to the source turn's text, under the
+    stable (conv_id, turn_idx) ordering."""
+    source = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in frames["tx"].collect()
+    }
+    routed = route.routed_rows(frames["enriched"], gen.routing_rules())
+    for r in routed.select("conv_id", "turn_idx", "text").collect():
+        assert r["text"] == source[(r["conv_id"], r["turn_idx"])]
+
+
 def test_per_sink_aggregate_counts(frames):
     routed = route.routed_rows(frames["enriched"], gen.routing_rules())
     counts = route.sink_counts(routed, ts_col="ts")
