@@ -110,17 +110,22 @@ def extract_latency_us(raw: Column) -> Column:
     Bare numbers: seconds for ``*_s`` keys else milliseconds (the Go
     float64 path); unit-suffixed strings via the duration regex with
     ms default. Truncation toward zero matches ``time.Duration(float)``.
+
+    One anchored regex per alias key validates + extracts the number;
+    the unit is recovered with cheap suffix tests (the regex admits
+    only ms|s|µs|us|ns endings, so EndsWith is exact and avoids a
+    second regex evaluation per key).
     """
     cands = []
     for k in LATENCY_KEYS:
         v = _get(raw, k)
         num = F.regexp_extract(v, _DURATION_RE, 1).try_cast("double")
-        unit = F.regexp_extract(v, _DURATION_RE, 2)
         default_mult_ns = 1e9 if k.endswith("_s") else 1e6
         mult_ns = (
-            F.when(unit == "s", F.lit(1e9))
-            .when(unit.isin("µs", "us"), F.lit(1e3))
-            .when(unit == "ns", F.lit(1.0))
+            F.when(v.endswith("ms"), F.lit(1e6))
+            .when(v.endswith("µs") | v.endswith("us"), F.lit(1e3))
+            .when(v.endswith("ns"), F.lit(1.0))
+            .when(v.endswith("s"), F.lit(1e9))
             .otherwise(F.lit(default_mult_ns))
         )
         # two-step truncation mirrors Go exactly: time.Duration(n*mult)
@@ -164,22 +169,36 @@ def extract_operation(raw: Column) -> Column:
 
 
 # ── ECS (reference: internal/parse/ecs.go) ──
+#
+# The nested ECS fields decode ONCE per row via a single from_json with
+# this partial struct schema (replacing a dozen per-field
+# get_json_object calls, each of which re-parsed the nested JSON text).
+# String leaf types keep the reference's token-then-coerce semantics.
+
+ECS_SCHEMA = (
+    "struct<"
+    "log:struct<level:string>,"
+    "service:struct<name:string>,"
+    "trace:struct<id:string>,"
+    "span:struct<id:string>,"
+    "http:struct<request:struct<method:string>,"
+    "response:struct<status_code:string>>,"
+    "url:struct<path:string,full:string>,"
+    "event:struct<duration:string>,"
+    "destination:struct<address:string>,"
+    "server:struct<address:string>"
+    ">"
+)
 
 
-def is_ecs(raw: Column) -> Column:
+def is_ecs(raw: Column, ecs: Column) -> Column:
     """reference: ecs.go:10-26."""
     return (
         F.map_contains_key(raw, "@timestamp")
         | F.map_contains_key(raw, "ecs.version")
         | F.map_contains_key(raw, "log.level")
-        | F.get_json_object(_get(raw, "log"), "$.level").isNotNull()
+        | ecs["log"]["level"].isNotNull()
     )
-
-
-def _ecs_json(raw: Column, key: str, path: str) -> Column:
-    """Nested ECS field: the top-level value is kept as raw JSON text in
-    the map; extract the inner path from it."""
-    return F.get_json_object(_get(raw, key), path)
 
 
 def ecs_timestamp(raw: Column) -> Column:
@@ -188,23 +207,23 @@ def ecs_timestamp(raw: Column) -> Column:
     return F.when(v.rlike(_TS_STRING_RE), F.try_to_timestamp(v))
 
 
-def ecs_level(raw: Column) -> Column:
+def ecs_level(raw: Column, ecs: Column) -> Column:
     """reference: ecs.go:92-101 — nested log.level first, flat key second."""
     return F.lower(
         F.coalesce(
-            F.nullif(_ecs_json(raw, "log", "$.level"), F.lit("")),
+            F.nullif(ecs["log"]["level"], F.lit("")),
             _get(raw, "log.level"),
         )
     )
 
 
-def ecs_operation(raw: Column) -> Column:
+def ecs_operation(ecs: Column) -> Column:
     """reference: ecs.go:126-142 — UPPER(method) + url.path (fallback
     url.full); method alone if no path; never path alone."""
-    method = F.nullif(_ecs_json(raw, "http", "$.request.method"), F.lit(""))
+    method = F.nullif(ecs["http"]["request"]["method"], F.lit(""))
     path = F.coalesce(
-        F.nullif(_ecs_json(raw, "url", "$.path"), F.lit("")),
-        F.nullif(_ecs_json(raw, "url", "$.full"), F.lit("")),
+        F.nullif(ecs["url"]["path"], F.lit("")),
+        F.nullif(ecs["url"]["full"], F.lit("")),
     )
     return F.when(
         method.isNotNull() & path.isNotNull(),
@@ -212,18 +231,18 @@ def ecs_operation(raw: Column) -> Column:
     ).when(method.isNotNull(), F.upper(method))
 
 
-def ecs_latency_us(raw: Column) -> Column:
+def ecs_latency_us(ecs: Column) -> Column:
     """reference: ecs.go:120-124 — event.duration in ns, only if > 0;
     int64-truncated at ns before the µs division (two-step, as Go)."""
-    ns = _ecs_json(raw, "event", "$.duration").try_cast("double")
+    ns = ecs["event"]["duration"].try_cast("double")
     return F.when(ns > 0, F.floor(ns.try_cast("long") / 1000).try_cast("long"))
 
 
-def ecs_dst_service(raw: Column) -> Column:
+def ecs_dst_service(ecs: Column) -> Column:
     """reference: ecs.go:144-151 — destination.address else server.address."""
     return F.coalesce(
-        F.nullif(_ecs_json(raw, "destination", "$.address"), F.lit("")),
-        F.nullif(_ecs_json(raw, "server", "$.address"), F.lit("")),
+        F.nullif(ecs["destination"]["address"], F.lit("")),
+        F.nullif(ecs["server"]["address"], F.lit("")),
     )
 
 
@@ -260,13 +279,19 @@ def parse_normalized(
         ),
     )
     raw = F.col("_raw")
+    # nested ECS fields decode once, gated on the same first-byte check
+    out = out.withColumn(
+        "_ecs",
+        F.when(F.substring(s, 1, 1).isin("{", "["), F.from_json(s, ECS_SCHEMA)),
+    )
+    ecs = F.col("_ecs")
 
     is_metric = F.map_contains_key(raw, "metric") & F.map_contains_key(raw, "value")
     fmt = (
         F.when(s == "", F.lit(FORMAT_EMPTY))
         .when(raw.isNull(), F.lit(FORMAT_PLAIN))
         .when(is_metric, F.lit(FORMAT_METRIC))
-        .when(is_ecs(raw), F.lit(FORMAT_ECS))
+        .when(is_ecs(raw, ecs), F.lit(FORMAT_ECS))
         .otherwise(F.lit(FORMAT_JSON))
     )
     out = out.withColumn("format", fmt)
@@ -280,10 +305,10 @@ def parse_normalized(
 
     cols = {
         "trace_id": blank(F.when(is_json, first_string(raw, TRACE_KEYS)).when(
-            is_ecs_f, F.nullif(_ecs_json(raw, "trace", "$.id"), F.lit(""))
+            is_ecs_f, F.nullif(ecs["trace"]["id"], F.lit(""))
         )),
         "span_id": blank(F.when(is_json, first_string(raw, SPAN_KEYS)).when(
-            is_ecs_f, F.nullif(_ecs_json(raw, "span", "$.id"), F.lit(""))
+            is_ecs_f, F.nullif(ecs["span"]["id"], F.lit(""))
         )),
         "event_ts": F.coalesce(
             F.when(is_json | is_met, extract_timestamp(raw)).when(
@@ -293,31 +318,31 @@ def parse_normalized(
         ),
         "src_service": blank(
             F.when(is_json | is_met, extract_service(raw)).when(
-                is_ecs_f, F.nullif(_ecs_json(raw, "service", "$.name"), F.lit(""))
+                is_ecs_f, F.nullif(ecs["service"]["name"], F.lit(""))
             )
         ),
         "dst_service": blank(
             F.when(is_json, first_string(raw, DST_KEYS)).when(
-                is_ecs_f, ecs_dst_service(raw)
+                is_ecs_f, ecs_dst_service(ecs)
             )
         ),
         "operation": blank(
             F.when(is_json, extract_operation(raw))
-            .when(is_ecs_f, ecs_operation(raw))
+            .when(is_ecs_f, ecs_operation(ecs))
             .when(is_met, _get(raw, "metric"))
         ),
         "status_code": F.coalesce(
             F.when(is_json, extract_status_code(raw)).when(
-                is_ecs_f, _ecs_json(raw, "http", "$.response.status_code").try_cast("int")
+                is_ecs_f, ecs["http"]["response"]["status_code"].try_cast("int")
             ),
             F.lit(0),
         ),
         "latency_us": F.coalesce(
-            F.when(is_json, extract_latency_us(raw)).when(is_ecs_f, ecs_latency_us(raw)),
+            F.when(is_json, extract_latency_us(raw)).when(is_ecs_f, ecs_latency_us(ecs)),
             F.lit(0).cast("long"),
         ),
         "level": blank(
-            F.when(is_json, extract_level(raw)).when(is_ecs_f, ecs_level(raw))
+            F.when(is_json, extract_level(raw)).when(is_ecs_f, ecs_level(raw, ecs))
         ),
         "source_name": src_name,
         "raw": F.coalesce(
@@ -331,7 +356,7 @@ def parse_normalized(
     for name, col in cols.items():
         out = out.withColumn(name, col)
     out = out.withColumn("parse_ok", F.col("src_service") != "")
-    return out.drop("_s", "_raw")
+    return out.drop("_s", "_raw", "_ecs")
 
 
 def normalized_select(df: DataFrame) -> DataFrame:
