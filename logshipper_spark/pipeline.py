@@ -21,12 +21,25 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import aggregate as agg
 from . import enrich, gen, parse, route
-from .schemas import DEFAULT_INGEST_TS
+from .schemas import (
+    DEFAULT_INGEST_TS,
+    FORMAT_ECS,
+    FORMAT_EMPTY,
+    FORMAT_JSON,
+    FORMAT_METRIC,
+    FORMAT_PLAIN,
+    FORMAT_TEMPLATE,
+)
+
+KNOWN_FORMATS = [
+    FORMAT_JSON, FORMAT_ECS, FORMAT_METRIC, FORMAT_TEMPLATE, FORMAT_PLAIN,
+    FORMAT_EMPTY,
+]
 
 
 def normalize_and_enrich(
@@ -78,29 +91,56 @@ def run_batch(
     ingest_ts: str = DEFAULT_INGEST_TS,
     rules: list[tuple[str, str, int]] | None = None,
     write: bool = True,
+    sink_write_mode: str = "per_sink",
 ) -> dict:
     """One batch of the full pipeline. Returns a summary dict with the
     per-sink row counts and counters (the numbers the north rule
-    compares against the reference's fixture tests)."""
+    compares against the reference's fixture tests).
+
+    Counters ride the main pass via ``df.observe`` (the Spark analogue
+    of the reference's inline Prometheus counters, metrics.go:12-72) —
+    no extra jobs for rows_in / per-format counts / parse errors.
+
+    ``sink_write_mode``:
+      * ``per_sink`` — N filtered writes off the cached intermediate
+        under ``sinks/<sink>/batch_id=N`` (clear per-sink layout; each
+        write prunes on its own pushed-down predicate).
+      * ``single_pass`` — one scan for ALL sinks: the routed fan-out is
+        written once with ``partitionBy(sink)`` under
+        ``sinks_by/batch_id=N/sink=<name>``. At 100 TB, where the
+        cached intermediate cannot be assumed memory-resident, this
+        avoids re-scanning the batch once per sink.
+    """
     run_id = run_id or uuid.uuid4().hex[:12]
     rules = rules or gen.routing_rules()
     t0 = time.time()
 
+    obs = Observation(f"pipeline_{run_id}_{batch_id}")
     enriched = normalize_and_enrich(spark, transcripts, ingest_ts=ingest_ts)
+    enriched = enriched.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_if(~F.col("parse_ok")).alias("parse_errors"),
+        *[
+            F.count_if(F.col("format") == f).alias(f"fmt_{f}")
+            for f in KNOWN_FORMATS
+        ],
+    )
     enriched = enriched.cache()  # one parse, N filtered sink writes (K3)
-
-    rows_in = enriched.count()
-
-    # counters mirroring metrics.go: events parsed per format + parse errors
-    fmt_counts = {r["format"]: r["cnt"] for r in
-                  enriched.groupBy("format").agg(F.count("*").alias("cnt")).collect()}
-    parse_errors = enriched.filter(~F.col("parse_ok")).count()
 
     routed = route.routed_rows(enriched, rules)
     sink_rows: dict[str, int] = {}
     lineage_parts = [_partition_counts(enriched, "parse")]
 
-    if write:
+    if write and sink_write_mode == "single_pass":
+        path = os.path.join(out_dir, "sinks_by", f"batch_id={batch_id}")
+        routed.write.mode("overwrite").partitionBy("sink").parquet(path)
+        for r in (
+            spark.read.parquet(path).groupBy("sink").agg(F.count("*").alias("cnt")).collect()
+        ):
+            sink_rows[r["sink"]] = r["cnt"]
+        lineage_parts.append(_partition_counts(enriched, "sink:single_pass"))
+    elif write:
         for sink, pred, _ in sorted(rules, key=lambda r: r[2]):
             sink_df = enriched.filter(F.expr(pred))
             path = os.path.join(out_dir, "sinks", sink, f"batch_id={batch_id}")
@@ -110,6 +150,14 @@ def run_batch(
     else:
         for r in routed.groupBy("sink").agg(F.count("*").alias("cnt")).collect():
             sink_rows[r["sink"]] = r["cnt"]
+
+    # observe() metrics are available after the first action above
+    metrics = obs.get
+    rows_in = metrics["rows_in"]
+    parse_errors = metrics["parse_errors"]
+    fmt_counts = {
+        f: metrics[f"fmt_{f}"] for f in KNOWN_FORMATS if metrics[f"fmt_{f}"] > 0
+    }
 
     counts = route.sink_counts(routed, ts_col="ts", window_duration="1 minute")
     edges = agg.edge_agg(

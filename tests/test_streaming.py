@@ -97,3 +97,19 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     for sink in r1["sink_rows"]:
         p = os.path.join(out_dir, "sinks", sink, "batch_id=7")
         assert spark.read.parquet(p).count() == r1["sink_rows"][sink]
+
+
+def test_single_pass_sink_write_matches_per_sink(spark, tmp_path):
+    tr = gen.transcripts(spark, 1500)
+    a = pipeline.run_batch(spark, tr, str(tmp_path / "a"), run_id="x", batch_id=0)
+    b = pipeline.run_batch(
+        spark, tr, str(tmp_path / "b"), run_id="x", batch_id=0,
+        sink_write_mode="single_pass",
+    )
+    assert a["sink_rows"] == b["sink_rows"]
+    assert a["format_counts"] == b["format_counts"]
+    assert a["parse_errors"] == b["parse_errors"]
+    # single-pass layout is partitioned by sink under one directory
+    got = spark.read.parquet(str(tmp_path / "b" / "sinks_by" / "batch_id=0"))
+    per_sink = {r["sink"]: r["n"] for r in got.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+    assert per_sink == b["sink_rows"]
