@@ -146,6 +146,17 @@ def q_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_rate_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector metric feed: latency + order-dependent cumulative error
+    rate per edge under stable ordering (reference graph.go:149-152)."""
+    return anomaly.edge_metric_feed(
+        _events_normalized(spark, sf_dir),
+        key_cols=["src_service", "dst_service", "operation"],
+        order_cols=["ts", "event_id"],
+        ts_col="ts",
+    )
+
+
 def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.time_buckets(
         _t(spark, sf_dir, "events"), ts_col="ts", duration="1 minute",
@@ -586,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_edges": q_topk_edges,
         "edge_sessions": q_edge_sessions,
         "zscore_flags": q_zscore_flags,
+        "error_rate_feed": q_error_rate_feed,
         "time_buckets": q_time_buckets,
         "json_extract": q_json_extract,
         "parse_json": q_parse_json,
@@ -720,6 +732,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 99 PRECEDING AND CURRENT ROW))
+        """,
+        "error_rate_feed": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT src AS src_service, dst AS dst_service, op AS operation,
+                   event_id, ts, 'latency' AS metric, latency_us / 1000.0 AS value
+            FROM fed
+            UNION ALL
+            SELECT src, dst, op, event_id, ts, 'error_rate',
+                   CAST(SUM(CASE WHEN status_code >= 500 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+                     / COUNT(*) OVER w
+            FROM fed
+            WINDOW w AS (PARTITION BY src, dst, op ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "time_buckets": """
             SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,

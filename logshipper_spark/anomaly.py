@@ -124,3 +124,53 @@ def detect_alerts(
         return out
 
     return scored.groupBy(*key_cols).applyInPandas(replay, schema=schema)
+
+
+def edge_metric_feed(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    latency_col: str = "latency_us",
+    status_col: str = "status_code",
+) -> DataFrame:
+    """The reference's detector feed (graph.go:149-152): per event, two
+    metric samples per edge — latency in ms, and the **cumulative**
+    error rate *as of that event* (errors-so-far / calls-so-far under
+    stable turn ordering, mirroring the order-dependent rate the Go
+    code computes from its running aggregate; SURVEY.md §7.3.4).
+
+    Output: key columns + (ts, metric, value) with metric ∈
+    {'latency', 'error_rate'} — feed straight into rolling_zscore /
+    detect_alerts keyed on (*key_cols, 'metric').
+    """
+    key_cols = key_cols or ["src_service", "dst_service", "operation"]
+    order_cols = order_cols or [ts_col]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_err = (F.col(status_col) >= 500).cast("long")
+    # window expressions can't live inside a generator's projection —
+    # materialize the running rate as a column first, then explode
+    with_rate = df.withColumn(
+        "_rate", F.sum(is_err).over(w) / F.count(F.lit(1)).over(w)
+    )
+    lat_ms = F.col(latency_col) / 1000.0
+    pair = F.array(
+        F.struct(F.lit("latency").alias("metric"), lat_ms.alias("value")),
+        F.struct(F.lit("error_rate").alias("metric"), F.col("_rate").alias("value")),
+    )
+    return (
+        with_rate.select(
+            *key_cols, *order_cols, F.col(ts_col).alias("_ts"), F.explode(pair).alias("_m")
+        )
+        .select(
+            *key_cols,
+            *[c for c in order_cols if c != ts_col],
+            F.col("_ts").alias(ts_col),
+            F.col("_m.metric").alias("metric"),
+            F.col("_m.value").alias("value"),
+        )
+    )
