@@ -119,6 +119,48 @@ def q_edge_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.edge_sessions(_events_normalized(spark, sf_dir), ts_col="ts", ttl="1 day")
 
 
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 per service (the reference's bench
+    report shape, W10)."""
+    df = _events_normalized(spark, sf_dir)
+    eps = F.lit(1e-9)
+    pct = F.percentile(F.col("latency_us"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    d = df.groupBy(F.col("src_service").alias("src")).agg(pct.alias("_p"))
+    return d.select(
+        "src",
+        F.round(F.element_at("_p", 1) + eps, 3).alias("p50"),
+        F.round(F.element_at("_p", 2) + eps, 3).alias("p95"),
+        F.round(F.element_at("_p", 3) + eps, 3).alias("p99"),
+    )
+
+
+def q_event_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation key synthesis + IsMetric / HasCorrelationKey
+    predicates (reference internal/event/)."""
+    df = _events_normalized(spark, sf_dir).withColumn(
+        "trace_id",
+        F.expr("CASE WHEN event_id % 2 = 0 THEN 'tr-' || CAST(event_id AS STRING) ELSE '' END"),
+    )
+    return df.select(
+        "event_id",
+        parse.correlation_key(
+            F.col("trace_id"), F.col("src_service"), F.col("dst_service"),
+            F.col("operation"),
+        ).alias("corr_key"),
+        parse.is_metric_event(F.col("latency_us"), F.col("status_code")).alias("is_metric"),
+        parse.has_correlation_key(
+            F.col("trace_id"), F.col("src_service"), F.col("dst_service")
+        ).alias("has_corr"),
+    )
+
+
+def q_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", parse.truncate_message(F.col("text"), 120).alias("short")
+    )
+
+
 def q_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges(spark, sf_dir).select("src", "dst", "op", "call_count").orderBy(
         F.col("call_count").desc(), "src", "dst", "op"
@@ -596,6 +638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p99_exact": q_p99_exact,
         "topk_edges": q_topk_edges,
         "edge_sessions": q_edge_sessions,
+        "latency_percentiles": q_latency_percentiles,
+        "event_predicates": q_event_predicates,
+        "truncate": q_truncate,
         "zscore_flags": q_zscore_flags,
         "error_rate_feed": q_error_rate_feed,
         "time_buckets": q_time_buckets,
@@ -715,6 +760,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst, op, COUNT(*) AS call_count,
                    MIN(ts) AS first_seen, MAX(ts) AS last_seen
             FROM g GROUP BY src, dst, op, sess
+        """,
+        "latency_percentiles": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT src,
+                   round(quantile_cont(latency_us, 0.5) + 1e-9, 3) AS p50,
+                   round(quantile_cont(latency_us, 0.95) + 1e-9, 3) AS p95,
+                   round(quantile_cont(latency_us, 0.99) + 1e-9, 3) AS p99
+            FROM fed GROUP BY src
+        """,
+        "event_predicates": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'tr-' || CAST(event_id AS VARCHAR)
+                        ELSE src || '->' || dst || ':' || op END AS corr_key,
+                   (latency_us > 0 OR status_code >= 100) AS is_metric,
+                   (event_id % 2 = 0 OR (src <> '' AND dst <> '')) AS has_corr
+            FROM fed
+        """,
+        "truncate": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 120
+                        THEN substring(text, 1, 120) || '…' ELSE text END AS short
+            FROM documents
         """,
         "zscore_flags": """
             SELECT event_id, user_id,
