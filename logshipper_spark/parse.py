@@ -279,11 +279,16 @@ def parse_normalized(
         ),
     )
     raw = F.col("_raw")
-    # nested ECS fields decode once, gated on the same first-byte check
-    out = out.withColumn(
-        "_ecs",
-        F.when(F.substring(s, 1, 1).isin("{", "["), F.from_json(s, ECS_SCHEMA)),
+    # Nested ECS fields decode once — and only for rows whose decoded
+    # map carries an ECS marker key (cheap map probes); generic-JSON
+    # rows never pay the second parse.
+    ecs_marker = (
+        F.map_contains_key(raw, "@timestamp")
+        | F.map_contains_key(raw, "ecs.version")
+        | F.map_contains_key(raw, "log.level")
+        | F.map_contains_key(raw, "log")
     )
+    out = out.withColumn("_ecs", F.when(ecs_marker, F.from_json(s, ECS_SCHEMA)))
     ecs = F.col("_ecs")
 
     is_metric = F.map_contains_key(raw, "metric") & F.map_contains_key(raw, "value")
