@@ -119,6 +119,28 @@ def q_edge_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.edge_sessions(_events_normalized(spark, sf_dir), ts_col="ts", ttl="1 day")
 
 
+def q_upstream_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen2 split: edges into/out of one service (A11)."""
+    edges = _edges(spark, sf_dir)
+    return agg.upstream_downstream(edges, "svc-3").select(
+        "src", "dst", "op", "call_count", "direction"
+    )
+
+
+def q_last_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen3 last-N ring per edge (W9)."""
+    df = _events_normalized(spark, sf_dir)
+    return agg.last_n_events(
+        df, n=5, key_cols=["src_service"], order_cols=["ts", "event_id"]
+    ).select("src_service", "event_id")
+
+
+def q_service_sort_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen1 filter+sort over the rollup (W6/W7)."""
+    rollup = agg.service_rollup(_edges(spark, sf_dir))
+    return agg.sort_services(agg.filter_services(rollup, "1"), by="risk", asc=False)
+
+
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p95/p99 per service (the reference's bench
     report shape, W10)."""
@@ -638,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p99_exact": q_p99_exact,
         "topk_edges": q_topk_edges,
         "edge_sessions": q_edge_sessions,
+        "upstream_downstream": q_upstream_downstream,
+        "last_n_events": q_last_n_events,
+        "service_sort_filter": q_service_sort_filter,
         "latency_percentiles": q_latency_percentiles,
         "event_predicates": q_event_predicates,
         "truncate": q_truncate,
@@ -673,6 +698,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_ROLLUP_SQL = f"""
+            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL}),
+            out_side AS (
+              SELECT src AS service, COUNT(*) AS out_deg,
+                     CAST(SUM(CAST(floor(latency_sum_us / call_count) AS BIGINT) * call_count) AS BIGINT) AS lat_weighted,
+                     CAST(SUM(call_count) AS BIGINT) AS calls,
+                     CAST(SUM(error_count) AS BIGINT) AS errors
+              FROM base GROUP BY src),
+            in_side AS (SELECT dst AS service, COUNT(*) AS in_deg FROM base GROUP BY dst),
+            svc AS (
+              SELECT COALESCE(o.service, i.service) AS service,
+                     COALESCE(in_deg, 0) AS in_deg, COALESCE(out_deg, 0) AS out_deg,
+                     COALESCE(lat_weighted, 0) AS lat_weighted,
+                     COALESCE(calls, 0) AS calls, COALESCE(errors, 0) AS errors
+              FROM out_side o FULL OUTER JOIN in_side i ON o.service = i.service),
+            d AS (
+              SELECT service, in_deg, out_deg,
+                     CASE WHEN calls > 0 THEN CAST(floor(lat_weighted / calls) AS BIGINT)
+                          ELSE 0 END AS avg_latency_us,
+                     CASE WHEN calls > 0 THEN errors / calls ELSE 0.0 END AS error_rate
+              FROM svc)
+            SELECT service, in_deg, out_deg, avg_latency_us, error_rate,
+                   CAST(0 AS BIGINT) AS anomalies,
+                   CAST(0 AS BIGINT) * 2.0 + error_rate * 10.0
+                     + CAST(floor(avg_latency_us / 1000) AS BIGINT) / 100.0 AS risk
+            FROM d
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ingest = DEFAULT_INGEST_TS
     return {
@@ -701,32 +755,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(latency_sum_us / call_count) AS BIGINT) AS avg_latency_us
             FROM base
         """,
-        "service_rollup": f"""
-            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL}),
-            out_side AS (
-              SELECT src AS service, COUNT(*) AS out_deg,
-                     CAST(SUM(CAST(floor(latency_sum_us / call_count) AS BIGINT) * call_count) AS BIGINT) AS lat_weighted,
-                     CAST(SUM(call_count) AS BIGINT) AS calls,
-                     CAST(SUM(error_count) AS BIGINT) AS errors
-              FROM base GROUP BY src),
-            in_side AS (SELECT dst AS service, COUNT(*) AS in_deg FROM base GROUP BY dst),
-            svc AS (
-              SELECT COALESCE(o.service, i.service) AS service,
-                     COALESCE(in_deg, 0) AS in_deg, COALESCE(out_deg, 0) AS out_deg,
-                     COALESCE(lat_weighted, 0) AS lat_weighted,
-                     COALESCE(calls, 0) AS calls, COALESCE(errors, 0) AS errors
-              FROM out_side o FULL OUTER JOIN in_side i ON o.service = i.service),
-            d AS (
-              SELECT service, in_deg, out_deg,
-                     CASE WHEN calls > 0 THEN CAST(floor(lat_weighted / calls) AS BIGINT)
-                          ELSE 0 END AS avg_latency_us,
-                     CASE WHEN calls > 0 THEN errors / calls ELSE 0.0 END AS error_rate
-              FROM svc)
-            SELECT service, in_deg, out_deg, avg_latency_us, error_rate,
-                   CAST(0 AS BIGINT) AS anomalies,
-                   CAST(0 AS BIGINT) * 2.0 + error_rate * 10.0
-                     + CAST(floor(avg_latency_us / 1000) AS BIGINT) / 100.0 AS risk
-            FROM d
+        "service_rollup": _ROLLUP_SQL,
+        "upstream_downstream": f"""
+            WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL})
+            SELECT src, dst, op, call_count, 'upstream' AS direction
+            FROM base WHERE dst = 'svc-3'
+            UNION ALL
+            SELECT src, dst, op, call_count, 'downstream' FROM base WHERE src = 'svc-3'
+        """,
+        "last_n_events": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT src AS src_service, event_id FROM fed
+            QUALIFY row_number() OVER (PARTITION BY src ORDER BY ts DESC, event_id DESC) <= 5
+        """,
+        "service_sort_filter": f"""
+            SELECT * FROM ({_ROLLUP_SQL}) WHERE lower(service) LIKE '%1%'
         """,
         "first_seen": f"""
             WITH fed AS ({_FED_SQL})

@@ -67,8 +67,12 @@ HOT_SHARE = 0.3  # share of total turns carried by hot conversations
 # deterministic incident (reference: bench/incident_simulator_test.go:88-99):
 # this edge gets latency ×10 and 30% errors inside the window
 INCIDENT_EDGE = ("payment", "db")
-INCIDENT_START_S = 3600
-INCIDENT_END_S = 3900
+# mid-day, one hour long: enough normal samples precede the incident
+# for the detector's min-samples gate (the reference's scenario also
+# runs normal traffic first, incident_simulator_test.go), and the
+# window is wide enough to catch a solid sample count at test scales
+INCIDENT_START_S = 43_200
+INCIDENT_END_S = 46_800
 TURN_STEP_S = 2
 
 _WEIGHTED = [e for e in TOPOLOGY for _ in range(e[6])]
