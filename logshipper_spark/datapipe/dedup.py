@@ -86,12 +86,20 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
-    """MinHash signature: per salt, the minimum xxhash64 over the
-    document's shingles — array<long> of length num_hashes."""
+    """MinHash signature: array<long> of length num_hashes.
+
+    Scale note: each shingle is string-hashed ONCE, then the
+    ``num_hashes`` permutations re-hash that fixed-width 64-bit value
+    (xxhash64 over a long is a few ALU ops — no string traversal) —
+    the standard one-pass MinHash construction. The naive form
+    (num_hashes string hashes per shingle) costs ~32x more string
+    hashing for identical statistical behavior.
+    """
     sh = shingles(text, k)
+    base = F.transform(sh, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
