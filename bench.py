@@ -74,7 +74,6 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         _force(enriched)
         runs.append(round(time.time() - t0, 3))
     times["pipeline_parse_enrich"] = min(runs)
-    times["pipeline_parse_enrich_runs"] = runs
     turns_per_sec = round(n_turns / times["pipeline_parse_enrich"], 1)
 
     enriched = enriched.cache()
@@ -100,6 +99,7 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         "sf": sf,
         "n_turns": n_turns,
         "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "pipeline_runs": runs,
         "queries": times,
     }
     if pipeline_only:
