@@ -200,19 +200,19 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: random-hyperplane LSH buckets (sign
     signature over deterministic ±1 planes) then exact cosine inside
     buckets only."""
+    from .similarity import _plane, _vec_dim
+
     v = F.col(vec_col)
+    dim = _vec_dim(df, vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    # planes are driver-side literal arrays — one multiply-add pass per
+    # plane per row, no per-element hashing (see similarity._plane)
     sig_bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(v) - 1),
-                        lambda j, p=p: F.when(
-                            F.pmod(F.xxhash64(j, F.lit(p)), F.lit(2)) == 0, F.lit(1.0)
-                        ).otherwise(F.lit(-1.0)),
-                    ),
+                    F.array(*[F.lit(x) for x in _plane(dim, p)]),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),

@@ -45,35 +45,49 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def _plane(dim: int, seed: int) -> list[float]:
+    """Deterministic ±1 hyperplane, computed ONCE on the driver and
+    shipped as a literal array — no per-row hashing (the previous form
+    re-derived every plane element with xxhash64 for every row, which
+    is pure waste at scale)."""
+    out = []
+    x = (seed * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & (1 << 64) - 1
+    for _ in range(dim):
+        # splitmix64 step — deterministic, dependency-free
+        x = (x + 0x9E3779B97F4A7C15) & (1 << 64) - 1
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+        z ^= z >> 31
+        out.append(1.0 if z & 1 == 0 else -1.0)
+    return out
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
 def assign_cells(
     df: DataFrame,
     num_cells: int = 16,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """IVF cell assignment with deterministic hash-derived hyperplane
-    signatures (a stand-in for trained k-means centroids that needs no
-    fitting pass; swap in real centroids when a training step exists).
-    The cell id is stable per vector → usable as a partition/bucket key."""
+    """IVF cell assignment with deterministic hyperplane signatures (a
+    stand-in for trained k-means centroids that needs no fitting pass;
+    swap in real centroids when a training step exists). The cell id is
+    stable per vector → usable as a partition/bucket key."""
     import math
 
     bits = max(1, int(math.ceil(math.log2(num_cells))))
+    dim = dim if dim is not None else _vec_dim(df, vec_col)
     v = F.col(vec_col)
     cell = F.lit(0)
     for p in range(bits):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, 1000 + p)])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda j, p=p: F.when(
-                        F.pmod(F.xxhash64(j, F.lit(1000 + p)), F.lit(2)) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
+            F.zip_with(v, plane, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
         )
         cell = cell + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return df.withColumn("cell", cell.cast("int"))
@@ -97,9 +111,9 @@ def ivf_topk(
 
     bits = max(1, int(math.ceil(math.log2(num_cells))))
     qdf = spark.createDataFrame([(query,)], f"{vec_col} array<double>")
-    qcell = assign_cells(qdf, num_cells, vec_col).first()["cell"]
+    qcell = assign_cells(qdf, num_cells, vec_col, dim=len(query)).first()["cell"]
     probes = [qcell] + [qcell ^ (1 << b) for b in range(bits)]
     probes = probes[: max(1, n_probe)]
-    cells = assign_cells(df, num_cells, vec_col)
+    cells = assign_cells(df, num_cells, vec_col, dim=len(query))
     pruned = cells.filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, query, vec_col, id_col, k)
