@@ -52,16 +52,25 @@ def make_detector(
     threshold: float = DEFAULT_THRESHOLD,
     cooldown_s: float = DEFAULT_COOLDOWN_S,
     min_samples: int | None = None,
+    state_ttl_ms: int | None = None,
 ):
     """Build the per-key stateful function. Mirrors detector.go exactly:
     add value to ring → gate on min samples → z over population stddev →
     alert only on false→true transition, suppressed within cooldown of
-    the last *emitted* alert (suppression leaves the flag false)."""
+    the last *emitted* alert (suppression leaves the flag false).
+
+    ``state_ttl_ms``: processing-time state eviction — the streaming
+    analogue of the reference's edge TTL sweep (graph.go:247-293): a
+    key silent for the TTL drops its ring, so a re-appearing key warms
+    up from scratch ("re-appearing edge is new again")."""
     min_n = min_samples if min_samples is not None else window_size // 2
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ring, in_anomaly, last_alert = state.get
             ring = list(ring)
@@ -94,6 +103,8 @@ def make_detector(
                 out_rows.append((key[0], ts, float(value), mean, sd, z))
 
         state.update((ring, in_anomaly, last_alert))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if out_rows:
             yield pd.DataFrame(
                 out_rows, columns=["key", "ts", "value", "mean", "stddev", "zscore"]
@@ -109,19 +120,25 @@ def streaming_alerts(
     threshold: float = DEFAULT_THRESHOLD,
     cooldown_s: float = DEFAULT_COOLDOWN_S,
     min_samples: int | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
-    """``metrics`` is a (streaming or batch) DataFrame with columns
+    """``metrics`` is a streaming DataFrame with columns
     (key string, ts timestamp, value double); returns the alert
-    stream. Works identically on a batch DataFrame via the same code
-    path (applyInPandasWithState requires streaming; for batch use
-    anomaly.detect_alerts, which is the window-function equivalent)."""
+    stream. For batch use anomaly.detect_alerts (the window-function
+    equivalent). ``state_ttl_ms`` evicts silent keys' state after the
+    processing-time TTL (bounded state for an unbounded key space)."""
     keyed = metrics.select(
         metrics[key_col].alias("key"), "ts", "value"
     ).groupBy("key")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return keyed.applyInPandasWithState(
-        make_detector(window_size, threshold, cooldown_s, min_samples),
+        make_detector(window_size, threshold, cooldown_s, min_samples, state_ttl_ms),
         outputStructType=ALERT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

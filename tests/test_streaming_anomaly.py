@@ -72,3 +72,32 @@ def test_streaming_alerts_cooldown_suppresses(alerts_pair):
     # single excursion so no double alerts within one episode
     tss = sorted(r["ts"] for r in streamed)
     assert len(tss) == len(set(tss))
+
+
+def test_state_ttl_path_still_matches_batch(spark, tmp_path, alerts_pair):
+    """With a generous TTL the detector behaves identically; this also
+    exercises the ProcessingTimeTimeout code path end-to-end."""
+    df = _series(spark)
+    df.coalesce(1).write.parquet(str(tmp_path / "in"))
+    stream = (
+        spark.readStream.schema("key string, ts timestamp, value double, idx int")
+        .parquet(str(tmp_path / "in"))
+    )
+    out = streaming_anomaly.streaming_alerts(
+        stream, window_size=100, threshold=3.0, cooldown_s=30.0,
+        state_ttl_ms=3_600_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alerts_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT ts, value FROM alerts_ttl").collect()
+    _, batch = alerts_pair
+    assert sorted((r["ts"], r["value"]) for r in got) == sorted(
+        (r["ts"], r["value"]) for r in batch
+    )
