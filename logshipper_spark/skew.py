@@ -68,10 +68,21 @@ def turn_rank_salted(
 
 
 def with_salt(df: DataFrame, salt_buckets: int, *salt_source: str) -> DataFrame:
-    """Deterministic salt column derived from row content (never
-    rand() — re-runs stay stable)."""
-    cols = [F.col(c) for c in salt_source] or [F.lit(0)]
-    return df.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)))
+    """Salt column for two-level aggregation. Prefer deterministic row
+    content (``salt_source`` columns that vary WITHIN a group — e.g.
+    turn_idx); without a source, fall back to the physical row position
+    (partition id + row id), which spreads any hot key across buckets
+    and cannot affect results (the salt only shapes the partial
+    aggregation, never the final combine)."""
+    if salt_source:
+        cols = [F.col(c) for c in salt_source]
+        salt = F.pmod(F.xxhash64(*cols), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(
+            F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        )
+    return df.withColumn("_salt", salt)
 
 
 def salted_agg(
@@ -84,10 +95,11 @@ def salted_agg(
 ) -> DataFrame:
     """Two-level aggregation: groupBy(keys + salt) with ``partial_aggs``
     then groupBy(keys) with ``final_aggs`` over the partial columns.
-    ``salt_source`` defaults to all non-key columns' hash via
-    monotonically varying turn content; pass explicit columns for
-    reproducibility."""
-    salted = with_salt(df, salt_buckets, *(salt_source or keys))
+    Pass ``salt_source`` columns that vary within a group (e.g.
+    turn_idx) for a deterministic salt; omitted, the salt comes from
+    physical row position (still correct — see with_salt). NEVER pass
+    the group keys: a salt constant within each group is a no-op."""
+    salted = with_salt(df, salt_buckets, *(salt_source or []))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
 
