@@ -64,7 +64,17 @@ def _plane(dim: int, seed: int) -> list[float]:
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Vector width from the first non-null row; 0 for an empty/null
+    input (callers then build empty planes and produce no matches
+    instead of crashing). Note this runs a small job at plan-build
+    time; pass ``dim`` explicitly to keep construction lazy."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    if row is None or row["d"] is None:
+        return 0
     return int(row["d"])
 
 

@@ -36,9 +36,12 @@ _R3164 = (
     r"^<(\d{1,3})>([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s+"
     r"(\S+)\s+([^:\[\s]+)(?:\[(\d+)\])?:\s*(.*)$"
 )
+# Structured data: '-' or a run of [..] elements with no ']' inside
+# (escaped \] in SD param values is not supported — documented limit);
+# a greedy \[.*\] would swallow messages that contain ']'.
 _R5424 = (
     r"^<(\d{1,3})>1\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+"
-    r"(?:\[.*\]|-)\s*(.*)$"
+    r"(?:(?:\[[^\]]*\])+|-)\s*(.*)$"
 )
 _RPY = (
     r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),(\d{3})\s+-\s+(\S+)\s+-\s+"
@@ -80,14 +83,19 @@ def is_logfmt(text: Column) -> Column:
     return text.rlike(_RLOGFMT) & text.contains("=")
 
 
-def is_plain_json_suffix(text: Column) -> Column:
-    json_part = F.expr(f"substring({_SQL_TEXT}, instr({_SQL_TEXT}, '{{'))")
-    return text.rlike(_RPLAINJSON) & F.from_json(
-        json_part, "map<string,string>"
-    ).isNotNull()
-
-
 _SQL_TEXT = "_ext_text"  # working-column name used in SQL snippets
+
+
+def json_suffix_map(text: Column) -> Column:
+    """The trailing-JSON-object part of a mixed line, decoded; NULL when
+    absent/invalid."""
+    return F.from_json(
+        F.substr(text, F.instr(text, F.lit("{"))), "map<string,string>"
+    )
+
+
+def is_plain_json_suffix(text: Column) -> Column:
+    return text.rlike(_RPLAINJSON) & json_suffix_map(text).isNotNull()
 
 
 def syslog_3164_fields(text: Column, ingest_ts: str) -> dict[str, Column]:
@@ -141,11 +149,7 @@ def logfmt_map(text: Column) -> Column:
     return F.str_to_map(F.trim(text), F.lit(r"\s+"), F.lit("="))
 
 
-def plain_json_suffix_map(text_sql: str) -> Column:
-    return F.from_json(
-        F.expr(f"substring({text_sql}, instr({text_sql}, '{{'))"),
-        "map<string,string>",
-    )
+
 
 
 def parse_extended(
@@ -172,11 +176,7 @@ def parse_extended(
     s3164 = is_plain & ~s5424 & is_syslog_3164(t)
     spy = is_plain & ~s5424 & ~s3164 & is_python_logging(t)
     slog = is_plain & ~s5424 & ~s3164 & ~spy & is_logfmt(t)
-    sjson = (
-        is_plain & ~s5424 & ~s3164 & ~spy & ~slog
-        & t.rlike(_RPLAINJSON)
-        & plain_json_suffix_map(_SQL_TEXT).isNotNull()
-    )
+    sjson = is_plain & ~s5424 & ~s3164 & ~spy & ~slog & is_plain_json_suffix(t)
 
     # docker envelope: JSON whose map carries log+stream+time. The core
     # dispatcher may have classified it ecs_json (the nested log.level
@@ -197,7 +197,7 @@ def parse_extended(
     f5424 = syslog_5424_fields(t)
     fpy = python_logging_fields(t)
     lfm = logfmt_map(t)
-    jsm = plain_json_suffix_map(_SQL_TEXT)
+    jsm = json_suffix_map(t)
 
     def ext(name: str) -> Column:
         """Per-field refinement cascade over the detected format."""

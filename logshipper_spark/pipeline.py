@@ -135,21 +135,27 @@ def run_batch(
     if write and sink_write_mode == "single_pass":
         path = os.path.join(out_dir, "sinks_by", f"batch_id={batch_id}")
         routed.write.mode("overwrite").partitionBy("sink").parquet(path)
-        for r in (
-            spark.read.parquet(path).groupBy("sink").agg(F.count("*").alias("cnt")).collect()
-        ):
-            sink_rows[r["sink"]] = r["cnt"]
-        lineage_parts.append(_partition_counts(enriched, "sink:single_pass"))
     elif write:
         for sink, pred, _ in sorted(rules, key=lambda r: r[2]):
             sink_df = enriched.filter(F.expr(pred))
             path = os.path.join(out_dir, "sinks", sink, f"batch_id={batch_id}")
             sink_df.write.mode("overwrite").parquet(path)
-            lineage_parts.append(_partition_counts(sink_df, f"sink:{sink}"))
-            sink_rows[sink] = sink_df.count()
-    else:
-        for r in routed.groupBy("sink").agg(F.count("*").alias("cnt")).collect():
-            sink_rows[r["sink"]] = r["cnt"]
+
+    # per-sink row counts AND per-sink per-partition lineage in ONE pass
+    # over the fan-out (the per-sink-count-job-per-sink form re-scanned
+    # the cached batch once per sink — 100 TB batches are not
+    # memory-resident, so each re-scan would be a full read)
+    sink_part = (
+        routed.groupBy(
+            F.spark_partition_id().alias("partition_id"), F.col("sink")
+        )
+        .agg(F.count("*").alias("rows_out"))
+        .withColumn("stage", F.concat(F.lit("sink:"), F.col("sink")))
+        .cache()
+    )
+    for r in sink_part.groupBy("sink").agg(F.sum("rows_out").alias("cnt")).collect():
+        sink_rows[r["sink"]] = int(r["cnt"])
+    lineage_parts.append(sink_part.select("partition_id", "rows_out", "stage"))
 
     # observe() metrics are available after the first action above
     metrics = obs.get
@@ -198,11 +204,17 @@ def run_batch(
         "rows_in long, rows_out long, counter string, value long",
     ).withColumn("committed_at", F.current_timestamp())
     if write:
-        lineage.unionByName(counter_df).write.mode("append").parquet(
-            os.path.join(out_dir, "lineage")
-        )
+        # one directory per batch, overwritten on replay: a crash after
+        # run_batch but before the streaming checkpoint commit replays
+        # the batch and re-commits identical lineage instead of
+        # double-appending counters. batch_id lives in the directory
+        # name (partition discovery restores it on read).
+        lineage.unionByName(counter_df).drop("batch_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "lineage", f"batch_id={batch_id}"))
 
     elapsed = time.time() - t0
+    sink_part.unpersist()
     enriched.unpersist()
     return {
         "run_id": run_id,
@@ -216,13 +228,18 @@ def run_batch(
     }
 
 
-def completed_batches(spark: SparkSession, out_dir: str) -> set[int]:
-    """Batches whose lineage committed — the resume point for restarts."""
+def completed_batches(
+    spark: SparkSession, out_dir: str, run_id: str | None = None
+) -> set[int]:
+    """Batches whose lineage committed — the resume point for restarts.
+    With ``run_id``, only batches committed by that logical run count
+    (a fresh run over a reused output dir must not skip its own work
+    because an older run left lineage behind)."""
     path = os.path.join(out_dir, "lineage")
     try:
-        return {
-            r["batch_id"]
-            for r in spark.read.parquet(path).select("batch_id").distinct().collect()
-        }
+        df = spark.read.parquet(path)
+        if run_id is not None:
+            df = df.filter(F.col("run_id") == run_id)
+        return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
     except Exception:
         return set()

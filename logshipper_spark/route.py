@@ -18,8 +18,18 @@ Two physical strategies:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def is_error_pattern(
+    level: Column | None = None, status_code: Column | None = None
+) -> Column:
+    """The error-pattern predicate counted per sink (north rule). ONE
+    definition shared by the plain and salted aggregation paths."""
+    level = level if level is not None else F.col("level")
+    status_code = status_code if status_code is not None else F.col("status_code")
+    return (level == "error") | (status_code >= 500)
 
 
 def route(df: DataFrame, rules: list[tuple[str, str, int]]) -> dict[str, DataFrame]:
@@ -49,7 +59,7 @@ def sink_counts(
     map-side (Spark partial+final) so hot conversations cost one
     combiner row per partition, not one shuffled row per turn.
     """
-    is_error = (F.col("level") == "error") | (F.col("status_code") >= 500)
+    is_error = is_error_pattern()
     return (
         routed.groupBy(
             "sink",

@@ -115,7 +115,9 @@ def salted_sink_counts(
     ``salt_buckets`` sub-keys (salt = hash(turn_idx)) before the final
     combine — bounding any single reducer's input even if sort-based
     aggregation is in play."""
-    is_error = (F.col("level") == "error") | (F.col("status_code") >= 500)
+    from .route import is_error_pattern
+
+    is_error = is_error_pattern()
     keyed = routed.select(
         "sink",
         "conv_id",

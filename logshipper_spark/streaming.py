@@ -68,6 +68,11 @@ def run_stream(
     rules = rules or gen.routing_rules()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # epoch replay after a crash-between-commit: outputs are
+        # idempotent anyway (per-batch overwrite), but skipping avoids
+        # redoing the work
+        if batch_id in pipeline.completed_batches(spark, out_dir, run_id=run_id):
+            return
         pipeline.run_batch(
             spark,
             batch_df,
@@ -112,7 +117,7 @@ def streaming_sink_counts(
         spark, stream, ingest_ts=ingest_ts, skip_turn_rank=True
     )
     routed = route.routed_rows(enriched, rules or gen.routing_rules())
-    is_error = (F.col("level") == "error") | (F.col("status_code") >= 500)
+    is_error = route.is_error_pattern()
     counts = (
         routed.withWatermark("ts", watermark)
         .groupBy(

@@ -53,11 +53,17 @@ def make_detector(
     cooldown_s: float = DEFAULT_COOLDOWN_S,
     min_samples: int | None = None,
     state_ttl_ms: int | None = None,
+    order_extras: tuple[str, ...] = (),
 ):
     """Build the per-key stateful function. Mirrors detector.go exactly:
     add value to ring → gate on min samples → z over population stddev →
     alert only on false→true transition, suppressed within cooldown of
     the last *emitted* alert (suppression leaves the flag false).
+
+    Micro-batch rows sort by (ts, *order_extras) — with no extras, ties
+    on ts break by value so re-runs are deterministic (the batch
+    detector pins ties with its order_cols; supply the same columns via
+    ``order_extras`` for exact batch parity when timestamps collide).
 
     ``state_ttl_ms``: processing-time state eviction — the streaming
     analogue of the reference's edge TTL sweep (graph.go:247-293): a
@@ -79,7 +85,10 @@ def make_detector(
 
         out_rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts"], kind="mergesort")
+            sort_cols = ["ts"] + [c for c in order_extras if c in pdf.columns]
+            if not set(order_extras) & set(pdf.columns):
+                sort_cols.append("value")  # deterministic tie-break fallback
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ring.append(float(value))
                 if len(ring) > window_size:
@@ -121,14 +130,18 @@ def streaming_alerts(
     cooldown_s: float = DEFAULT_COOLDOWN_S,
     min_samples: int | None = None,
     state_ttl_ms: int | None = None,
+    order_extras: tuple[str, ...] = (),
 ) -> DataFrame:
     """``metrics`` is a streaming DataFrame with columns
     (key string, ts timestamp, value double); returns the alert
     stream. For batch use anomaly.detect_alerts (the window-function
     equivalent). ``state_ttl_ms`` evicts silent keys' state after the
-    processing-time TTL (bounded state for an unbounded key space)."""
+    processing-time TTL (bounded state for an unbounded key space).
+    ``order_extras``: additional metric columns used to break ts ties
+    within a micro-batch (mirror the batch detector's order_cols)."""
+    extra_cols = [metrics[c] for c in order_extras]
     keyed = metrics.select(
-        metrics[key_col].alias("key"), "ts", "value"
+        metrics[key_col].alias("key"), "ts", "value", *extra_cols
     ).groupBy("key")
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -136,7 +149,10 @@ def streaming_alerts(
         else GroupStateTimeout.NoTimeout
     )
     return keyed.applyInPandasWithState(
-        make_detector(window_size, threshold, cooldown_s, min_samples, state_ttl_ms),
+        make_detector(
+            window_size, threshold, cooldown_s, min_samples, state_ttl_ms,
+            order_extras,
+        ),
         outputStructType=ALERT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -97,6 +97,14 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     for sink in r1["sink_rows"]:
         p = os.path.join(out_dir, "sinks", sink, "batch_id=7")
         assert spark.read.parquet(p).count() == r1["sink_rows"][sink]
+    # lineage/counters must NOT double-append on replay (exactly-once)
+    lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
+    got = (
+        lineage.filter("counter = 'events_received_total'")
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    assert got == 1000
 
 
 def test_single_pass_sink_write_matches_per_sink(spark, tmp_path):
