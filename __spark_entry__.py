@@ -401,7 +401,7 @@ def q_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     logfmt lines constructed from events columns; oracle recomputes the
     expected fields directly."""
     ev = _t(spark, sf_dir, "events")
-    m4 = F.expr("event_id % 4")
+    m4 = F.expr("event_id % 6")
     svc = F.expr("'svc-' || CAST(user_id % 8 AS STRING)")
     lat = F.expr("CAST(floor(value * 100) AS LONG)").cast("string")
     iso_ms = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
@@ -419,9 +419,20 @@ def q_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.date_format("ts", "SSS"), " - worker.", svc,
                    " - ERROR - job failed"),
         )
-        .otherwise(
+        .when(
+            m4 == 3,
             _jpart("level=warn service=", svc, " latency=", lat,
-                   "ms status=404 ts=", iso_s)
+                   "ms status=404 ts=", iso_s),
+        )
+        .when(
+            m4 == 4,
+            _jpart('request failed for user {"service":"', svc,
+                   '","level":"warn","duration_ms":', lat,
+                   ',"ts":"', iso_ms, '"}'),
+        )
+        .otherwise(
+            _jpart('{"log":"inner plain line","stream":"stdout","time":"',
+                   iso_ms, '"}'),
         )
     )
     parsed = formats.parse_extended(
@@ -921,20 +932,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_extended": """
             SELECT event_id,
-                   CASE event_id % 4 WHEN 0 THEN 'syslog_5424' WHEN 1 THEN 'syslog_3164'
-                        WHEN 2 THEN 'python_logging' ELSE 'logfmt' END AS format,
-                   CASE event_id % 4 WHEN 0 THEN 'info' WHEN 1 THEN 'error'
-                        WHEN 2 THEN 'error' ELSE 'warn' END AS level,
-                   CASE WHEN event_id % 4 = 2 THEN 'worker.svc-' || CAST(user_id % 8 AS VARCHAR)
+                   CASE event_id % 6 WHEN 0 THEN 'syslog_5424' WHEN 1 THEN 'syslog_3164'
+                        WHEN 2 THEN 'python_logging' WHEN 3 THEN 'logfmt'
+                        WHEN 4 THEN 'plain_json' ELSE 'docker_json' END AS format,
+                   CASE event_id % 6 WHEN 0 THEN 'info' WHEN 1 THEN 'error'
+                        WHEN 2 THEN 'error' WHEN 3 THEN 'warn'
+                        WHEN 4 THEN 'warn' ELSE '' END AS level,
+                   CASE event_id % 6
+                        WHEN 2 THEN 'worker.svc-' || CAST(user_id % 8 AS VARCHAR)
+                        WHEN 5 THEN ''
                         ELSE 'svc-' || CAST(user_id % 8 AS VARCHAR) END AS src_service,
-                   CASE WHEN event_id % 4 = 3 THEN 404 ELSE 0 END AS status_code,
-                   CASE WHEN event_id % 4 = 3 THEN CAST(floor(value * 100) AS BIGINT) * 1000
+                   CASE WHEN event_id % 6 = 3 THEN 404 ELSE 0 END AS status_code,
+                   CASE WHEN event_id % 6 IN (3, 4)
+                        THEN CAST(floor(value * 100) AS BIGINT) * 1000
                         ELSE 0 END AS latency_us,
-                   CASE event_id % 4
+                   CASE event_id % 6
                         WHEN 0 THEN date_trunc('milliseconds', ts)
                         WHEN 1 THEN date_trunc('second', ts)
                         WHEN 2 THEN date_trunc('milliseconds', ts)
-                        ELSE date_trunc('second', ts) END AS event_ts
+                        WHEN 3 THEN date_trunc('second', ts)
+                        ELSE date_trunc('milliseconds', ts) END AS event_ts
             FROM events
         """,
         "turn_rank_salted": """
