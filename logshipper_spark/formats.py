@@ -15,6 +15,9 @@ Formats:
 * ``plain_json``   — free text with a trailing JSON object
 * ``docker_json``  — ``{"log": "<inner>", "stream": "...", "time": ...}``
   envelope; the inner line is re-parsed one level (JSON or plain)
+* ``prom_text``    — Prometheus exposition samples
+  ``metric_name{labels} value [timestamp_ms]`` → metric-style event
+  (metric name → operation, like the metric-JSON branch)
 """
 
 from __future__ import annotations
@@ -49,6 +52,11 @@ _RPY = (
 )
 _RLOGFMT = r"^(?:[A-Za-z_][A-Za-z0-9_.]*=\S*\s*)+$"
 _RPLAINJSON = r"^[^{}]+\{.*\}\s*$"
+FORMAT_PROM = "prom_text"
+_RPROM = (
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{[^}]*\})?\s+"
+    r"([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?|NaN|[-+]?Inf)(?:\s+(\d+))?$"
+)
 
 
 def severity_level(pri: Column) -> Column:
@@ -96,6 +104,27 @@ def json_suffix_map(text: Column) -> Column:
 
 def is_plain_json_suffix(text: Column) -> Column:
     return text.rlike(_RPLAINJSON) & json_suffix_map(text).isNotNull()
+
+
+def is_prom_text(text: Column) -> Column:
+    return text.rlike(_RPROM)
+
+
+def prom_fields(text: Column) -> dict[str, Column]:
+    """Exposition sample → metric-style event: name → operation
+    (mirroring the metric-JSON branch / helpers.go:124-127); the value,
+    labels, and optional millisecond timestamp ride in the raw map."""
+    name = _g(text, _RPROM, 1)
+    labels = _g(text, _RPROM, 2)
+    value = _g(text, _RPROM, 3)
+    ts_ms = _g(text, _RPROM, 4).try_cast("long")
+    return {
+        "operation": name,
+        "event_ts": F.when(ts_ms.isNotNull(), F.timestamp_millis(ts_ms)),
+        "raw": F.create_map(
+            F.lit("metric"), name, F.lit("value"), value, F.lit("labels"), labels
+        ),
+    }
 
 
 def syslog_3164_fields(text: Column, ingest_ts: str) -> dict[str, Column]:
@@ -176,7 +205,10 @@ def parse_extended(
     s3164 = is_plain & ~s5424 & is_syslog_3164(t)
     spy = is_plain & ~s5424 & ~s3164 & is_python_logging(t)
     slog = is_plain & ~s5424 & ~s3164 & ~spy & is_logfmt(t)
-    sjson = is_plain & ~s5424 & ~s3164 & ~spy & ~slog & is_plain_json_suffix(t)
+    sprom = is_plain & ~s5424 & ~s3164 & ~spy & ~slog & is_prom_text(t)
+    sjson = (
+        is_plain & ~s5424 & ~s3164 & ~spy & ~slog & ~sprom & is_plain_json_suffix(t)
+    )
 
     # docker envelope: JSON whose map carries log+stream+time. The core
     # dispatcher may have classified it ecs_json (the nested log.level
@@ -198,6 +230,7 @@ def parse_extended(
     fpy = python_logging_fields(t)
     lfm = logfmt_map(t)
     jsm = json_suffix_map(t)
+    prm = prom_fields(t)
 
     def ext(name: str) -> Column:
         """Per-field refinement cascade over the detected format."""
@@ -208,9 +241,20 @@ def parse_extended(
                 .when(s3164, FORMAT_SYSLOG_3164)
                 .when(spy, FORMAT_PYTHON_LOGGING)
                 .when(slog, FORMAT_LOGFMT)
+                .when(sprom, FORMAT_PROM)
                 .when(sjson, FORMAT_PLAIN_JSON)
                 .otherwise(F.col("format"))
             )
+        if name == "operation":
+            return (
+                F.when(sprom, prm["operation"])
+                .when(slog, F.coalesce(parse.extract_operation(lfm), F.lit("")))
+                .when(sjson, F.coalesce(parse.extract_operation(jsm), F.lit("")))
+                .when(docker, F.coalesce(parse.extract_operation(inner_raw), F.lit("")))
+                .otherwise(F.col("operation"))
+            )
+        if name == "raw":
+            return F.when(sprom, prm["raw"]).otherwise(F.col("raw"))
         if name == "level":
             return (
                 F.when(docker, F.coalesce(parse.extract_level(inner_raw), F.lit("")))
@@ -233,6 +277,7 @@ def parse_extended(
                 .when(s3164, F.coalesce(f3164["event_ts"], ingest))
                 .when(spy, F.coalesce(fpy["event_ts"], ingest))
                 .when(slog, F.coalesce(parse.extract_timestamp(lfm), ingest))
+                .when(sprom, F.coalesce(prm["event_ts"], ingest))
                 .when(sjson, F.coalesce(parse.extract_timestamp(jsm), ingest))
                 .otherwise(F.col("event_ts"))
             )
@@ -262,7 +307,10 @@ def parse_extended(
             )
         raise KeyError(name)
 
-    for name in ["level", "event_ts", "src_service", "status_code", "latency_us"]:
+    for name in [
+        "level", "event_ts", "src_service", "status_code", "latency_us",
+        "operation", "raw",
+    ]:
         out = out.withColumn(name, ext(name))
     out = out.withColumn("format", ext("format"))
     out = out.withColumn("parse_ok", F.col("src_service") != "")

@@ -105,3 +105,23 @@ def test_plain_unchanged(parsed):
     r = parsed["just some plain text"]
     assert r["format"] == "plain"
     assert r["event_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_prometheus_exposition(spark):
+    lines = [
+        'http_requests_total{method="post",code="200"} 1027 1395066363000',
+        "cpu_seconds 12345.6",
+        "up 1",
+    ]
+    out = _parse_lines(spark, lines)
+    r = out['http_requests_total{method="post",code="200"} 1027 1395066363000']
+    assert r["format"] == "prom_text"
+    assert r["operation"] == "http_requests_total"
+    assert r["raw"]["value"] == "1027"
+    assert r["raw"]["labels"] == '{method="post",code="200"}'
+    assert r["event_ts"] == datetime.datetime(2014, 3, 17, 14, 26, 3)
+    r2 = out["cpu_seconds 12345.6"]
+    assert r2["format"] == "prom_text"
+    assert r2["operation"] == "cpu_seconds"
+    assert r2["event_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)  # ingest
+    assert out["up 1"]["format"] == "prom_text"

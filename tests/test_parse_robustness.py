@@ -61,7 +61,7 @@ NASTY = [
 KNOWN_FORMATS = {
     "json", "ecs_json", "metric_json", "template", "plain", "empty",
     "syslog_3164", "syslog_5424", "python_logging", "logfmt",
-    "plain_json", "docker_json",
+    "plain_json", "docker_json", "prom_text",
 }
 
 
