@@ -107,9 +107,10 @@ def q_p99_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "src",
-        F.element_at("_l", (F.floor((F.col("n") - 1) * 0.99) + 1).cast("int")).alias(
-            "p99_us"
-        ),
+        F.when(
+            F.col("n") > 0,
+            F.try_element_at("_l", (F.floor((F.col("n") - 1) * 0.99) + 1).cast("int")),
+        ).otherwise(F.lit(0)).cast("long").alias("p99_us"),
     )
 
 
@@ -594,7 +595,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.decode_stub_features(multimodal.gen_media(spark, 200))
+    # array column serialized to JSON: the driver's canonicalizer sorts
+    # column values and cannot hash list-typed cells
+    feats = multimodal.decode_stub_features(multimodal.gen_media(spark, 200))
+    return feats.select(
+        "media_id", "kind", F.to_json("features").alias("features_json"), "n_bytes"
+    )
 
 
 PIPELINE_TURNS = 20_000
@@ -645,8 +651,10 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "conv_id", "turn_idx"],
     )
     cycles = graphalg.find_new_cycles(edges)
-    rows = [(graphalg.cycle_key(c), c) for c in cycles]
-    return spark.createDataFrame(rows, "cycle_key string, cycle array<string>")
+    # serialize the path — the driver's canonicalizer cannot sort/hash
+    # array-typed cells; cycle_key is already the canonical '|' join
+    rows = [(graphalg.cycle_key(c), "->".join(c)) for c in cycles]
+    return spark.createDataFrame(rows, "cycle_key string, cycle_path string")
 
 
 # ── driver contract ──

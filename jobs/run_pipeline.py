@@ -62,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("one of --input / --generate is required")
         return 2
 
-    if args.batch_id in pipeline.completed_batches(spark, args.out):
+    if args.batch_id in pipeline.completed_batches(spark, args.out, run_id=args.run_id):
         print(json.dumps({"mode": "batch", "batch_id": args.batch_id,
                           "skipped": "already committed"}))
         return 0

@@ -61,11 +61,19 @@ def edge_agg(
     )
     return aggd.select(
         "src", "dst", "op", "call_count", "error_count", "latency_sum_us",
-        F.element_at(
-            F.col("_lats"), (F.floor((F.size("_lats") - 1) * 0.99) + 1).cast("int")
-        ).alias("latency_p99_us"),
+        _ring_p99(F.col("_lats")).alias("latency_p99_us"),
         "first_seen", "last_seen",
     )
+
+
+def _ring_p99(lats: Column) -> Column:
+    """Nearest-rank p99 over a sorted latency array; 0 when the ring is
+    empty (all-null latencies) — the reference's calcP99(nil) returns 0
+    (types.go:70-84) rather than erroring."""
+    idx = (F.floor((F.size(lats) - 1) * 0.99) + 1).cast("int")
+    return F.when(
+        F.size(lats) > 0, F.try_element_at(lats, idx)
+    ).otherwise(F.lit(0)).cast("long")
 
 
 def derived_edge_metrics(edges: DataFrame) -> DataFrame:

@@ -313,5 +313,9 @@ def parse_extended(
     ]:
         out = out.withColumn(name, ext(name))
     out = out.withColumn("format", ext("format"))
-    out = out.withColumn("parse_ok", F.col("src_service") != "")
+    # prom_text never carries a service name — a successfully refined
+    # Prometheus sample is still a parsed row, not a parse error
+    out = out.withColumn(
+        "parse_ok", (F.col("src_service") != "") | (F.col("format") == FORMAT_PROM)
+    )
     return out.drop(_SQL_TEXT)

@@ -42,6 +42,18 @@ def test_edge_agg_basic(spark):
     assert edges[("a", "c", "op2")]["call_count"] == 1
 
 
+# ── types.go:70-84: calcP99(nil) returns 0, never errors ──
+def test_p99_all_null_latency_is_zero(spark):
+    rows = [
+        ("a", "b", "op", 200, None, _ts(1)),
+        ("a", "b", "op", 200, None, _ts(2)),
+    ]
+    out = agg.edge_agg(_df(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["latency_p99_us"] == 0
+    assert out[0]["latency_sum_us"] is None
+
+
 # ── graph.go:68-70: empty src or dst skipped ──
 def test_edge_agg_skips_empty(spark):
     rows = [

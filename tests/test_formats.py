@@ -107,6 +107,26 @@ def test_plain_unchanged(parsed):
     assert r["event_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
 
 
+def test_logfmt_duplicate_key_last_wins(spark):
+    """A repeated key must not abort the job (Go maps are last-write-wins;
+    session pins spark.sql.mapKeyDedupPolicy=LAST_WIN)."""
+    out = _parse_lines(
+        spark, ["level=info level=debug service=auth msg=x", "just plain"]
+    )
+    r = out["level=info level=debug service=auth msg=x"]
+    assert r["format"] == "logfmt"
+    assert r["level"] == "debug"  # last occurrence wins
+    assert r["src_service"] == "auth"
+
+
+def test_prom_rows_are_parse_ok(spark):
+    """Refined Prometheus samples carry no service name but are parsed
+    rows, not parse errors."""
+    out = _parse_lines(spark, ["up 1", "plain line here"])
+    assert out["up 1"]["parse_ok"] is True
+    assert out["plain line here"]["parse_ok"] is False
+
+
 def test_prometheus_exposition(spark):
     lines = [
         'http_requests_total{method="post",code="200"} 1027 1395066363000',
