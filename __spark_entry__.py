@@ -10,9 +10,13 @@ recomputes the expected fields directly from the source columns — an
 independent ground truth, not a re-implementation of the parser.
 
 Hash-based operators (MinHash, SimHash, xxhash fingerprints, LSH
-buckets) and the sequential stateful kernel (edge-trigger + cooldown
-alerts) have no DuckDB twin → rows-only entries (documented weaker
-check).
+buckets) have no DuckDB twin for their *values*, but their pair
+semantics do: planted exact-duplicate corpora make the ground-truth
+pair set SQL-computable (see the dedup query section). The pipeline
+queries read a materialized enriched parquet so DuckDB recomputes
+routing/aggregation/detection from the same bytes. Rows-only remain:
+``media_features`` (numpy hash features) and ``graph_cycles``
+(driver-side DFS traversal).
 """
 
 from __future__ import annotations
@@ -558,7 +562,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine_r").desc(), "vec_id").limit(10)
 
 
-# ── rows-only queries (hash-based / stateful / driver-side — no SQL twin) ──
+# ── dedup/similarity queries with planted-duplicate oracles ──
+#
+# The hash functions themselves (MinHash/SimHash/xxhash fingerprints)
+# have no DuckDB twin, but their *pair semantics* do: the test corpus
+# unions each document/vector with an exact copy at id+100000, so the
+# ground-truth near-dup pair set is exactly the identical-content pairs
+# — which DuckDB computes independently from the raw text/vectors. The
+# oracle checks both recall (every planted pair found) and precision
+# (no spurious pair crosses the threshold on this corpus).
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,12 +582,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    # %5==1 subset: short synthetic docs produce occasional natural
+    # SimHash vote-coincidences; this subset is verified collision-free
+    # at the contract SF so the planted-pair oracle is exact.
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 5 = 1").select(
+        "doc_id", "text"
+    )
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    return dedup.simhash_pairs(docs.unionByName(dup), max_hamming=3)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    return dedup.fingerprint_pairs(docs.unionByName(dup))
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,12 +606,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.95)
 
 
+IVF_CELLS, IVF_PROBE, IVF_DIM = 16, 4, 64
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned top-k. The oracle recomputes the deterministic
+    hyperplane cell assignment in SQL (the planes are literals), probes
+    the same cells, and takes the same cosine top-k — an independent
+    re-derivation, not a brute-force comparison (IVF deliberately
+    trades recall on unclustered data)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
-    return similarity.ivf_topk(emb, qv, k=10, num_cells=16, n_probe=4)
+    return similarity.ivf_topk(emb, qv, k=10, num_cells=IVF_CELLS, n_probe=IVF_PROBE)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,24 +632,49 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIPELINE_TURNS = 20_000
+# Materialized enriched batch: the full pipeline (generate → parse →
+# enrich → turn-rank) written once to parquet, so the pipeline-level
+# queries and their DuckDB oracles consume the SAME bytes — the oracle
+# independently recomputes routing/aggregation/detection from the
+# normalized frame (the parse layer itself is oracled separately by the
+# parse_* roundtrip queries).
+ENRICHED_PATH = f"/tmp/spark_graft_contract/enriched_{PIPELINE_TURNS}.parquet"
+_ENRICHED_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "format", "parse_ok", "level",
+    "status_code", "latency_us", "src_service", "dst_service", "operation",
+    "team", "cost_tier", "sink_hint", "turn_rank",
+]
+_enriched_written = False
 
 
 def _pipeline_enriched(spark: SparkSession) -> DataFrame:
-    # cache() makes the generated table a leaf relation: without it the
-    # generator's big literal-array expression tree is inlined into every
-    # parse-layer reference and Catalyst canonicalization blows up.
-    tr = gen.transcripts(spark, PIPELINE_TURNS).cache()
-    return pipeline.normalize_and_enrich(spark, tr)
+    """Build-once materialized enriched frame (timestamps stored as
+    timestamp_ntz so Spark readback and DuckDB read_parquet agree)."""
+    global _enriched_written
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not _enriched_written:
+        # cache() makes the generated table a leaf relation: without it
+        # the generator's big literal-array expression tree is inlined
+        # into every parse-layer reference and Catalyst canonicalization
+        # blows up.
+        tr = gen.transcripts(spark, PIPELINE_TURNS).cache()
+        enr = pipeline.normalize_and_enrich(spark, tr)
+        enr.select(
+            *_ENRICHED_COLS,
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+        ).write.mode("overwrite").parquet(ENRICHED_PATH)
+        tr.unpersist()
+        _enriched_written = True
+    return spark.read.parquet(ENRICHED_PATH)
 
 
 def q_pipeline_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     routed = route.routed_rows(_pipeline_enriched(spark), gen.routing_rules())
     return route.sink_counts(routed, ts_col="ts", window_duration="1 minute")
 
 
 def q_pipeline_edge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return agg.edge_agg(
         _pipeline_enriched(spark), ts_col="event_ts",
         order_cols=["ts", "conv_id", "turn_idx"],
@@ -629,7 +682,11 @@ def q_pipeline_edge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Edge-trigger alert replay with cooldown 0 — at zero cooldown the
+    state machine reduces to 'alert on the leading edge of each
+    contiguous anomaly run', which a lag() window expresses exactly, so
+    the sequential kernel gets a full SQL oracle. The cooldown>0 path
+    is covered by unit tests (batch==streaming parity)."""
     enr = _pipeline_enriched(spark).filter(
         "src_service <> '' AND dst_service <> ''"
     ).selectExpr(
@@ -637,15 +694,22 @@ def q_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "conv_id", "turn_idx",
         "latency_us / 1000.0 AS value",
     )
-    return anomaly.detect_alerts(
+    alerts = anomaly.detect_alerts(
         enr, key_cols=["edge_key"], value_col="value",
         order_cols=["ts", "conv_id", "turn_idx"], ts_col="ts",
-        window_size=100, threshold=3.0, cooldown_s=30.0,
+        window_size=100, threshold=3.0, cooldown_s=0.0,
+    )
+    eps = F.lit(1e-9)
+    return alerts.select(
+        "edge_key", "ts", "conv_id", "turn_idx",
+        F.round(F.col("value") + eps, 4).alias("value_r"),
+        F.round(F.col("mean") + eps, 4).alias("mean_r"),
+        F.round(F.col("stddev") + eps, 4).alias("stddev_r"),
+        F.round(F.col("zscore") + eps, 4).alias("zscore_r"),
     )
 
 
 def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     edges = agg.edge_agg(
         _pipeline_enriched(spark), ts_col="event_ts",
         order_cols=["ts", "conv_id", "turn_idx"],
@@ -746,9 +810,153 @@ _ROLLUP_SQL = f"""
 """
 
 
+def _ivf_cell_sql(vec: str) -> str:
+    """DuckDB expression recomputing similarity.assign_cells for a
+    DOUBLE[] column: the deterministic ±1 hyperplanes are embedded as
+    literals, so the oracle derives the cell independently."""
+    import math
+
+    from logshipper_spark.datapipe.similarity import _plane
+
+    bits = max(1, int(math.ceil(math.log2(IVF_CELLS))))
+    terms = []
+    for p in range(bits):
+        plane = "[" + ",".join(str(x) for x in _plane(IVF_DIM, 1000 + p)) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {IVF_DIM} + 1), "
+            f"i -> {vec}[i] * ({plane}::DOUBLE[])[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _routed_union_sql(source: str) -> str:
+    """Fan-out routing as a UNION ALL of per-sink filters — the oracle
+    twin of route.routed_rows over the same rules."""
+    parts = [
+        f"SELECT '{sink}' AS sink, * FROM {source} WHERE {pred}"
+        for sink, pred, _ in sorted(gen.routing_rules(), key=lambda r: r[2])
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_ENRICHED_REL = f"read_parquet('{ENRICHED_PATH}/*.parquet')"
+
+_PIPE_FED_SQL = f"""
+    SELECT src_service AS src, dst_service AS dst, operation AS op,
+           status_code, latency_us, event_ts, ts, conv_id, turn_idx
+    FROM {_ENRICHED_REL}
+    WHERE src_service <> '' AND dst_service <> ''
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     ingest = DEFAULT_INGEST_TS
     return {
+        "pipeline_sink_counts": f"""
+            WITH f AS (SELECT * FROM {_ENRICHED_REL}),
+            r AS ({_routed_union_sql('f')})
+            SELECT sink, conv_id, time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                   COUNT(*) AS turn_count,
+                   CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_call_count,
+                   CAST(SUM(CASE WHEN level = 'error' OR status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS error_pattern_count
+            FROM r GROUP BY sink, conv_id, 3
+        """,
+        "pipeline_edge_agg": f"""
+            WITH fed AS ({_PIPE_FED_SQL}),
+            base AS (
+              SELECT src, dst, op, COUNT(*) AS call_count,
+                     CAST(SUM(CASE WHEN status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+                     CAST(SUM(latency_us) AS BIGINT) AS latency_sum_us,
+                     MIN(event_ts) AS first_seen, MAX(event_ts) AS last_seen
+              FROM fed GROUP BY src, dst, op),
+            lastn AS (
+              SELECT * FROM (
+                SELECT src, dst, op, latency_us,
+                       row_number() OVER (PARTITION BY src, dst, op
+                                          ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS rn
+                FROM fed) t
+              WHERE rn <= 100),
+            p99 AS (
+              SELECT src, dst, op,
+                     list_sort(list(latency_us))[CAST(floor((COUNT(*) - 1) * 0.99) AS INT) + 1]
+                       AS latency_p99_us
+              FROM lastn GROUP BY src, dst, op)
+            SELECT base.src, base.dst, base.op, call_count, error_count,
+                   latency_sum_us, latency_p99_us, first_seen, last_seen
+            FROM base JOIN p99 USING (src, dst, op)
+        """,
+        "anomaly_alerts": f"""
+            WITH f AS (
+              SELECT src_service || '|' || dst_service || '|' || operation AS edge_key,
+                     ts, conv_id, turn_idx, latency_us / 1000.0 AS value
+              FROM {_ENRICHED_REL}
+              WHERE src_service <> '' AND dst_service <> ''),
+            s AS (
+              SELECT edge_key, ts, conv_id, turn_idx, value,
+                     AVG(value) OVER w AS mean,
+                     COALESCE(stddev_pop(value) OVER w, 0.0) AS stddev,
+                     COUNT(value) OVER w AS n
+              FROM f
+              WINDOW w AS (PARTITION BY edge_key ORDER BY ts, conv_id, turn_idx
+                           ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+            z AS (
+              SELECT *, CASE WHEN stddev = 0 THEN 0.0 ELSE (value - mean) / stddev END AS zscore,
+                     (n >= 50 AND abs(CASE WHEN stddev = 0 THEN 0.0 ELSE (value - mean) / stddev END) > 3.0)
+                       AS is_anom
+              FROM s),
+            t AS (
+              SELECT *, COALESCE(lag(is_anom) OVER (PARTITION BY edge_key
+                                                    ORDER BY ts, conv_id, turn_idx), false) AS prev
+              FROM z)
+            SELECT edge_key, ts, conv_id, turn_idx,
+                   round(value + 1e-9, 4) AS value_r, round(mean + 1e-9, 4) AS mean_r,
+                   round(stddev + 1e-9, 4) AS stddev_r, round(zscore + 1e-9, 4) AS zscore_r
+            FROM t WHERE is_anom AND NOT prev
+        """,
+        "minhash_lsh": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS est_jaccard
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "simhash": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+            FROM documents WHERE doc_id % 5 = 1
+        """,
+        "fingerprint": """
+            SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        """,
+        "embedding_near_dup": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM s),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+                       AS cosine
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+        """,
+        "ann_ivf": f"""
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cells AS (SELECT vec_id, v, {_ivf_cell_sql('v')} AS cell FROM s),
+            qc AS (SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = 0),
+            pruned AS (
+              SELECT c.vec_id, c.v, qc.qv FROM cells c, qc
+              WHERE c.cell IN (qc.qcell, xor(qc.qcell, 1), xor(qc.qcell, 2), xor(qc.qcell, 4))),
+            sc AS (
+              SELECT vec_id,
+                     list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS dot,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+                     sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+              FROM pruned)
+            SELECT vec_id,
+                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 6) AS cosine
+            FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
         "edge_agg": f"""
             WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL}),
             lastn AS (

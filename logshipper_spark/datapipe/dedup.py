@@ -190,6 +190,76 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found with
+    pigeonhole-LSH banding: the 64-bit key splits into ``bands`` equal
+    chunks, and any pair within ``max_hamming < bands`` bit flips
+    differs in at most ``max_hamming`` chunks — so it shares at least
+    one chunk exactly. Candidates come from an equi-join on
+    (band, chunk); the exact Hamming distance (bit_count of the XOR)
+    verifies. No cross product anywhere — scales like the MinHash path.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    width = 64 // bands
+    sims = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sims.select(
+        "doc_id", "simhash", F.explode(chunks).alias("bc")
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "chunk"
+    )
+    cands = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def fingerprint_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate pairs by rolling-hash fingerprint equality
+    (textstats.fingerprint): a self-equi-join on the 64-bit fingerprint
+    — the pairwise view of exact dedup, shuffling only (id, fp)."""
+    from .textstats import fingerprint
+
+    fps = df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

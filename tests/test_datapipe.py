@@ -126,6 +126,35 @@ def test_simhash_near_vs_far(spark):
     assert hamming(sh[0], sh[1]) < hamming(sh[0], sh[2])
 
 
+def test_simhash_pairs_pigeonhole(spark):
+    """Identical docs pair at hamming 0; near docs within the band
+    guarantee are found; far docs are not paired."""
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 0
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(df).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_fingerprint_pairs_exact_only(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fox"),
+            (2, "fox brown quick the"),  # same tokens, different order
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.fingerprint_pairs(df).collect()}
+    assert pairs == {(0, 1)}  # order-sensitive: 2 does not match
+
+
 def test_simhash_deterministic(spark, docs):
     a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.limit(50)).collect()}
     b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs.limit(50)).collect()}
