@@ -28,6 +28,7 @@ def edge_agg(
     ts_col: str = "event_ts",
     latency_col: str = "latency_us",
     order_cols: list[str] | None = None,
+    ring_block_s: int | None = 3600,
 ) -> DataFrame:
     """Per-edge aggregate (reference: graph.go:63-154, types.go:30-58).
 
@@ -35,35 +36,96 @@ def edge_agg(
     uses the reference's exact nearest-rank percentile over the **last
     100 events** per edge (types.go:60-86): idx = int((n-1)*0.99) on the
     sorted window. ``order_cols`` pins the "last" ordering (stable turn
-    ordering — W11); defaults to the timestamp alone.
+    ordering — W11); defaults to the timestamp alone. The ring counts
+    *events* (a null-latency event occupies a ring slot; nulls are then
+    skipped for the percentile), matching the reference's ring buffer.
+
+    Hot-edge posture: with ``ring_block_s`` set (default 1 h), the ring
+    is computed in two bounded phases — per (edge, time-block) top-100
+    inside one groupBy (per-task work bounded by the edge's per-block
+    event rate), then a merge of the per-block top-100 lists (≤ 100 ×
+    blocks-per-edge elements, bounded by retention / block size). No
+    task ever sorts a hot edge's full history. ``ring_block_s=None``
+    selects the single-window plan (one shuffle; fine when no edge is
+    hot enough to matter). Outputs are identical: blocks partition the
+    primary order column's value range, so block-major order == global
+    order. ``order_cols[0]`` must be timestamp-typed for the blocked
+    path.
     """
     order_cols = order_cols or [ts_col]
     src, dst, op = F.col(src_col), F.col(dst_col), F.col(op_col)
     fed = df.filter((src != "") & (dst != ""))
     keys = [src.alias("src"), dst.alias("dst"), op.alias("op")]
-
-    # Single-shuffle plan: the row_number window hash-partitions on the
-    # edge key; the groupBy on the same keys reuses that partitioning
-    # (no second exchange, no join). The last-100 ring folds into the
-    # same aggregation as a conditional collect_list (nulls skipped).
-    w = Window.partitionBy(src_col, dst_col, op_col).orderBy(
-        *[F.col(c).desc() for c in order_cols]
-    )
-    ranked = fed.withColumn("_rn", F.row_number().over(w))
-    lat_in_ring = F.when(F.col("_rn") <= P99_WINDOW, F.col(latency_col))
-    aggd = ranked.groupBy(*keys).agg(
+    base_aggs = [
         F.count("*").alias("call_count"),
         F.sum(is_error_col(F.col("status_code")).cast("long")).alias("error_count"),
         F.sum(latency_col).alias("latency_sum_us"),
         F.min(ts_col).alias("first_seen"),
         F.max(ts_col).alias("last_seen"),
-        F.sort_array(F.collect_list(lat_in_ring)).alias("_lats"),
-    )
-    return aggd.select(
+    ]
+    out_cols = [
         "src", "dst", "op", "call_count", "error_count", "latency_sum_us",
-        _ring_p99(F.col("_lats")).alias("latency_p99_us"),
-        "first_seen", "last_seen",
+        "latency_p99_us", "first_seen", "last_seen",
+    ]
+
+    if ring_block_s is None:
+        # Single-shuffle plan: the row_number window hash-partitions on
+        # the edge key; the groupBy on the same keys reuses that
+        # partitioning (no second exchange, no join). The last-100 ring
+        # folds into the same aggregation as a conditional collect_list.
+        w = Window.partitionBy(src_col, dst_col, op_col).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        ranked = fed.withColumn("_rn", F.row_number().over(w))
+        lat_in_ring = F.when(F.col("_rn") <= P99_WINDOW, F.col(latency_col))
+        aggd = ranked.groupBy(*keys).agg(
+            *base_aggs, F.sort_array(F.collect_list(lat_in_ring)).alias("_lats")
+        )
+        return aggd.withColumn("latency_p99_us", _ring_p99(F.col("_lats"))).select(
+            *out_cols
+        )
+
+    # Bounded two-phase plan. Phase 1: ONE shuffle on (edge, block) —
+    # all base aggregates partially combined per block, plus the block's
+    # own top-100 rows as a desc-sorted struct array (sort_array over a
+    # rate-bounded per-block list, not a window over the whole edge).
+    blk = F.floor(
+        F.unix_micros(F.col(order_cols[0]).cast("timestamp"))
+        / F.lit(ring_block_s * 1_000_000)
     )
+    ostruct = F.struct(
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(latency_col).alias("_lat"),
+    )
+    part = fed.groupBy(*keys, blk.alias("_blk")).agg(
+        F.count("*").alias("_cnt"),
+        F.sum(is_error_col(F.col("status_code")).cast("long")).alias("_err"),
+        F.sum(latency_col).alias("_lsum"),
+        F.min(ts_col).alias("_min_ts"),
+        F.max(ts_col).alias("_max_ts"),
+        F.slice(
+            F.sort_array(F.collect_list(ostruct), asc=False), 1, P99_WINDOW
+        ).alias("_top"),
+    )
+    # Phase 2: merge per-block partials per edge (rows = blocks-per-edge,
+    # tiny). Per-block tops are each desc-sorted; flatten + one sort of
+    # ≤ 100 × blocks elements recovers the global last-100.
+    merged = part.groupBy("src", "dst", "op").agg(
+        F.sum("_cnt").alias("call_count"),
+        F.sum("_err").alias("error_count"),
+        F.sum("_lsum").alias("latency_sum_us"),
+        F.min("_min_ts").alias("first_seen"),
+        F.max("_max_ts").alias("last_seen"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("_top")), asc=False), 1, P99_WINDOW
+        ).alias("_ring"),
+    )
+    ring_lats = F.sort_array(
+        F.filter(
+            F.transform(F.col("_ring"), lambda s: s["_lat"]), lambda x: x.isNotNull()
+        )
+    )
+    return merged.withColumn("latency_p99_us", _ring_p99(ring_lats)).select(*out_cols)
 
 
 def _ring_p99(lats: Column) -> Column:

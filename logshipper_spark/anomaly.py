@@ -95,6 +95,18 @@ def detect_alerts(
             seen.add(c)
             dedup.append(c)
     scored = scored.select(*dedup)
+    # Replay only keys that have at least one candidate: keys with no
+    # above-threshold row can never alert, so they need not transit
+    # Arrow into the pandas kernel at all (on healthy systems that is
+    # almost every key). The flag is a max() window over the SAME key
+    # partitioning the rolling stats already shuffled on — one more
+    # window pass on the existing exchange, no join, no recompute.
+    wk = Window.partitionBy(*key_cols)
+    scored = (
+        scored.withColumn("_key_has_cand", F.max(F.col("is_anomaly").cast("int")).over(wk))
+        .filter(F.col("_key_has_cand") == 1)
+        .drop("_key_has_cand")
+    )
     schema = scored.withColumn("alert", F.lit(True)).schema
 
     ts_name, order_names = ts_col, list(order_cols)

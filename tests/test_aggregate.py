@@ -42,6 +42,45 @@ def test_edge_agg_basic(spark):
     assert edges[("a", "c", "op2")]["call_count"] == 1
 
 
+# ── bounded two-phase ring == single-window plan, hot edge spanning blocks ──
+def test_edge_agg_blocked_ring_matches_single_window(spark):
+    from datetime import timedelta
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # hot edge: 900 events over 5 hours (spans 5 one-hour blocks),
+    # latencies patterned so the last-100 p99 is order-sensitive
+    for i in range(900):
+        rows.append(
+            ("hot", "dst", "op", 500 if i % 7 == 0 else 200,
+             ((i * 37) % 997) * 100, base + timedelta(seconds=i * 20))
+        )
+    # cold edge + an all-null-latency edge
+    for i in range(30):
+        rows.append(("cold", "dst", "op", 200, i * 1000, base + timedelta(seconds=i)))
+    rows.append(("n", "d", "op", 200, None, base))
+    df = _df(spark, rows)
+    kw = dict(order_cols=["event_ts", "latency_us"])
+    blocked = {
+        (r["src"], r["dst"], r["op"]): r.asDict()
+        for r in agg.edge_agg(df, ring_block_s=3600, **kw).collect()
+    }
+    single = {
+        (r["src"], r["dst"], r["op"]): r.asDict()
+        for r in agg.edge_agg(df, ring_block_s=None, **kw).collect()
+    }
+    assert blocked == single
+    # per-task bound: no (edge, block) group holds the hot edge's full history
+    from pyspark.sql import functions as F
+
+    blk = F.floor(F.unix_micros(F.col("event_ts")) / F.lit(3600 * 1_000_000))
+    max_grp = (
+        df.groupBy("src_service", "dst_service", "operation", blk.alias("b"))
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_grp < 900  # 900-event hot edge split across 5 blocks
+
+
 # ── types.go:70-84: calcP99(nil) returns 0, never errors ──
 def test_p99_all_null_latency_is_zero(spark):
     rows = [
