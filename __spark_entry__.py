@@ -498,9 +498,9 @@ def q_resolver_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'' AS src_service",
         "'stdin' AS source_name",
     )
-    return enrich.resolve_services(facts, gen.lookup_hosts(spark)).select(
-        "event_id", "dst_service", "src_service"
-    )
+    return enrich.resolve_services(
+        facts, gen.lookup_hosts(spark), docker_replicas=True
+    ).select("event_id", "dst_service", "src_service")
 
 
 # ── routing fan-out + per-sink windowed counts (K3, A12–A13) ──
@@ -1216,7 +1216,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE user_id % 5 WHEN 0 THEN 'db-service'
                         WHEN 1 THEN 'redis-cache'
                         WHEN 2 THEN 'redis-cache'
-                        WHEN 3 THEN 'unknown-' || CAST(user_id % 7 AS VARCHAR)
+                        WHEN 3 THEN 'unknown'
                         ELSE 'mail-service' END AS dst_service,
                    'stdin' AS src_service
             FROM events

@@ -52,12 +52,36 @@ def resolve_expr(host: Column, lookup_rows: list[tuple[str, str, bool, int]]) ->
     return expr if expr is not None else F.lit(None).cast("string")
 
 
+_REPLICA_SUFFIX = r"[-_]\d+$"
+
+
+def strip_replica_suffix(host: Column) -> Column:
+    """Docker compose replica-suffix normalization (reference:
+    internal/resolve/docker.go:27,40-41): ``web-3`` / ``web_12`` →
+    ``web``; hosts without a trailing ``[-_]<digits>`` are unchanged."""
+    return F.regexp_replace(host, _REPLICA_SUFFIX, "")
+
+
+def _docker_stage(host: Column, rows: list[tuple[str, str, bool, int]]) -> Column:
+    """Chain stage mirroring the Docker resolver's name fallback
+    (docker.go:29-46) without a Docker API: a host in compose-replica
+    shape (``name[-_]N``) resolves through the static map under its
+    stripped name, else to the stripped name itself. NULL for hosts not
+    in replica shape (the next chain stage decides)."""
+    stripped = strip_replica_suffix(host)
+    return F.when(
+        host.rlike(_REPLICA_SUFFIX),
+        F.coalesce(resolve_expr(stripped, rows), stripped),
+    )
+
+
 def resolve_services(
     df: DataFrame,
     hosts_df: DataFrame,
     dst_col: str = "dst_service",
     src_col: str = "src_service",
     source_name_col: str = "source_name",
+    docker_replicas: bool = False,
 ) -> DataFrame:
     """Pipeline.resolve semantics (reference: pipeline.go:178-192):
     enrich dst_service when set; backfill empty src_service from the
@@ -66,6 +90,11 @@ def resolve_services(
     ``hosts_df`` must be small (it is a config dimension); it is
     collected once on the driver and compiled into a first-match
     expression — the Spark analogue of shipping the resolver map.
+
+    ``docker_replicas=True`` appends the Docker-resolver stage to the
+    chain (reference config ``resolve.docker: true``): hosts the static
+    map misses are retried with their replica suffix stripped
+    (docker.go:29-46, J5).
     """
     rows = [
         (r["host_pattern"], r["service"], r["is_wildcard"], r["priority"])
@@ -76,6 +105,9 @@ def resolve_services(
     src_name = F.col(source_name_col)
     resolved_dst = resolve_expr(dst, rows)
     resolved_src = resolve_expr(src_name, rows)
+    if docker_replicas:
+        resolved_dst = F.coalesce(resolved_dst, _docker_stage(dst, rows))
+        resolved_src = F.coalesce(resolved_src, _docker_stage(src_name, rows))
     out = df.withColumn(
         dst_col, F.when(dst != "", F.coalesce(resolved_dst, dst)).otherwise(dst)
     )
@@ -115,9 +147,15 @@ def enrich_roles(
     )
 
 
-def resolve_one(host: str, lookup_rows: list[tuple[str, str, bool, int]]) -> str | None:
+def resolve_one(
+    host: str,
+    lookup_rows: list[tuple[str, str, bool, int]],
+    docker_replicas: bool = False,
+) -> str | None:
     """Driver-side single-value resolver (test oracle parity helper),
-    same semantics as resolve_expr."""
+    same semantics as resolve_expr (+ optional Docker replica stage)."""
+    import re
+
     lowered = host.lower()
     ordered = sorted(lookup_rows, key=lambda r: r[3])
     for pat, svc, is_wild, _ in ordered:
@@ -126,4 +164,7 @@ def resolve_one(host: str, lookup_rows: list[tuple[str, str, bool, int]]) -> str
     for pat, svc, is_wild, _ in ordered:
         if is_wild and fnmatchcase(lowered, pat.lower()):
             return svc
+    if docker_replicas and re.search(r"[-_]\d+$", host):
+        stripped = re.sub(r"[-_]\d+$", "", host)
+        return resolve_one(stripped, lookup_rows) or stripped
     return None

@@ -66,7 +66,9 @@ def normalize_and_enrich(
         parsed, lookup_roles if lookup_roles is not None else gen.lookup_roles(spark)
     )
     enriched = enrich.resolve_services(
-        enriched, lookup_hosts if lookup_hosts is not None else gen.lookup_hosts(spark)
+        enriched,
+        lookup_hosts if lookup_hosts is not None else gen.lookup_hosts(spark),
+        docker_replicas=True,  # reference config: resolve.docker: true
     )
     if skip_turn_rank:
         return enriched

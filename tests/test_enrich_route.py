@@ -52,6 +52,55 @@ def test_resolve_one_matches_expr():
         assert resolve_one(host, LOOKUP) == want
 
 
+# ── docker.go:27-46 replica-suffix strip (J5) ──
+def test_docker_replica_suffix_stage(spark):
+    rows = LOOKUP + [("web", "web-frontend", False, 4)]
+    hosts = spark.createDataFrame(
+        rows, "host_pattern string, service string, is_wildcard boolean, priority int"
+    )
+    df = spark.createDataFrame(
+        [
+            ("", "web-3", "s"),        # strip → static hit on 'web'
+            ("", "web_12", "s"),       # underscore replicas too
+            ("", "worker-2", "s"),     # strip → no static hit → stripped name
+            ("", "worker", "s"),       # not replica-shaped → kept as-is
+            ("", "replica-1.redis.svc", "s"),  # wildcard wins before docker stage
+            ("", "10.0.0.5", "s"),     # exact wins before docker stage
+        ],
+        "src_service string, dst_service string, source_name string",
+    )
+    got = [
+        r["dst_service"]
+        for r in resolve_services(df, hosts, docker_replicas=True).collect()
+    ]
+    assert got == [
+        "web-frontend", "web-frontend", "worker", "worker", "redis-cache",
+        "payment-db",
+    ]
+
+
+def test_docker_replica_off_by_default(spark):
+    hosts = spark.createDataFrame(
+        LOOKUP, "host_pattern string, service string, is_wildcard boolean, priority int"
+    )
+    df = spark.createDataFrame(
+        [("", "web-3", "s")],
+        "src_service string, dst_service string, source_name string",
+    )
+    assert resolve_services(df, hosts).collect()[0]["dst_service"] == "web-3"
+
+
+def test_resolve_one_docker_parity():
+    rows = LOOKUP + [("web", "web-frontend", False, 4)]
+    for host, want in [
+        ("web-3", "web-frontend"),
+        ("worker-2", "worker"),
+        ("worker", None),
+        ("replica-1.redis.svc", "redis-cache"),
+    ]:
+        assert resolve_one(host, rows, docker_replicas=True) == want
+
+
 # ── pipeline.go:178-192 dst enrich + src backfill ──
 def test_resolve_services(spark):
     hosts = spark.createDataFrame(
