@@ -34,13 +34,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream", action="store_true",
                     help="streaming mode: drain --input via checkpointed foreachBatch")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream)")
+    ap.add_argument("--config",
+                    help="YAML topology (sources/transforms/sinks, env-expanded, "
+                         "validated like the reference's config.Validate)")
     args = ap.parse_args(argv)
 
+    from logshipper_spark import config as cfgmod
     from logshipper_spark import gen, pipeline, streaming
     from logshipper_spark.session import get_spark
 
     spark = get_spark(app_name="logshipper-pipeline")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    if args.config:
+        cfg = cfgmod.load_config(args.config)
+        summary = cfgmod.run_from_config(
+            spark, cfg, args.out, run_id=args.run_id, batch_id=args.batch_id
+        )
+        print(json.dumps(summary))
+        return 0
 
     if args.stream:
         if not args.input or not args.checkpoint:

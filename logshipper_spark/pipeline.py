@@ -49,6 +49,7 @@ def normalize_and_enrich(
     lookup_roles: DataFrame | None = None,
     lookup_hosts: DataFrame | None = None,
     skip_turn_rank: bool = False,
+    docker_replicas: bool = True,
 ) -> DataFrame:
     """The narrow stage: parse the text column (role plays the
     reference's source name), broadcast-enrich on (role, tool), resolve
@@ -68,7 +69,7 @@ def normalize_and_enrich(
     enriched = enrich.resolve_services(
         enriched,
         lookup_hosts if lookup_hosts is not None else gen.lookup_hosts(spark),
-        docker_replicas=True,  # reference config: resolve.docker: true
+        docker_replicas=docker_replicas,  # reference config: resolve.docker
     )
     if skip_turn_rank:
         return enriched
@@ -94,6 +95,10 @@ def run_batch(
     rules: list[tuple[str, str, int]] | None = None,
     write: bool = True,
     sink_write_mode: str = "per_sink",
+    lookup_roles: DataFrame | None = None,
+    lookup_hosts: DataFrame | None = None,
+    transform_fn=None,
+    docker_replicas: bool = True,
 ) -> dict:
     """One batch of the full pipeline. Returns a summary dict with the
     per-sink row counts and counters (the numbers the north rule
@@ -118,7 +123,14 @@ def run_batch(
     t0 = time.time()
 
     obs = Observation(f"pipeline_{run_id}_{batch_id}")
-    enriched = normalize_and_enrich(spark, transcripts, ingest_ts=ingest_ts)
+    enriched = normalize_and_enrich(
+        spark, transcripts, ingest_ts=ingest_ts,
+        lookup_roles=lookup_roles, lookup_hosts=lookup_hosts,
+        docker_replicas=docker_replicas,
+    )
+    if transform_fn is not None:
+        # config-compiled remap chain (add_fields / case), still narrow
+        enriched = transform_fn(enriched)
     enriched = enriched.observe(
         obs,
         F.count(F.lit(1)).alias("rows_in"),

@@ -1,0 +1,165 @@
+"""Config loader/validator tests (reference: internal/config/load.go,
+validate.go — every validation error the reference can produce, plus env
+expansion with Go os.ExpandEnv semantics)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from logshipper_spark import config as cfgmod
+from logshipper_spark.config import (
+    Config, ConfigError, SinkConfig, SourceConfig, TransformConfig,
+    expand_env, from_dict, load_config,
+)
+
+VALID_YAML = """
+sources:
+  gen_main:
+    type: "generate"
+    n_turns: 500
+transforms:
+  add_metadata:
+    type: "remap-lite"
+    inputs: ["gen_main"]
+    add_fields:
+      env: "${APP_ENV}"
+sinks:
+  errors:
+    type: "parquet"
+    inputs: ["add_metadata"]
+    filter: "level = 'error' OR status_code >= 500"
+  everything:
+    type: "parquet"
+    inputs: ["add_metadata"]
+resolve:
+  static:
+    "db.internal": "postgres"
+    "*.redis.svc": "redis"
+  docker: true
+anomaly:
+  window_size: 50
+  threshold: 2.5
+"""
+
+
+def _cfg(**kw) -> Config:
+    base = dict(
+        sources={"s": SourceConfig(type="generate", n_turns=10)},
+        sinks={"k": SinkConfig(inputs=["s"])},
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+# ── load.go:17 env expansion: unset vars expand to "" (Go semantics) ──
+def test_expand_env_set_and_unset():
+    os.environ["CFGTEST_X"] = "hello"
+    try:
+        assert expand_env("a=${CFGTEST_X} b=$CFGTEST_X") == "a=hello b=hello"
+        assert expand_env("gone=${CFGTEST_NOPE_UNSET}!") == "gone=!"
+    finally:
+        del os.environ["CFGTEST_X"]
+
+
+# ── validate.go:6-8 / 10-12 ──
+def test_no_sources():
+    with pytest.raises(ConfigError, match="at least one source is required"):
+        _cfg(sources={}).validate()
+
+
+def test_no_sinks():
+    with pytest.raises(ConfigError, match="at least one sink is required"):
+        _cfg(sinks={}).validate()
+
+
+# ── validate.go:14-23 transform inputs ──
+def test_transform_empty_inputs():
+    c = _cfg(transforms={"t": TransformConfig(inputs=[])})
+    with pytest.raises(ConfigError, match=r"transform \[t\]: inputs list is empty"):
+        c.validate()
+
+
+def test_transform_unknown_input():
+    c = _cfg(transforms={"t": TransformConfig(inputs=["ghost"])})
+    with pytest.raises(
+        ConfigError, match=r"transform \[t\]: refers to unknown input 'ghost'"
+    ):
+        c.validate()
+
+
+# ── validate.go:25-34 sink inputs ──
+def test_sink_empty_inputs():
+    c = _cfg(sinks={"k": SinkConfig(inputs=[])})
+    with pytest.raises(ConfigError, match=r"sink \[k\]: inputs list is empty"):
+        c.validate()
+
+
+def test_sink_unknown_input():
+    c = _cfg(sinks={"k": SinkConfig(inputs=["ghost"])})
+    with pytest.raises(ConfigError, match=r"sink \[k\]: refers to unknown input 'ghost'"):
+        c.validate()
+
+
+# ── validate.go:37-41 a transform is a valid input ──
+def test_sink_can_input_transform():
+    c = _cfg(
+        transforms={"t": TransformConfig(inputs=["s"])},
+        sinks={"k": SinkConfig(inputs=["t"])},
+    )
+    c.validate()  # no raise
+
+
+def test_load_and_compile(tmp_path):
+    os.environ["APP_ENV"] = "prod"
+    try:
+        p = tmp_path / "cfg.yml"
+        p.write_text(VALID_YAML)
+        cfg = load_config(str(p))
+    finally:
+        del os.environ["APP_ENV"]
+    assert cfg.sources["gen_main"].n_turns == 500
+    assert cfg.transforms["add_metadata"].add_fields == {"env": "prod"}
+    compiled = cfgmod.compile_pipeline(cfg)
+    assert compiled["docker_replicas"] is True
+    assert compiled["anomaly"]["window_size"] == 50
+    assert ("db.internal", "postgres", False, 0) in compiled["host_rows"]
+    assert ("*.redis.svc", "redis", True, 1) in compiled["host_rows"]
+    rules = dict((name, pred) for name, pred, _ in compiled["rules"])
+    assert rules["errors"].startswith("level = 'error'")
+    assert rules["everything"] == "true"
+
+
+def test_load_invalid_yaml_fails_validation(tmp_path):
+    p = tmp_path / "bad.yml"
+    p.write_text("sources:\n  a:\n    type: generate\n")  # no sinks
+    with pytest.raises(ConfigError, match="at least one sink"):
+        load_config(str(p))
+
+
+def test_run_from_config_end_to_end(spark, tmp_path):
+    p = tmp_path / "cfg.yml"
+    p.write_text(VALID_YAML)
+    os.environ["APP_ENV"] = "prod"
+    try:
+        cfg = load_config(str(p))
+    finally:
+        del os.environ["APP_ENV"]
+    out = tmp_path / "out"
+    summary = cfgmod.run_from_config(spark, cfg, str(out), run_id="cfgtest")
+    assert summary["rows_in"] == 500
+    assert set(summary["sink_rows"]) == {"errors", "everything"}
+    assert summary["sink_rows"]["everything"] == 500
+    assert 0 < summary["sink_rows"]["errors"] < 500
+    # sinks landed on disk under batch_id dirs
+    assert (out / "sinks" / "errors" / "batch_id=0").exists()
+    # add_fields landed in the raw map
+    rows = spark.read.parquet(str(out / "sinks" / "everything" / "batch_id=0"))
+    assert rows.limit(1).select("raw").first()["raw"].get("env") == "prod"
+
+
+def test_unknown_source_type_raises(spark):
+    c = _cfg(sources={"s": SourceConfig(type="wat")})
+    with pytest.raises(ConfigError, match=r"source \[s\]: unknown type 'wat'"):
+        cfgmod.build_source(spark, "s", c.sources["s"])
