@@ -610,16 +610,24 @@ IVF_CELLS, IVF_PROBE, IVF_DIM = 16, 4, 64
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned top-k. The oracle recomputes the deterministic
+    """IVF-pruned top-k through the *indexed* path: the table is
+    written partitioned by cell once, and the probe is directory-level
+    partition pruning. The oracle recomputes the deterministic
     hyperplane cell assignment in SQL (the planes are literals), probes
     the same cells, and takes the same cosine top-k — an independent
     re-derivation, not a brute-force comparison (IVF deliberately
     trades recall on unclustered data)."""
+    import os
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
-    return similarity.ivf_topk(emb, qv, k=10, num_cells=IVF_CELLS, n_probe=IVF_PROBE)
+    idx = f"/tmp/spark_graft_contract/ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.write_ivf_index(emb, idx, num_cells=IVF_CELLS, dim=len(qv))
+    return similarity.ivf_topk_indexed(
+        spark, idx, qv, k=10, num_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,14 +266,16 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     num_planes: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: random-hyperplane LSH buckets (sign
     signature over deterministic ±1 planes) then exact cosine inside
-    buckets only."""
+    buckets only. Pass ``dim`` to keep plan construction lazy (without
+    it a one-row probe job infers the vector width)."""
     from .similarity import _plane, _vec_dim
 
     v = F.col(vec_col)
-    dim = _vec_dim(df, vec_col)
+    dim = dim if dim is not None else _vec_dim(df, vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     # planes are driver-side literal arrays — one multiply-add pass per
     # plane per row, no per-element hashing (see similarity._plane)

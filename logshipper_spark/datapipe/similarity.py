@@ -103,6 +103,23 @@ def assign_cells(
     return df.withColumn("cell", cell.cast("int"))
 
 
+def probe_cells(query: list[float], num_cells: int = 16, n_probe: int = 4) -> list[int]:
+    """The query's own cell plus its ``n_probe - 1`` nearest neighbors
+    (single signature-bit flips) — computed entirely on the driver
+    (the planes are deterministic literals, no Spark job)."""
+    import math
+
+    bits = max(1, int(math.ceil(math.log2(num_cells))))
+    qcell = 0
+    for p in range(bits):
+        plane = _plane(len(query), 1000 + p)
+        proj = sum(a * b for a, b in zip(query, plane))
+        if proj > 0:
+            qcell |= 1 << p
+    probes = [qcell] + [qcell ^ (1 << b) for b in range(bits)]
+    return probes[: max(1, n_probe)]
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],
@@ -112,18 +129,48 @@ def ivf_topk(
     num_cells: int = 16,
     n_probe: int = 4,
 ) -> DataFrame:
-    """IVF-style pruned top-k: score only vectors in the query's cell and
-    its ``n_probe-1`` nearest cells (signature bit flips). At scale the
-    table is written bucketed/partitioned by ``cell`` so the probe is
-    partition pruning, not a filter scan."""
-    spark = df.sparkSession
-    import math
-
-    bits = max(1, int(math.ceil(math.log2(num_cells))))
-    qdf = spark.createDataFrame([(query,)], f"{vec_col} array<double>")
-    qcell = assign_cells(qdf, num_cells, vec_col, dim=len(query)).first()["cell"]
-    probes = [qcell] + [qcell ^ (1 << b) for b in range(bits)]
-    probes = probes[: max(1, n_probe)]
+    """IVF-style pruned top-k over an *unindexed* frame: assigns cells
+    on the fly and filters — a full scan with a cheap predicate. For
+    the 100 TB path use ``write_ivf_index`` + ``ivf_topk_indexed``,
+    where the probe is directory-level partition pruning instead."""
+    probes = probe_cells(query, num_cells, n_probe)
     cells = assign_cells(df, num_cells, vec_col, dim=len(query))
     pruned = cells.filter(F.col("cell").isin(probes))
+    return cosine_topk(pruned, query, vec_col, id_col, k)
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the table partitioned by its IVF cell (the cell id is
+    stable per vector, so this is a one-time ingest-side cost). Queries
+    through ``ivf_topk_indexed`` then read only the probed partition
+    directories — at 100 TB, a ``n_probe/num_cells`` fraction of the
+    bytes, decided before any task launches."""
+    assign_cells(df, num_cells, vec_col, dim=dim).write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a ``write_ivf_index`` table: the cell predicate is
+    a partition filter (hive-style ``cell=N`` directories), so unprobed
+    cells are never scanned — verify with .explain(): PartitionFilters
+    carries the cell IN list and PushedFilters stays empty."""
+    probes = probe_cells(query, num_cells, n_probe)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     return cosine_topk(pruned, query, vec_col, id_col, k)

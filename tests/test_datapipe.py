@@ -196,6 +196,45 @@ def test_ivf_topk_recall(spark, embs):
 
 
 # ── multimodal plumbing ──
+def test_ivf_indexed_partition_pruning(spark, embs, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: same result as the on-the-fly
+    IVF, and the scan prunes to the probed cell directories (the cell
+    predicate appears as a PartitionFilter, not a data filter)."""
+    emb = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, num_cells=16, dim=len(qv))
+    indexed = similarity.ivf_topk_indexed(spark, path, qv, k=5, num_cells=16, n_probe=4)
+    onthefly = similarity.ivf_topk(emb, qv, k=5, num_cells=16, n_probe=4)
+    assert [r.asDict() for r in indexed.collect()] == [
+        r.asDict() for r in onthefly.collect()
+    ]
+    probes = similarity.probe_cells(qv, num_cells=16, n_probe=4)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # only probed cell directories are read
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and all(str(p) in m.group(1) for p in probes)
+
+
+def test_probe_cells_matches_assign_cells(spark, embs):
+    """Driver-side qcell == Spark-side cell assignment for the same vector."""
+    emb = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).limit(5)
+    rows = emb.collect()
+    dim = len(rows[0]["embedding"])
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(emb, 16, dim=dim).collect()
+    }
+    for r in rows:
+        qv = [float(x) for x in r["embedding"]]
+        assert similarity.probe_cells(qv, 16, 1)[0] == cells[r["vec_id"]]
+
+
 def test_media_features(spark):
     media = multimodal.gen_media(spark, 50)
     feats = multimodal.decode_stub_features(media)
