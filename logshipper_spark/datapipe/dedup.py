@@ -88,20 +88,25 @@ def ngram_jaccard_pairs(
 def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
     """MinHash signature: array<long> of length num_hashes.
 
-    Scale note: each shingle is string-hashed ONCE, then the
+    Scale notes: each shingle is string-hashed ONCE, then the
     ``num_hashes`` permutations re-hash that fixed-width 64-bit value
     (xxhash64 over a long is a few ALU ops — no string traversal) —
-    the standard one-pass MinHash construction. The naive form
-    (num_hashes string hashes per shingle) costs ~32x more string
-    hashing for identical statistical behavior.
+    the standard one-pass MinHash construction. The signature is a
+    single fold over the shingle array (accumulator = running
+    elementwise min of the per-shingle permutation vector) instead of
+    ``num_hashes`` separate array_min passes — one traversal of the
+    shingle array total.
     """
-    sh = shingles(text, k)
-    base = F.transform(sh, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    base = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+    top = F.array_repeat(F.lit(0x7FFFFFFFFFFFFFFF).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        top,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(h, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -119,13 +124,18 @@ def minhash_lsh_pairs(
     equi-join on (band index, band hash) — a shuffle on small keys, no
     cross product."""
     rows = num_hashes // bands
+    # cache the signatures: the LSH self-join references them from both
+    # sides, and without the cache Spark recomputes the whole
+    # shingle+hash subtree twice (the dominant cost of this operator)
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
-    )
+    ).cache()
+    # band join ships only (doc_id, band, bucket) — the 32-long
+    # signature arrays do NOT ride the explode/shuffle; they re-join
+    # onto the (small) candidate pair set afterwards
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -141,19 +151,17 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -161,7 +169,9 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(num_hashes))
     return (
-        cands.withColumn("est_jaccard", est)
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -105,8 +105,22 @@ def test_minhash_estimates_jaccard(spark):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
              dedup.minhash_lsh_pairs(df, num_hashes=64, bands=16, threshold=0.3).collect()}
     assert (0, 1) in pairs
-    assert pairs[(0, 1)] > 0.4  # true jaccard = 8/12 ≈ 0.67, estimate within band
+    # true jaccard = 8/12 ≈ 0.67; a healthy 64-permutation estimate lands
+    # in a band around it — and is NOT degenerate (a collapsed signature
+    # reports exactly 0.0 or 1.0; caught a real bug in round 2)
+    assert 0.4 < pairs[(0, 1)] < 0.95
     assert not any(2 in p for p in pairs)
+
+
+def test_minhash_signature_lanes_are_independent(spark):
+    """Every permutation lane must use a distinct hash: a collapsed
+    signature (all 32 values equal) breaks the jaccard estimator."""
+    sig = (
+        spark.createDataFrame([("a b c d e f g h",)], ["text"])
+        .select(dedup.minhash_signature(F.col("text"), k=3, num_hashes=32).alias("s"))
+        .first()["s"]
+    )
+    assert len(set(sig)) > 16  # 6 shingles x 32 perms: near-all distinct mins
 
 
 def test_simhash_near_vs_far(spark):
