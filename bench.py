@@ -113,16 +113,19 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     import shutil
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="bench_batch_")
-    try:
-        summary = pipeline.run_batch(
-            spark, tr, out_dir, run_id="bench", batch_id=0,
-            sink_write_mode="single_pass",
-        )
-        times["full_batch_with_sinks"] = round(summary["elapsed_sec"], 3)
-        result_batch_tps = round(summary["turns_per_sec"], 1)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    batch_tps = {}
+    for mode in ("single_pass", "per_sink"):
+        out_dir = tempfile.mkdtemp(prefix="bench_batch_")
+        try:
+            summary = pipeline.run_batch(
+                spark, tr, out_dir, run_id="bench", batch_id=0,
+                sink_write_mode=mode,
+            )
+            times[f"full_batch_{mode}"] = round(summary["elapsed_sec"], 3)
+            batch_tps[mode] = round(summary["turns_per_sec"], 1)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    result_batch_tps = batch_tps["single_pass"]
 
     times["anomaly_zscore"] = _timed(
         lambda: _force(
@@ -169,6 +172,7 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
 
     result["value"] = turns_per_sec
     result["batch_turns_per_sec_with_sink_io"] = result_batch_tps
+    result["batch_turns_per_sec_by_mode"] = batch_tps
     return result
 
 

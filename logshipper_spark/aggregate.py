@@ -86,9 +86,11 @@ def edge_agg(
         )
 
     # Bounded two-phase plan. Phase 1: ONE shuffle on (edge, block) —
-    # all base aggregates partially combined per block, plus the block's
-    # own top-100 rows as a desc-sorted struct array (sort_array over a
-    # rate-bounded per-block list, not a window over the whole edge).
+    # a row_number window ranks within each (edge, block) via the
+    # Tungsten sort (per-task work bounded by the edge's per-block
+    # rate), and a groupBy on the SAME keys reuses the exchange to fold
+    # the base aggregates plus a conditional collect of only the
+    # block's top-100 rows.
     blk = F.floor(
         F.unix_micros(F.col(order_cols[0]).cast("timestamp"))
         / F.lit(ring_block_s * 1_000_000)
@@ -97,15 +99,19 @@ def edge_agg(
         *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
         F.col(latency_col).alias("_lat"),
     )
-    part = fed.groupBy(*keys, blk.alias("_blk")).agg(
+    with_blk = fed.withColumn("_blk", blk)
+    wb = Window.partitionBy(src_col, dst_col, op_col, "_blk").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    ranked = with_blk.withColumn("_rn", F.row_number().over(wb))
+    top_in_blk = F.when(F.col("_rn") <= P99_WINDOW, ostruct)
+    part = ranked.groupBy(*keys, "_blk").agg(
         F.count("*").alias("_cnt"),
         F.sum(is_error_col(F.col("status_code")).cast("long")).alias("_err"),
         F.sum(latency_col).alias("_lsum"),
         F.min(ts_col).alias("_min_ts"),
         F.max(ts_col).alias("_max_ts"),
-        F.slice(
-            F.sort_array(F.collect_list(ostruct), asc=False), 1, P99_WINDOW
-        ).alias("_top"),
+        F.sort_array(F.collect_list(top_in_blk), asc=False).alias("_top"),
     )
     # Phase 2: merge per-block partials per edge (rows = blocks-per-edge,
     # tiny). Per-block tops are each desc-sorted; flatten + one sort of

@@ -94,7 +94,7 @@ def run_batch(
     ingest_ts: str = DEFAULT_INGEST_TS,
     rules: list[tuple[str, str, int]] | None = None,
     write: bool = True,
-    sink_write_mode: str = "per_sink",
+    sink_write_mode: str = "single_pass",
     lookup_roles: DataFrame | None = None,
     lookup_hosts: DataFrame | None = None,
     transform_fn=None,
@@ -109,14 +109,22 @@ def run_batch(
     no extra jobs for rows_in / per-format counts / parse errors.
 
     ``sink_write_mode``:
-      * ``per_sink`` — N filtered writes off the cached intermediate
+      * ``per_sink`` — N filtered writes off a cached intermediate
         under ``sinks/<sink>/batch_id=N`` (clear per-sink layout; each
         write prunes on its own pushed-down predicate).
-      * ``single_pass`` — one scan for ALL sinks: the routed fan-out is
-        written once with ``partitionBy(sink)`` under
-        ``sinks_by/batch_id=N/sink=<name>``. At 100 TB, where the
-        cached intermediate cannot be assumed memory-resident, this
-        avoids re-scanning the batch once per sink.
+      * ``single_pass`` (default) — the 100 TB shape: parse → enrich →
+        route → write fuses into ONE pass (no cache materialization —
+        a 100 TB batch is never memory-resident), written with
+        ``partitionBy(sink)`` under ``sinks_by/batch_id=N/sink=<name>``.
+        Per-sink counts and windowed aggregates then *read back* the
+        written parquet (column-pruned scans of compact files — the
+        write IS the materialization); the edge aggregate recomputes
+        the narrow parse chain, which Catalyst prunes to the handful of
+        columns it needs.
+
+    Sink payload: the normalized event including the ``raw`` map but
+    not the original source line (reference: NormalizedEvent,
+    internal/event/event.go:24-38, carries Raw, not the raw text).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     rules = rules or gen.routing_rules()
@@ -140,27 +148,32 @@ def run_batch(
             for f in KNOWN_FORMATS
         ],
     )
-    enriched = enriched.cache()  # one parse, N filtered sink writes (K3)
+    single_pass = write and sink_write_mode == "single_pass"
+    if not single_pass:
+        enriched = enriched.cache()  # one parse, N filtered sink writes (K3)
 
     routed = route.routed_rows(enriched, rules)
     sink_rows: dict[str, int] = {}
-    lineage_parts = [_partition_counts(enriched, "parse")]
 
-    if write and sink_write_mode == "single_pass":
+    if single_pass:
+        # THE pass: parse+enrich+route+write fused; observe() rides it
         path = os.path.join(out_dir, "sinks_by", f"batch_id={batch_id}")
-        routed.write.mode("overwrite").partitionBy("sink").parquet(path)
+        routed.drop("text").write.mode("overwrite").partitionBy("sink").parquet(path)
+        routed_for_agg = spark.read.parquet(path)
     elif write:
         for sink, pred, _ in sorted(rules, key=lambda r: r[2]):
             sink_df = enriched.filter(F.expr(pred))
             path = os.path.join(out_dir, "sinks", sink, f"batch_id={batch_id}")
-            sink_df.write.mode("overwrite").parquet(path)
+            sink_df.drop("text").write.mode("overwrite").parquet(path)
+        routed_for_agg = routed
+    else:
+        routed_for_agg = routed
 
     # per-sink row counts AND per-sink per-partition lineage in ONE pass
-    # over the fan-out (the per-sink-count-job-per-sink form re-scanned
-    # the cached batch once per sink — 100 TB batches are not
-    # memory-resident, so each re-scan would be a full read)
+    # over the fan-out (read back from the written files in single_pass —
+    # a column-pruned footer-light scan, not a recompute)
     sink_part = (
-        routed.groupBy(
+        routed_for_agg.groupBy(
             F.spark_partition_id().alias("partition_id"), F.col("sink")
         )
         .agg(F.count("*").alias("rows_out"))
@@ -169,7 +182,6 @@ def run_batch(
     )
     for r in sink_part.groupBy("sink").agg(F.sum("rows_out").alias("cnt")).collect():
         sink_rows[r["sink"]] = int(r["cnt"])
-    lineage_parts.append(sink_part.select("partition_id", "rows_out", "stage"))
 
     # observe() metrics are available after the first action above
     metrics = obs.get
@@ -179,9 +191,29 @@ def run_batch(
         f: metrics[f"fmt_{f}"] for f in KNOWN_FORMATS if metrics[f"fmt_{f}"] > 0
     }
 
-    counts = route.sink_counts(routed, ts_col="ts", window_duration="1 minute")
+    if single_pass:
+        # the write pass was the parse pass; per-partition parse lineage
+        # would need a second full scan, so commit the (exact) total
+        parse_lineage = spark.createDataFrame(
+            [(-1, rows_in, "parse")], "partition_id int, rows_out long, stage string"
+        ).select("partition_id", "rows_out", "stage")
+    else:
+        parse_lineage = _partition_counts(enriched, "parse")
+    lineage_parts = [parse_lineage, sink_part.select("partition_id", "rows_out", "stage")]
+
+    counts = route.sink_counts(routed_for_agg, ts_col="ts", window_duration="1 minute")
+    # edge aggregate input: with a catch-all sink (predicate 'true'),
+    # its written partition IS the full enriched frame — a pruned,
+    # column-projected read-back instead of a second parse pass
+    catch_all = next(
+        (s for s, pred, _ in rules if pred.strip().lower() == "true"), None
+    )
+    if single_pass and catch_all is not None:
+        edge_src = routed_for_agg.filter(F.col("sink") == catch_all)
+    else:
+        edge_src = enriched
     edges = agg.edge_agg(
-        enriched, ts_col="event_ts", order_cols=["ts", "conv_id", "turn_idx"]
+        edge_src, ts_col="event_ts", order_cols=["ts", "conv_id", "turn_idx"]
     )
     if write:
         counts.write.mode("overwrite").parquet(
@@ -229,7 +261,8 @@ def run_batch(
 
     elapsed = time.time() - t0
     sink_part.unpersist()
-    enriched.unpersist()
+    if not single_pass:
+        enriched.unpersist()
     return {
         "run_id": run_id,
         "batch_id": batch_id,

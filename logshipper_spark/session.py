@@ -48,6 +48,11 @@ def get_spark(
         # while keeping whole-stage codegen for every normal stage
         # (measured: 30k -> 216k rows/s on the parse+enrich chain).
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # measured on the sink write path (600k-row routed fan-out):
+        # snappy 16.8s/75MB, lz4 6.3s/76MB, zstd 8.8s/48MB. lz4 is
+        # strictly better than snappy here (same bytes, 2.7x faster);
+        # prefer zstd instead when storage/network bytes dominate.
+        .config("spark.sql.parquet.compression.codec", "lz4")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM is the whole "cluster". 8g measured

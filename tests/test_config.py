@@ -152,10 +152,12 @@ def test_run_from_config_end_to_end(spark, tmp_path):
     assert set(summary["sink_rows"]) == {"errors", "everything"}
     assert summary["sink_rows"]["everything"] == 500
     assert 0 < summary["sink_rows"]["errors"] < 500
-    # sinks landed on disk under batch_id dirs
-    assert (out / "sinks" / "errors" / "batch_id=0").exists()
+    # sinks landed on disk (default single-pass layout, hive sink= dirs)
+    assert (out / "sinks_by" / "batch_id=0" / "sink=errors").exists()
     # add_fields landed in the raw map
-    rows = spark.read.parquet(str(out / "sinks" / "everything" / "batch_id=0"))
+    rows = spark.read.parquet(str(out / "sinks_by" / "batch_id=0")).filter(
+        "sink = 'everything'"
+    )
     assert rows.limit(1).select("raw").first()["raw"].get("env") == "prod"
 
 

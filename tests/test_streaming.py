@@ -34,10 +34,8 @@ def test_stream_drains_and_resumes(spark, tmp_path):
     assert len(done) >= 2  # maxFilesPerTrigger=2 over 4 files → ≥2 epochs
 
     # all routed sink rows present exactly once across batches
-    total = 0
-    for sink, _, _ in gen.routing_rules():
-        p = os.path.join(out_dir, "sinks", sink)
-        total += spark.read.parquet(p).count()
+    # (default single_pass layout: sinks_by/batch_id=N/sink=<name>)
+    total = spark.read.parquet(os.path.join(out_dir, "sinks_by")).count()
     enr = pipeline.normalize_and_enrich(spark, spark.read.parquet(input_dir))
     expected = route.routed_rows(enr, gen.routing_rules()).count()
     assert total == expected
@@ -94,9 +92,11 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     r1 = pipeline.run_batch(spark, tr, out_dir, run_id="r", batch_id=7)
     r2 = pipeline.run_batch(spark, tr, out_dir, run_id="r", batch_id=7)  # replay
     assert r1["sink_rows"] == r2["sink_rows"]
-    for sink in r1["sink_rows"]:
-        p = os.path.join(out_dir, "sinks", sink, "batch_id=7")
-        assert spark.read.parquet(p).count() == r1["sink_rows"][sink]
+    on_disk = (
+        spark.read.parquet(os.path.join(out_dir, "sinks_by", "batch_id=7"))
+        .groupBy("sink").count().collect()
+    )
+    assert {r["sink"]: r["count"] for r in on_disk} == r1["sink_rows"]
     # lineage/counters must NOT double-append on replay (exactly-once)
     lineage = spark.read.parquet(os.path.join(out_dir, "lineage"))
     got = (
@@ -109,7 +109,10 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
 
 def test_single_pass_sink_write_matches_per_sink(spark, tmp_path):
     tr = gen.transcripts(spark, 1500)
-    a = pipeline.run_batch(spark, tr, str(tmp_path / "a"), run_id="x", batch_id=0)
+    a = pipeline.run_batch(
+        spark, tr, str(tmp_path / "a"), run_id="x", batch_id=0,
+        sink_write_mode="per_sink",
+    )
     b = pipeline.run_batch(
         spark, tr, str(tmp_path / "b"), run_id="x", batch_id=0,
         sink_write_mode="single_pass",
