@@ -667,11 +667,13 @@ def _pipeline_enriched(spark: SparkSession) -> DataFrame:
         # blows up.
         tr = gen.transcripts(spark, PIPELINE_TURNS).cache()
         enr = pipeline.normalize_and_enrich(spark, tr)
+        # zstd, not the session's lz4 default: DuckDB (the oracle side)
+        # cannot read Spark's hadoop-framed LZ4 parquet pages
         enr.select(
             *_ENRICHED_COLS,
             F.col("ts").cast("timestamp_ntz").alias("ts"),
             F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
-        ).write.mode("overwrite").parquet(ENRICHED_PATH)
+        ).write.mode("overwrite").option("compression", "zstd").parquet(ENRICHED_PATH)
         tr.unpersist()
         _enriched_written = True
     return spark.read.parquet(ENRICHED_PATH)
