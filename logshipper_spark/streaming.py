@@ -53,6 +53,7 @@ def run_stream(
     rules: list[tuple[str, str, int]] | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    chaos=None,
 ):
     """Start (or resume) the streaming pipeline. With
     ``available_now=True`` the query drains all currently-available
@@ -64,6 +65,12 @@ def run_stream(
     re-read, and a half-finished epoch is replayed — idempotent because
     `pipeline.run_batch` overwrites its own ``batch_id=N`` output paths
     before appending lineage.
+
+    ``chaos`` (tests only): callable invoked with the batch id after
+    the batch's outputs AND lineage commit but before Spark's streaming
+    checkpoint records the epoch — raising there reproduces the
+    crash-in-the-commit-gap window deterministically (the case where a
+    naive design would double-commit counters on replay).
     """
     rules = rules or gen.routing_rules()
 
@@ -83,6 +90,8 @@ def run_stream(
             rules=rules,
             write=True,
         )
+        if chaos is not None:
+            chaos(batch_id)
 
     stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
     writer = (

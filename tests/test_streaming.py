@@ -107,6 +107,65 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert got == 1000
 
 
+def test_stream_crash_in_commit_gap_is_exactly_once(spark, tmp_path):
+    """Chaos drill (deterministic): kill the stream AFTER batch 0's
+    sinks+lineage committed but BEFORE the streaming checkpoint records
+    the epoch — the worst-case window, where a naive pipeline would
+    re-run the batch on restart and double-commit counters. Assert the
+    resumed run's outputs are identical to an uninterrupted run."""
+    import pytest as _pytest
+
+    input_dir = str(tmp_path / "in")
+    ckpt_a = str(tmp_path / "cka")
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_input(spark, input_dir, 3000, 3)
+
+    armed = {"on": True}
+
+    def chaos(batch_id: int) -> None:
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("chaos: crash in the commit gap")
+
+    q = streaming.run_stream(
+        spark, input_dir, out_a, ckpt_a, max_files_per_trigger=1, chaos=chaos
+    )
+    with _pytest.raises(Exception, match="chaos"):
+        q.awaitTermination()
+
+    # resume: the killed epoch replays; its lineage says done -> skipped
+    q2 = streaming.run_stream(spark, input_dir, out_a, ckpt_a, max_files_per_trigger=1)
+    q2.awaitTermination(180)
+
+    # uninterrupted control run over the same input
+    q3 = streaming.run_stream(
+        spark, input_dir, out_b, str(tmp_path / "ckb"), max_files_per_trigger=1
+    )
+    q3.awaitTermination(180)
+
+    # counters committed exactly once (sum == input rows, same as control)
+    def counter_sum(out):
+        return (
+            spark.read.parquet(os.path.join(out, "lineage"))
+            .filter("counter = 'events_received_total'")
+            .agg(F.sum("value")).first()[0]
+        )
+
+    n_input = spark.read.parquet(input_dir).count()
+    assert counter_sum(out_a) == n_input
+    assert counter_sum(out_b) == n_input
+
+    # sink contents identical to the uninterrupted run (full row multiset)
+    key = ["sink", "conv_id", "turn_idx"]
+    a_rows = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out_a, "sinks_by")).select(*key).collect())
+    )
+    b_rows = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out_b, "sinks_by")).select(*key).collect())
+    )
+    assert a_rows == b_rows and len(a_rows) > 0
+
+
 def test_single_pass_sink_write_matches_per_sink(spark, tmp_path):
     tr = gen.transcripts(spark, 1500)
     a = pipeline.run_batch(
