@@ -113,6 +113,16 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     import shutil
     import tempfile
 
+    # warmup batch: Janino-compiles the write path so the measured run
+    # reflects steady-state throughput, not one-time codegen
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        pipeline.run_batch(
+            spark, gen.transcripts(spark, 50_000), warm_dir, run_id="warm", batch_id=0
+        )
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
     batch_tps = {}
     for mode in ("single_pass", "per_sink"):
         out_dir = tempfile.mkdtemp(prefix="bench_batch_")
