@@ -69,8 +69,11 @@ def _docker_stage(host: Column, rows: list[tuple[str, str, bool, int]]) -> Colum
     stripped name, else to the stripped name itself. NULL for hosts not
     in replica shape (the next chain stage decides)."""
     stripped = strip_replica_suffix(host)
+    # cheap gate first: a replica-shaped host must end in a digit; the
+    # ascii check short-circuits the regex scan for the common case
+    last_digit = F.ascii(F.substring(host, -1, 1)).between(48, 57)
     return F.when(
-        host.rlike(_REPLICA_SUFFIX),
+        last_digit & host.rlike(_REPLICA_SUFFIX),
         F.coalesce(resolve_expr(stripped, rows), stripped),
     )
 

@@ -174,8 +174,31 @@ def python_logging_fields(text: Column) -> dict[str, Column]:
 
 def logfmt_map(text: Column) -> Column:
     """key=value pairs → map, then the JSON alias-group extractors
-    apply unchanged (the whole point of normalizing to a map)."""
-    return F.str_to_map(F.trim(text), F.lit(r"\s+"), F.lit("="))
+    apply unchanged (the whole point of normalizing to a map).
+
+    Keys are deduplicated keeping the LAST occurrence (Go map
+    last-write-wins) BEFORE the map is built: under Spark's default
+    mapKeyDedupPolicy=EXCEPTION a raw str_to_map would abort the whole
+    job on one malformed line like 'level=info level=debug msg=x' — a
+    log parser must degrade per-row, not die."""
+    toks = F.split(F.trim(text), r"\s+")
+    entries = F.transform(
+        toks,
+        lambda kv: F.struct(
+            F.substring_index(kv, "=", 1).alias("key"),
+            F.when(
+                F.instr(kv, "=") > 0, F.substr(kv, F.instr(kv, F.lit("=")) + 1)
+            ).alias("value"),
+        ),
+    )
+    last_wins = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(last_wins)
 
 
 

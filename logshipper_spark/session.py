@@ -35,10 +35,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Go maps are last-write-wins; Spark's default EXCEPTION policy
-        # would abort a whole batch when one logfmt line repeats a key
-        # ('level=info level=debug'). A log parser degrades per-row.
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # mapKeyDedupPolicy stays at the EXCEPTION default: from_json is
+        # last-win regardless of policy (Jackson dedupes), and the one
+        # operator that would throw on a repeated key (logfmt's map
+        # build) dedups keys explicitly in formats.logfmt_map instead.
         # The parse layer is one very wide projection (~40 alias-group
         # coalesces over the decoded map). Its generated code exceeds
         # HotSpot's JIT method limit (8 KB bytecode), and un-JIT-able
