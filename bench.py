@@ -200,7 +200,11 @@ def run_scaling(sf_dir: str, n: int = 4, turns: int = 4_800_000) -> dict:
         env = dict(
             os.environ, SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_BENCH_TURNS=str(turns),
-            SPARK_GRAFT_BENCH_RUNS="4",
+            # 8 timed runs per level: this VM's noisy neighbors arrive in
+            # multi-second bursts that hit high-parallelism runs hardest
+            # (spare cores absorb them at N=4, not at 4N=16); best-of-8
+            # reliably catches a quiet window at both levels
+            SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "8"),
             # heap scales with cores, as a real cluster's aggregate
             # executor memory scales with executor count
             SPARK_DRIVER_MEMORY=f"{max(8, cores)}g",
