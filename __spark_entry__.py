@@ -31,7 +31,7 @@ from logshipper_spark import (
     anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, skew,
     template, transform,
 )
-from logshipper_spark.datapipe import dedup, multimodal, similarity, textstats
+from logshipper_spark.datapipe import curate, dedup, multimodal, similarity, textstats
 from logshipper_spark.schemas import DEFAULT_INGEST_TS
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -606,6 +606,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.95)
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation keep-list (quality gate + exact dedup) over the corpus
+    with planted exact duplicates; the near-dup LSH stage is covered by
+    unit tests (its pair set is hash-dependent, not SQL-derivable)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    return curate.curate(docs.unionByName(dup), min_quality=0.4, near_dup=False)
+
+
 IVF_CELLS, IVF_PROBE, IVF_DIM = 16, 4, 64
 
 
@@ -775,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_fanout": q_routing_fanout,
         "sink_counts": q_sink_counts,
         "dedup_exact": q_dedup_exact,
+        "curate": q_curate,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
@@ -935,6 +945,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        """,
+        "curate": r"""
+            WITH all_docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 100000, text FROM documents),
+            feat AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','for'], t)))
+                       AS h_en,
+                     len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+              FROM all_docs),
+            q AS (
+              SELECT doc_id, text,
+                     round(((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
+                                  THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+              FROM feat)
+            SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality,
+                   COUNT(*) AS exact_dup_count
+            FROM q WHERE quality >= 0.4 GROUP BY text
         """,
         "embedding_near_dup": """
             WITH s AS (

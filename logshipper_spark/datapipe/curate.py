@@ -1,0 +1,69 @@
+"""Training-data curation: quality gate → exact dedup → optional
+near-dup removal, producing a keep-list.
+
+The composition a 100 TB pretraining pipeline actually runs over the
+documents table: cheap Gopher-style quality filters first (pure column
+expressions — prunes before anything expensive), then exact dedup as a
+hash groupBy (min-id representative per identical text), then MinHash
+LSH near-dup removal over only the survivors. Every stage is a shuffle
+on compact keys; nothing is O(n²).
+
+Drop rule for near-dups: a document is dropped iff it is the HIGHER id
+in any near-dup pair among quality+exact survivors. Deterministic and
+order-free (no cascade through already-dropped docs — matching the
+usual one-round LSH dedup used in practice, where pair lists come from
+a single candidate join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_pairs
+from .textstats import quality_score
+
+
+def curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    near_dup: bool = False,
+    minhash_threshold: float = 0.9,
+    minhash_k: int = 3,
+) -> DataFrame:
+    """Keep-list ``(doc_id, quality, exact_dup_count)`` of documents that
+    survive curation. ``exact_dup_count`` is how many identical copies
+    (including the survivor) the quality-passing corpus contained."""
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        quality_score(F.col(text_col)).alias("quality"),
+    ).filter(F.col("quality") >= min_quality)
+
+    # exact dedup: one row per distinct text, min-id representative
+    kept = (
+        scored.groupBy(F.xxhash64("_text").alias("_th"))
+        .agg(
+            F.min(F.struct("doc_id", "quality", "_text")).alias("_rep"),
+            F.count("*").alias("exact_dup_count"),
+        )
+        .select(
+            F.col("_rep.doc_id").alias("doc_id"),
+            F.col("_rep.quality").alias("quality"),
+            F.col("_rep._text").alias("_text"),
+            "exact_dup_count",
+        )
+    )
+
+    if near_dup:
+        pairs = minhash_lsh_pairs(
+            kept.select("doc_id", F.col("_text").alias("text")),
+            k=minhash_k,
+            threshold=minhash_threshold,
+        )
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        kept = kept.join(losers, "doc_id", "left_anti")
+
+    return kept.select("doc_id", "quality", "exact_dup_count")

@@ -104,6 +104,52 @@ def run_stream(
     return writer.start()
 
 
+def streaming_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    rules: list[tuple[str, str, int]] | None = None,
+    ingest_ts: str = DEFAULT_INGEST_TS,
+    available_now: bool = True,
+):
+    """New-edge detection as a *native* stateful stream (reference:
+    graph.go:108-127 — the CallGraph emits an edge event the first time
+    a (src, dst, op) key appears). ``dropDuplicates`` on the edge key is
+    exactly that operator: state = the edge set (bounded by the service
+    topology, the same state the reference's in-memory map holds), and
+    each key is emitted exactly once across the stream's lifetime,
+    surviving restarts via the checkpoint.
+
+    Delta vs the batch ``aggregate.first_seen_edges``: "first" here is
+    arrival order (processing time), as in the reference; the batch
+    operator reports min(event_ts).
+    """
+    stream = read_transcript_stream(spark, input_dir)
+    enriched = pipeline.normalize_and_enrich(
+        spark, stream, ingest_ts=ingest_ts, skip_turn_rank=True
+    )
+    edges = (
+        enriched.filter((F.col("src_service") != "") & (F.col("dst_service") != ""))
+        .select(
+            F.col("src_service").alias("src"),
+            F.col("dst_service").alias("dst"),
+            F.col("operation").alias("op"),
+            F.col("event_ts").alias("first_seen"),
+        )
+        .dropDuplicates(["src", "dst", "op"])
+    )
+    writer = (
+        edges.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sink_counts(
     spark: SparkSession,
     input_dir: str,

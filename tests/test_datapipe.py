@@ -249,6 +249,42 @@ def test_probe_cells_matches_assign_cells(spark, embs):
         assert similarity.probe_cells(qv, 16, 1)[0] == cells[r["vec_id"]]
 
 
+def test_curate_quality_and_exact_dedup(spark):
+    from logshipper_spark.datapipe import curate as cur
+
+    good = "the quick brown fox jumps over the lazy dog " * 3  # >50 chars, stopwords
+    df = spark.createDataFrame(
+        [
+            (0, good),
+            (1, good),                  # exact dup of 0 → collapsed into 0
+            (2, "x"),                   # too short → quality gate drops
+            (3, good + "and then some more of it"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"]: r.asDict() for r in cur.curate(df, min_quality=0.5).collect()}
+    assert set(kept) == {0, 3}
+    assert kept[0]["exact_dup_count"] == 2
+    assert kept[3]["exact_dup_count"] == 1
+
+
+def test_curate_near_dup_drops_higher_id(spark):
+    from logshipper_spark.datapipe import curate as cur
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame(
+        [
+            (0, base * 2),
+            (5, base * 2 + " extra"),   # near-dup of 0 → higher id dropped
+            (9, "completely different words about another topic entirely for this one " * 2),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in
+            cur.curate(df, min_quality=0.3, near_dup=True, minhash_threshold=0.6).collect()}
+    assert kept == {0, 9}
+
+
 def test_media_features(spark):
     media = multimodal.gen_media(spark, 50)
     feats = multimodal.decode_stub_features(media)

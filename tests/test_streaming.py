@@ -86,6 +86,42 @@ def test_streaming_sink_counts_watermark(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_streaming_first_seen_exactly_once(spark, tmp_path):
+    """New-edge stream: each (src, dst, op) emitted once across epochs
+    and restarts; key set equals the batch distinct-edge set."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "fs")
+    ckpt = str(tmp_path / "ckfs")
+    _write_input(spark, input_dir, 2000, 2)
+
+    q = streaming.streaming_first_seen(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    keys = [(r["src"], r["dst"], r["op"]) for r in got.collect()]
+    assert len(keys) == len(set(keys))  # exactly once
+
+    enr = pipeline.normalize_and_enrich(spark, spark.read.parquet(input_dir))
+    want = {
+        (r["src_service"], r["dst_service"], r["operation"])
+        for r in enr.filter("src_service <> '' AND dst_service <> ''")
+        .select("src_service", "dst_service", "operation").distinct().collect()
+    }
+    assert set(keys) == want
+
+    # restart with more data: only genuinely new edges are appended
+    gen.transcripts(spark, 6000).filter("turn_idx >= 20").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+    q2 = streaming.streaming_first_seen(spark, input_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    keys2 = [
+        (r["src"], r["dst"], r["op"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert len(keys2) == len(set(keys2))
+    assert set(keys) <= set(keys2)
+
+
 def test_batch_replay_is_idempotent(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     tr = gen.transcripts(spark, 1000)
