@@ -639,12 +639,29 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_PATH = "/tmp/spark_graft_contract/media_200.parquet"
+_media_written = False
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # array column serialized to JSON: the driver's canonicalizer sorts
-    # column values and cannot hash list-typed cells
-    feats = multimodal.decode_stub_features(multimodal.gen_media(spark, 200))
+    """mapInPandas feature extraction over binary media payloads, one
+    row per (media row, feature dim). Oracle: DuckDB recomputes the
+    deterministic stub features FROM THE PAYLOAD BYTES of the same
+    materialized table (hex-decode the first 8 bytes, splitmix-style
+    mix per dim, shift/mod) — so the Arrow batch plumbing, hash
+    derivation, and per-dim arithmetic are all independently checked."""
+    global _media_written
+    if not _media_written:
+        multimodal.gen_media(spark, 200).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(MEDIA_PATH)
+        _media_written = True
+    feats = multimodal.decode_stub_features(spark.read.parquet(MEDIA_PATH))
     return feats.select(
-        "media_id", "kind", F.to_json("features").alias("features_json"), "n_bytes"
+        "media_id",
+        "kind",
+        F.posexplode("features").alias("dim", "feature"),
+        "n_bytes",
     )
 
 
@@ -985,6 +1002,30 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
+        """,
+        "media_features": f"""
+            WITH m AS (
+              SELECT media_id, kind, payload
+              FROM read_parquet('{MEDIA_PATH}/*.parquet')),
+            h AS (
+              SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                     CAST('0x' || substr(hex(payload), 1, 16) AS UBIGINT) AS ph
+              FROM m),
+            d AS (SELECT h.*, CAST(dims.i AS INT) AS dim
+                  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS i) dims)
+            -- (ph * C) mod 2^64 without int128 overflow: split ph into
+            -- 32-bit halves; a*b = ((hi*b mod 2^32) << 32 + lo*b) mod 2^64
+            SELECT media_id, kind, dim,
+                   CAST((xor(
+                       CAST((((CAST(ph AS HUGEINT) // 4294967296 * 11400714819323198485)
+                               % 4294967296) * 4294967296
+                              + (CAST(ph AS HUGEINT) % 4294967296) * 11400714819323198485)
+                            % 18446744073709551616 AS UBIGINT),
+                       CAST((CAST(dim + 1 AS HUGEINT) * 13787848793156543929)
+                            % 18446744073709551616 AS UBIGINT)
+                     ) >> 11) % 1000 AS DOUBLE) / 1000.0 AS feature,
+                   n_bytes
+            FROM d
         """,
         "ann_ivf": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
