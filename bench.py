@@ -172,6 +172,14 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     times["minhash_lsh"] = _timed(
         lambda: _force(dedup.minhash_lsh_pairs(docs, threshold=0.5))
     )
+    times["simhash_pairs"] = _timed(
+        lambda: _force(dedup.simhash_pairs(docs, max_hamming=3))
+    )
+    from logshipper_spark.datapipe import curate as curate_mod
+
+    times["curate"] = _timed(
+        lambda: _force(curate_mod.curate(docs, min_quality=0.3, near_dup=True))
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -179,6 +187,16 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     times["cosine_topk"] = _timed(
         lambda: _force(similarity.cosine_topk(emb, qv, vec_col="embedding", k=10))
     )
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        t0 = time.time()
+        similarity.write_ivf_index(emb, ivf_dir, num_cells=16, dim=len(qv))
+        times["ivf_index_build"] = round(time.time() - t0, 3)
+        times["ivf_topk_indexed"] = _timed(
+            lambda: _force(similarity.ivf_topk_indexed(spark, ivf_dir, qv, k=10))
+        )
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
 
     result["value"] = turns_per_sec
     result["batch_turns_per_sec_with_sink_io"] = result_batch_tps
