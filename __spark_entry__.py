@@ -639,6 +639,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN join: top-5 per query for the first 5 vectors against
+    the IVF index. Oracle re-derives every vector's cell and each
+    query's probe set in SQL and takes the same windowed top-k."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = f"/tmp/spark_graft_contract/ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.write_ivf_index(emb, idx, num_cells=IVF_CELLS, dim=IVF_DIM)
+    queries = emb.filter("vec_id < 5")
+    return similarity.ivf_knn_join(
+        spark, idx, queries, k=5, num_cells=IVF_CELLS, n_probe=IVF_PROBE, dim=IVF_DIM
+    )
+
+
 MEDIA_PATH = "/tmp/spark_graft_contract/media_200.parquet"
 _media_written = False
 
@@ -810,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
+        "knn_join": q_knn_join,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
@@ -1026,6 +1044,26 @@ def oracle_sql() -> dict[str, str]:
                      ) >> 11) % 1000 AS DOUBLE) / 1000.0 AS feature,
                    n_bytes
             FROM d
+        """,
+        "knn_join": f"""
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cells AS (SELECT vec_id, v, {_ivf_cell_sql('v')} AS cell FROM s),
+            q AS (SELECT vec_id AS query_id, v AS qv, cell AS qc FROM cells WHERE vec_id < 5),
+            probes AS (
+              SELECT query_id, qv,
+                     unnest([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4)]) AS cell
+              FROM q),
+            sc AS (
+              SELECT p.query_id, c.vec_id,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                                   i -> c.v[i] * p.qv[i]))
+                           / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))), 6)
+                       AS cosine
+              FROM probes p JOIN cells c USING (cell))
+            SELECT query_id, vec_id, cosine FROM sc
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) <= 5
         """,
         "ann_ivf": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

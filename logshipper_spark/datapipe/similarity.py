@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -155,6 +155,60 @@ def write_ivf_index(
     assign_cells(df, num_cells, vec_col, dim=dim).write.mode(mode).partitionBy(
         "cell"
     ).parquet(path)
+
+
+def ivf_knn_join(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Batch ANN join: top-k neighbors for EVERY query row against a
+    ``write_ivf_index`` table, in one plan. Each query's probe cells
+    are computed Spark-side (no driver loop — the query table can be
+    arbitrarily large) and exploded; the equi-join on ``cell`` hits
+    only probed index partitions (broadcast when the query side is
+    small, co-partitioned shuffle otherwise). Top-k is a per-query
+    row_number window over the candidates — candidate count per query
+    is bounded by the probed cells' population, never the full table.
+    """
+    import math
+
+    bits = max(1, int(math.ceil(math.log2(num_cells))))
+    q = assign_cells(queries_df, num_cells, vec_col, dim=dim)
+    probe_arr = F.slice(
+        F.array(
+            F.col("cell"),
+            *[F.col("cell").bitwiseXOR(F.lit(1 << b)) for b in range(bits)],
+        ),
+        1,
+        max(1, n_probe),
+    )
+    qx = q.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_arr).alias("cell"),
+    )
+    idx = spark.read.parquet(index_path).select(
+        id_col, vec_col, F.col("cell").cast("int").alias("cell")
+    )
+    scored = idx.join(qx, "cell").select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def ivf_topk_indexed(

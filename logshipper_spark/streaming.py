@@ -112,6 +112,7 @@ def streaming_first_seen(
     rules: list[tuple[str, str, int]] | None = None,
     ingest_ts: str = DEFAULT_INGEST_TS,
     available_now: bool = True,
+    ttl: str | None = None,
 ):
     """New-edge detection as a *native* stateful stream (reference:
     graph.go:108-127 — the CallGraph emits an edge event the first time
@@ -121,6 +122,14 @@ def streaming_first_seen(
     each key is emitted exactly once across the stream's lifetime,
     surviving restarts via the checkpoint.
 
+    With ``ttl`` set (e.g. ``"5 minutes"``), the streaming twin of the
+    reference's edge TTL eviction (graph.go:247-293, A7): state is a
+    watermark-bounded ``dropDuplicatesWithinWatermark`` on event time,
+    so an edge that goes quiet past the TTL is evicted and its
+    re-appearance is a NEW edge event again — exactly the batch
+    ``aggregate.edge_sessions`` lifetime semantics, with state bounded
+    by (topology × active window) instead of the whole history.
+
     Delta vs the batch ``aggregate.first_seen_edges``: "first" here is
     arrival order (processing time), as in the reference; the batch
     operator reports min(event_ts).
@@ -129,16 +138,20 @@ def streaming_first_seen(
     enriched = pipeline.normalize_and_enrich(
         spark, stream, ingest_ts=ingest_ts, skip_turn_rank=True
     )
-    edges = (
-        enriched.filter((F.col("src_service") != "") & (F.col("dst_service") != ""))
-        .select(
-            F.col("src_service").alias("src"),
-            F.col("dst_service").alias("dst"),
-            F.col("operation").alias("op"),
-            F.col("event_ts").alias("first_seen"),
-        )
-        .dropDuplicates(["src", "dst", "op"])
+    edges = enriched.filter(
+        (F.col("src_service") != "") & (F.col("dst_service") != "")
+    ).select(
+        F.col("src_service").alias("src"),
+        F.col("dst_service").alias("dst"),
+        F.col("operation").alias("op"),
+        F.col("event_ts").alias("first_seen"),
     )
+    if ttl is not None:
+        edges = edges.withWatermark("first_seen", ttl).dropDuplicatesWithinWatermark(
+            ["src", "dst", "op"]
+        )
+    else:
+        edges = edges.dropDuplicates(["src", "dst", "op"])
     writer = (
         edges.writeStream.format("parquet")
         .option("path", out_dir)

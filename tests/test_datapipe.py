@@ -233,6 +233,29 @@ def test_ivf_indexed_partition_pruning(spark, embs, tmp_path):
     assert m and all(str(p) in m.group(1) for p in probes)
 
 
+def test_ivf_knn_join_self_is_top1(spark, embs, tmp_path):
+    """Every query's own vector lives in its own (probed) cell, so the
+    top-1 neighbor of each query is itself at cosine 1.0."""
+    emb = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.head()["embedding"])
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, num_cells=16, dim=dim)
+    out = similarity.ivf_knn_join(
+        spark, path, emb.filter("vec_id < 8"), k=3, num_cells=16, dim=dim
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
+    assert set(by_q) == set(range(8))
+    for qid, cands in by_q.items():
+        top = max(cands)
+        assert top[1] == qid and top[0] == 1.0
+        assert len(cands) <= 3
+
+
 def test_probe_cells_matches_assign_cells(spark, embs):
     """Driver-side qcell == Spark-side cell assignment for the same vector."""
     emb = embs.select(

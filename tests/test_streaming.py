@@ -122,6 +122,51 @@ def test_streaming_first_seen_exactly_once(spark, tmp_path):
     assert set(keys) <= set(keys2)
 
 
+def _edge_turns(spark, day, svc_pairs):
+    """Transcript rows whose JSON text parses to the given (src, dst)
+    edges with event time on the given day of 2024-03."""
+    rows = []
+    for i, (src, dst) in enumerate(svc_pairs):
+        text = (
+            f'{{"timestamp":"2024-03-{day:02d}T00:00:{i:02d}.000Z",'
+            f'"service":"{src}","dst_service":"{dst}",'
+            f'"operation":"op","level":"info","status_code":200,"latency_ms":5}}'
+        )
+        rows.append((f"c{day}", i, "user", text, "", None))
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(c, t, r, x, tl, datetime(2024, 3, day, 0, 0, i)) for i, (c, t, r, x, tl, _) in enumerate(rows)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_streaming_first_seen_ttl_reappearance(spark, tmp_path):
+    """With a TTL, an edge that goes quiet past the watermark is state-
+    evicted and its re-appearance is a NEW edge event (streaming twin of
+    edge_sessions / graph.go TTL eviction)."""
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "fs")
+    ckpt = str(tmp_path / "ck")
+
+    def drain(df):
+        df.coalesce(1).write.mode("append").parquet(input_dir)
+        q = streaming.streaming_first_seen(
+            spark, input_dir, out_dir, ckpt, ttl="1 day"
+        )
+        q.awaitTermination(120)
+
+    drain(_edge_turns(spark, 1, [("A", "B")]))          # day 1: A->B appears
+    drain(_edge_turns(spark, 3, [("C", "D")]))          # day 3: watermark passes day 1+TTL
+    drain(_edge_turns(spark, 5, [("A", "B")]))          # day 5: A->B re-appears -> new again
+    got = [
+        (r["src"], r["dst"], r["first_seen"].day)
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert ("A", "B", 1) in got and ("A", "B", 5) in got and ("C", "D", 3) in got
+    assert len(got) == 3
+
+
 def test_batch_replay_is_idempotent(spark, tmp_path):
     out_dir = str(tmp_path / "out")
     tr = gen.transcripts(spark, 1000)
