@@ -107,15 +107,10 @@ def q_p99_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events_normalized(spark, sf_dir)
     d = df.groupBy(F.col("src_service").alias("src")).agg(
         F.sort_array(F.collect_list("latency_us")).alias("_l"),
-        F.count("*").alias("n"),
     )
-    return d.select(
-        "src",
-        F.when(
-            F.col("n") > 0,
-            F.try_element_at("_l", (F.floor((F.col("n") - 1) * 0.99) + 1).cast("int")),
-        ).otherwise(F.lit(0)).cast("long").alias("p99_us"),
-    )
+    # collect_list skips nulls, so the guard/index must use the ring's
+    # own size — reuse the engine's calcP99(nil)-parity helper
+    return d.select("src", agg._ring_p99(F.col("_l")).alias("p99_us"))
 
 
 def q_edge_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

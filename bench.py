@@ -187,6 +187,7 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     times["cosine_topk"] = _timed(
         lambda: _force(similarity.cosine_topk(emb, qv, vec_col="embedding", k=10))
     )
+    spark.catalog.clearCache()  # dedup builders cache signatures internally
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     try:
         t0 = time.time()

@@ -19,8 +19,8 @@ Design rules (enforced throughout):
 __version__ = "0.1.0"
 
 __all__ = [
-    "aggregate", "anomaly", "enrich", "formats", "gen", "graphalg",
-    "parse", "pipeline", "route", "schemas", "session", "sinks", "skew",
-    "streaming", "streaming_anomaly", "tables", "template", "transform",
-    "datapipe",
+    "aggregate", "anomaly", "config", "enrich", "formats", "gen",
+    "graphalg", "parse", "pipeline", "route", "schemas", "session",
+    "sinks", "skew", "streaming", "streaming_anomaly", "tables",
+    "template", "transform", "datapipe",
 ]

@@ -47,10 +47,13 @@ def edge_agg(
     blocks-per-edge elements, bounded by retention / block size). No
     task ever sorts a hot edge's full history. ``ring_block_s=None``
     selects the single-window plan (one shuffle; fine when no edge is
-    hot enough to matter). Outputs are identical: blocks partition the
-    primary order column's value range, so block-major order == global
-    order. ``order_cols[0]`` must be timestamp-typed for the blocked
-    path.
+    hot enough to matter). Outputs are identical whenever the order
+    tuple is unique per edge (blocks partition the primary order
+    column's value range, so block-major order == global order); on
+    full-tuple ties at the ring boundary the blocked plan picks rows
+    deterministically (latency is the final struct sort key) where the
+    window plan picks arbitrarily. ``order_cols[0]`` must be
+    timestamp-typed for the blocked path.
     """
     order_cols = order_cols or [ts_col]
     src, dst, op = F.col(src_col), F.col(dst_col), F.col(op_col)

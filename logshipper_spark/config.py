@@ -68,7 +68,7 @@ class SinkConfig:
     inputs: list[str] = field(default_factory=list)
     pretty: bool = False
     filter: str = "true"  # routing predicate (engine extension, K3)
-    priority: int = 0
+    priority: int | None = None  # None → file order (explicit 0 is honored)
 
 
 @dataclass
@@ -122,11 +122,22 @@ def from_dict(raw: dict) -> Config:
         graph=raw.get("graph") or {},
         anomaly=raw.get("anomaly") or {},
     )
-    # stable sink priorities where the file did not set them: file order
-    for i, s in enumerate(cfg.sinks.values()):
-        if s.priority == 0:
-            s.priority = i
+    _assign_priorities(cfg)
     return cfg
+
+
+def _assign_priorities(cfg: Config) -> None:
+    """Stable sink priorities where unset: file order, appended AFTER
+    any explicit priorities so an explicit ``priority: 0`` is honored
+    and assigned indices never collide with explicit ones."""
+    max_explicit = max(
+        (s.priority for s in cfg.sinks.values() if s.priority is not None), default=-1
+    )
+    nxt = max_explicit + 1
+    for s in cfg.sinks.values():
+        if s.priority is None:
+            s.priority = nxt
+            nxt += 1
 
 
 def load_config(path: str) -> Config:
@@ -144,42 +155,77 @@ def load_config(path: str) -> Config:
 
 
 def build_source(spark: SparkSession, name: str, sc: SourceConfig) -> DataFrame:
-    """One source → transcript-shaped DataFrame. ``generate`` is the
+    """One source → transcript-shaped DataFrame tagged with its
+    component name (``source_component`` — carried through parse so the
+    config's ``inputs`` edges can route on lineage). ``generate`` is the
     deterministic generator; ``parquet`` reads a transcript table;
     ``file``/``stdin``/``docker`` read raw text lines with the source's
     ``service`` as the role (the reference tags every line with its
     source service, internal/source/file.go)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from . import gen
-    from .schemas import TRANSCRIPT_SCHEMA
+    from .schemas import DEFAULT_INGEST_TS, TRANSCRIPT_SCHEMA
 
     if sc.type == "generate":
-        return gen.transcripts(spark, sc.n_turns or 1000)
-    if sc.type == "parquet":
-        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(sc.path)
-    if sc.type in ("file", "stdin", "docker"):
+        out = gen.transcripts(spark, sc.n_turns or 1000)
+    elif sc.type == "parquet":
+        out = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(sc.path)
+    elif sc.type in ("file", "stdin", "docker"):
         if not sc.path:
             raise ConfigError(f"source [{name}]: type '{sc.type}' requires a path here "
                               "(no interactive stdin / docker socket in batch mode)")
         lines = spark.read.text(sc.path)
-        return lines.select(
+        # deterministic contiguous turn_idx: a global row_number ordered
+        # by file position (monotonically_increasing_id alone is NOT
+        # usable as an index — its partition component collapses under
+        # any modulus). Config file sources are single-file-ish; the
+        # one-partition window is acceptable here.
+        w = Window.orderBy(F.monotonically_increasing_id())
+        out = lines.select(
             F.lit(name).alias("conv_id"),
-            (F.monotonically_increasing_id() % (1 << 31)).cast("int").alias("turn_idx"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
             F.lit(sc.service or name).alias("role"),
             F.col("value").alias("text"),
             F.lit("").alias("tool"),
-            F.current_timestamp().alias("ts"),
+            # pinned ingest time: no now() anywhere (determinism rule);
+            # event time comes from the parsed text when present
+            F.lit(DEFAULT_INGEST_TS).cast("timestamp").alias("ts"),
         )
-    raise ConfigError(f"source [{name}]: unknown type '{sc.type}'")
+    else:
+        raise ConfigError(f"source [{name}]: unknown type '{sc.type}'")
+    return out.withColumn("source_component", F.lit(name))
+
+
+def component_sources(cfg: Config, name: str) -> set[str]:
+    """Transitive set of SOURCE components feeding ``name`` (itself, if
+    a source) — the reference's ``inputs`` edges resolved to lineage."""
+    if name in cfg.sources:
+        return {name}
+    if name in cfg.transforms:
+        out: set[str] = set()
+        for inp in cfg.transforms[name].inputs:
+            out |= component_sources(cfg, inp)
+        return out
+    return set()
+
+
+def _lineage_pred(cfg: Config, inputs: list[str]) -> str:
+    srcs = sorted(set().union(*(component_sources(cfg, i) for i in inputs)) or set())
+    quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in srcs)
+    return f"source_component IN ({quoted})" if quoted else "false"
 
 
 def compile_pipeline(cfg: Config) -> dict:
-    """Resolve the topology into the engine's wiring pieces:
-    per-transform input lists, routing rules, resolver rows, anomaly
-    params. Pure metadata — no SparkSession needed (unit-testable)."""
+    """Resolve the topology into the engine's wiring pieces: routing
+    rules (each sink's filter AND its inputs' source lineage — the
+    reference's ``inputs`` edges, validate.go:25-34), per-transform
+    source sets, resolver rows, anomaly params. Pure metadata — no
+    SparkSession needed (unit-testable)."""
+    _assign_priorities(cfg)  # idempotent; covers directly-built Configs
     rules = [
-        (name, s.filter or "true", s.priority)
+        (name, f"({s.filter or 'true'}) AND {_lineage_pred(cfg, s.inputs)}", s.priority)
         for name, s in cfg.sinks.items()
     ]
     static = (cfg.resolve.get("static") or {}) if isinstance(cfg.resolve, dict) else {}
@@ -188,6 +234,10 @@ def compile_pipeline(cfg: Config) -> dict:
         host_rows.append((pat, svc, "*" in pat or "?" in pat, i))
     return {
         "rules": sorted(rules, key=lambda r: r[2]),
+        "transform_sources": {
+            name: sorted(set().union(*(component_sources(cfg, i) for i in t.inputs)))
+            for name, t in cfg.transforms.items()
+        },
         "host_rows": host_rows,
         "docker_replicas": bool(cfg.resolve.get("docker", False)),
         "anomaly": {
@@ -225,13 +275,32 @@ def run_from_config(
             "host_pattern string, service string, is_wildcard boolean, priority int",
         )
 
+    from pyspark.sql import functions as F
+
     def apply_transforms(df: DataFrame) -> DataFrame:
         # post-parse remap chain (reference: remap.go:16-47) — fields
-        # merge into the raw map, case applies to the message column
-        for t in cfg.transforms.values():
-            df = transform.remap(
-                df, add=t.add_fields, case=t.case, message_col="message"
-            )
+        # merge into the raw map, case applies to the message column —
+        # applied ONLY to rows from the transform's `inputs` sources
+        # (the reference's fan-in wiring, not a global apply)
+        for name, t in cfg.transforms.items():
+            cond = F.col("source_component").isin(compiled["transform_sources"][name])
+            if t.add_fields:
+                static = F.create_map(
+                    *[x for kv in t.add_fields.items() for x in map(F.lit, kv)]
+                )
+                df = df.withColumn(
+                    "raw",
+                    F.when(cond, F.map_concat(F.col("raw"), static)).otherwise(
+                        F.col("raw")
+                    ),
+                )
+            if t.case:
+                df = df.withColumn(
+                    "message",
+                    F.when(
+                        cond, transform.apply_case(F.col("message"), t.case)
+                    ).otherwise(F.col("message")),
+                )
         return df
 
     summary = pipeline.run_batch(

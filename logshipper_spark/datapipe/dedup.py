@@ -126,7 +126,11 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # cache the signatures: the LSH self-join references them from both
     # sides, and without the cache Spark recomputes the whole
-    # shingle+hash subtree twice (the dominant cost of this operator)
+    # shingle+hash subtree twice (the dominant cost of this operator).
+    # The cached relation lives until the session drops it (a lazy
+    # builder cannot unpersist its own intermediate); long-lived
+    # sessions issuing many dedup calls should clearCache() between
+    # them, and a 100 TB run would persist signatures to a table.
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),

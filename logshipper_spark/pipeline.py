@@ -158,8 +158,12 @@ def run_batch(
     if single_pass:
         # THE pass: parse+enrich+route+write fused; observe() rides it
         path = os.path.join(out_dir, "sinks_by", f"batch_id={batch_id}")
-        routed.drop("text").write.mode("overwrite").partitionBy("sink").parquet(path)
-        routed_for_agg = spark.read.parquet(path)
+        sink_payload = routed.drop("text")
+        sink_payload.write.mode("overwrite").partitionBy("sink").parquet(path)
+        # explicit schema: an all-empty batch writes no data files and
+        # schema inference would throw; with the schema pinned the
+        # read-back is simply an empty frame
+        routed_for_agg = spark.read.schema(sink_payload.schema).parquet(path)
     elif write:
         for sink, pred, _ in sorted(rules, key=lambda r: r[2]):
             sink_df = enriched.filter(F.expr(pred))

@@ -127,8 +127,9 @@ def test_load_and_compile(tmp_path):
     assert ("db.internal", "postgres", False, 0) in compiled["host_rows"]
     assert ("*.redis.svc", "redis", True, 1) in compiled["host_rows"]
     rules = dict((name, pred) for name, pred, _ in compiled["rules"])
-    assert rules["errors"].startswith("level = 'error'")
-    assert rules["everything"] == "true"
+    assert rules["errors"].startswith("(level = 'error'")
+    assert "source_component IN ('gen_main')" in rules["errors"]
+    assert rules["everything"].startswith("(true)")
 
 
 def test_load_invalid_yaml_fails_validation(tmp_path):
@@ -159,6 +160,71 @@ def test_run_from_config_end_to_end(spark, tmp_path):
         "sink = 'everything'"
     )
     assert rows.limit(1).select("raw").first()["raw"].get("env") == "prod"
+
+
+def test_explicit_priority_zero_is_honored():
+    cfg = _cfg(
+        sinks={
+            "archive": SinkConfig(inputs=["s"], priority=2),
+            "alerts": SinkConfig(inputs=["s"], priority=0),
+            "rest": SinkConfig(inputs=["s"]),  # unset → after explicit ones
+        }
+    )
+    order = [name for name, _, _ in cfgmod.compile_pipeline(cfg)["rules"]]
+    assert order == ["alerts", "archive", "rest"]
+
+
+def test_inputs_wiring_routes_by_lineage(spark, tmp_path):
+    """The reference's inputs edges: a sink consumes only rows that
+    flowed from its (transitive) input sources, and a transform's remap
+    touches only its own inputs' rows."""
+    yaml_text = """
+sources:
+  gen_a:
+    type: "generate"
+    n_turns: 200
+  gen_b:
+    type: "generate"
+    n_turns: 200
+transforms:
+  tag_a:
+    inputs: ["gen_a"]
+    add_fields: {via: "a-path"}
+sinks:
+  only_a:
+    inputs: ["tag_a"]
+  everything:
+    inputs: ["tag_a", "gen_b"]
+"""
+    p = tmp_path / "w.yml"
+    p.write_text(yaml_text)
+    cfg = load_config(str(p))
+    out = tmp_path / "out"
+    summary = cfgmod.run_from_config(spark, cfg, str(out), run_id="wire")
+    # gen_a and gen_b generate identical 200-turn tables; lineage splits them
+    assert summary["sink_rows"]["only_a"] == 200
+    assert summary["sink_rows"]["everything"] == 400
+    rows = spark.read.parquet(str(out / "sinks_by" / "batch_id=0"))
+    a_rows = rows.filter("sink = 'only_a'")
+    assert a_rows.filter("source_component <> 'gen_a'").count() == 0
+    # transform applied only to gen_a lineage
+    tagged = rows.filter("sink = 'everything'").select("source_component", "raw").collect()
+    for r in tagged:
+        if r["source_component"] == "gen_a":
+            assert r["raw"].get("via") == "a-path"
+        else:
+            assert "via" not in (r["raw"] or {})
+
+
+def test_file_source_is_deterministic(spark, tmp_path):
+    lines = tmp_path / "app.log"
+    lines.write_text("\n".join(f"plain line {i}" for i in range(50)) + "\n")
+    sc = SourceConfig(type="file", path=str(lines), service="app")
+    a = cfgmod.build_source(spark, "f", sc).collect()
+    b = cfgmod.build_source(spark, "f", sc).collect()
+    assert a == b
+    idxs = sorted(r["turn_idx"] for r in a)
+    assert idxs == list(range(50))  # contiguous, no per-partition restart
 
 
 def test_unknown_source_type_raises(spark):

@@ -247,6 +247,16 @@ def test_stream_crash_in_commit_gap_is_exactly_once(spark, tmp_path):
     assert a_rows == b_rows and len(a_rows) > 0
 
 
+def test_single_pass_empty_batch_does_not_crash(spark, tmp_path):
+    """An all-empty batch writes no data files; the schema-pinned
+    read-back must yield an empty frame, not an inference error (this
+    is the streaming no-matching-rows micro-batch case)."""
+    tr = gen.transcripts(spark, 100).filter("false")
+    s = pipeline.run_batch(spark, tr, str(tmp_path / "out"), run_id="e", batch_id=0)
+    assert s["rows_in"] == 0
+    assert s["sink_rows"] == {}
+
+
 def test_single_pass_sink_write_matches_per_sink(spark, tmp_path):
     tr = gen.transcripts(spark, 1500)
     a = pipeline.run_batch(
