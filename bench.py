@@ -167,6 +167,32 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             )
         )
     )
+    # per-format micro-parity with the reference's ns/op table
+    # (docs/benchmark-results.md:21-23: JSON 2867, ECS 2879, plain 429 ns/op)
+    ecs_text = F.expr(
+        "concat('{\"@timestamp\":\"', date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\"),"
+        " '\",\"log\":{\"level\":\"info\"},\"service\":{\"name\":\"svc-',"
+        " CAST(user_id % 8 AS STRING),"
+        f" '\"}},\"event\":{{\"duration\":', {lat} * 1000000, '}},"
+        "\"message\":\"ecs\"}')"
+    )
+    times["parse_ecs_events"] = _timed(
+        lambda: _force(
+            parse.parse_normalized(
+                ev.withColumn("text", ecs_text), text_col="text", source_name="bench"
+            )
+        )
+    )
+    plain_text = F.expr(
+        "concat('worker handled request #', CAST(event_id AS STRING), ' ok')"
+    )
+    times["parse_plain_events"] = _timed(
+        lambda: _force(
+            parse.parse_normalized(
+                ev.withColumn("text", plain_text), text_col="text", source_name="bench"
+            )
+        )
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     times["minhash_lsh"] = _timed(
