@@ -601,6 +601,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.95)
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the planted near-dup pairs: every
+    (i, i+100000) pair is its own 2-component labeled i — an exactly
+    SQL-derivable ground truth for the iterative CC operator."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    pairs = dedup.fingerprint_pairs(docs.unionByName(dup))
+    return dedup.near_dup_components(pairs)
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation keep-list (quality gate + exact dedup) over the corpus
     with planted exact duplicates; the near-dup LSH stage is covered by
@@ -814,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_counts": q_sink_counts,
         "dedup_exact": q_dedup_exact,
         "curate": q_curate,
+        "dup_components": q_dup_components,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
         "cosine_topk": q_cosine_topk,
@@ -975,6 +986,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        """,
+        "dup_components": """
+            SELECT doc_id, doc_id AS component FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, doc_id AS component FROM documents
         """,
         "curate": r"""
             WITH all_docs AS (

@@ -204,6 +204,49 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list → ``(doc_id,
+    component)`` with the component labeled by its minimum member id —
+    cluster-based dedup (keep one representative per component, not per
+    pair, so transitive chains a~b~c collapse together).
+
+    Iterative min-label propagation (the standard distributed CC: each
+    round every node takes the min of its own and its neighbors'
+    labels; converges in O(diameter) rounds). Each round is one join +
+    one aggregation on (id, label) pairs — never materializes anything
+    per-component. Lineage is severed per round with localCheckpoint
+    (iterative plans otherwise grow exponentially in Catalyst).
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["id_b"] == labels["id"])
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("comp").alias("_nbr_min"))
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("_nbr_min"), F.col("comp"))).alias(
+                    "_new"
+                ),
+                "comp",
+            )
+        ).localCheckpoint()
+        changed = new.filter(F.col("_new") != F.col("comp")).limit(1).count()
+        labels = new.select("id", F.col("_new").alias("comp")).localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

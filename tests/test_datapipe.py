@@ -272,6 +272,16 @@ def test_probe_cells_matches_assign_cells(spark, embs):
         assert similarity.probe_cells(qv, 16, 1)[0] == cells[r["vec_id"]]
 
 
+def test_near_dup_components_transitive(spark):
+    """Chains collapse into one component labeled by the min member;
+    disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], ["id_a", "id_b"]
+    )
+    comp = {r["doc_id"]: r["component"] for r in dedup.near_dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
 def test_curate_quality_and_exact_dedup(spark):
     from logshipper_spark.datapipe import curate as cur
 
