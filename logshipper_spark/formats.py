@@ -41,11 +41,15 @@ _R3164 = (
 )
 # Structured data: '-' or a run of [..] elements with no ']' inside
 # (escaped \] in SD param values is not supported — documented limit);
-# a greedy \[.*\] would swallow messages that contain ']'.
+# a greedy \[.*\] would swallow messages that contain ']'. The SD run is
+# captured (group 7) so correlation params ride out of it.
 _R5424 = (
     r"^<(\d{1,3})>1\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)\s+"
-    r"(?:(?:\[[^\]]*\])+|-)\s*(.*)$"
+    r"((?:\[[^\]]*\])+|-)\s*(.*)$"
 )
+# docs/correlation_fields.md §Trace ID: RFC5424 carries the trace id as
+# a structured-data param, e.g. [req traceId="abc123"]
+_R5424_TRACE = r'[\[\s](?:traceId|trace_id|trace-id)="([^"]*)"'
 _RPY = (
     r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),(\d{3})\s+-\s+(\S+)\s+-\s+"
     r"([A-Z]+)\s+-\s+(.*)$"
@@ -153,9 +157,10 @@ def syslog_5424_fields(text: Column) -> dict[str, Column]:
         "level": severity_level(_g(text, _R5424, 1)),
         "event_ts": F.try_to_timestamp(_g(text, _R5424, 2)),
         "src_service": nil(_g(text, _R5424, 4)),
-        "message": _g(text, _R5424, 7),
+        "message": _g(text, _R5424, 8),
         "host": nil(_g(text, _R5424, 3)),
         "pid": nil(_g(text, _R5424, 5)),
+        "trace_id": F.regexp_extract(_g(text, _R5424, 7), _R5424_TRACE, 1),
     }
 
 
@@ -328,11 +333,34 @@ def parse_extended(
                 .when(sjson, parse.extract_latency_us(jsm))
                 .otherwise(F.col("latency_us"))
             )
+        if name == "trace_id":
+            # correlation fields ride every format that can carry them
+            # (docs/correlation_fields.md §Trace ID)
+            tr = lambda m: F.coalesce(  # noqa: E731
+                parse.first_string(m, parse.TRACE_KEYS), F.lit("")
+            )
+            return (
+                F.when(docker, tr(inner_raw))
+                .when(s5424, f5424["trace_id"])
+                .when(slog, tr(lfm))
+                .when(sjson, tr(jsm))
+                .otherwise(F.col("trace_id"))
+            )
+        if name == "dst_service":
+            dstx = lambda m: F.coalesce(  # noqa: E731
+                parse.first_string(m, parse.DST_KEYS), F.lit("")
+            )
+            return (
+                F.when(docker, dstx(inner_raw))
+                .when(slog, dstx(lfm))
+                .when(sjson, dstx(jsm))
+                .otherwise(F.col("dst_service"))
+            )
         raise KeyError(name)
 
     for name in [
         "level", "event_ts", "src_service", "status_code", "latency_us",
-        "operation", "raw",
+        "operation", "raw", "trace_id", "dst_service",
     ]:
         out = out.withColumn(name, ext(name))
     out = out.withColumn("format", ext("format"))

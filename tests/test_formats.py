@@ -107,6 +107,31 @@ def test_plain_unchanged(parsed):
     assert r["event_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0)
 
 
+def test_5424_structured_data_trace_id(spark):
+    """docs/correlation_fields.md: RFC5424 trace id rides a
+    structured-data param; message stays intact."""
+    out = _parse_lines(spark, [
+        '<165>1 2024-03-01T10:30:00Z web01 pay 7 ID [req traceId="abc123" x="1"] checkout ok',
+        "<165>1 2024-03-01T10:30:00Z web01 pay 7 ID - no sd here",
+    ])
+    r = out['<165>1 2024-03-01T10:30:00Z web01 pay 7 ID [req traceId="abc123" x="1"] checkout ok']
+    assert r["format"] == "syslog_5424"
+    assert r["trace_id"] == "abc123"
+    r2 = out["<165>1 2024-03-01T10:30:00Z web01 pay 7 ID - no sd here"]
+    assert r2["trace_id"] == ""
+
+
+def test_logfmt_and_json_suffix_correlation_fields(spark):
+    out = _parse_lines(spark, [
+        "level=info service=a dst_service=b trace_id=t-9 msg=hi",
+        'tail text {"service":"c","upstream":"d","traceId":"t-7"}',
+    ])
+    r = out["level=info service=a dst_service=b trace_id=t-9 msg=hi"]
+    assert (r["trace_id"], r["dst_service"]) == ("t-9", "b")
+    r2 = out['tail text {"service":"c","upstream":"d","traceId":"t-7"}']
+    assert (r2["trace_id"], r2["dst_service"]) == ("t-7", "d")
+
+
 def test_logfmt_duplicate_key_last_wins(spark):
     """A repeated key must not abort the job (Go maps are last-write-wins;
     session pins spark.sql.mapKeyDedupPolicy=LAST_WIN)."""
