@@ -152,6 +152,30 @@ def test_prom_rows_are_parse_ok(spark):
     assert out["plain line here"]["parse_ok"] is False
 
 
+def test_extended_parser_survives_adversarial_lines(spark):
+    """A log parser degrades per-row, never dies: garbage, truncated
+    structures, control bytes, huge lines, and almost-format lines all
+    come back as rows (mostly plain, parse_ok=False)."""
+    nasty = [
+        "<999>1 not-a-ts h a p m - x",            # invalid pri/ts 5424-shaped
+        "<34>Oct 99 99:99:99 h t: x",              # impossible 3164 timestamp
+        "level=info level= ==weird = broken",      # malformed logfmt-ish
+        "a=" + "b" * 100_000,                      # enormous logfmt value
+        '{"log": 42, "stream": true, "time": {}}', # docker keys, wrong types
+        "prefix {broken json",                     # JSON suffix that isn't
+        "\x00\x01\x02 binary junk \xff",
+        "metric_name{unclosed=\"label 12.5",       # almost-prometheus
+        "",
+    ]
+    df = spark.createDataFrame([(l,) for l in nasty], "text string")
+    out = formats.parse_extended(df, text_col="text", source_name="t", ingest_ts=INGEST)
+    rows = out.collect()  # must not raise
+    assert len(rows) == len(nasty)
+    for r in rows:
+        assert r["format"] is not None
+        assert r["event_ts"] is not None  # always at least the ingest ts
+
+
 def test_prometheus_exposition(spark):
     lines = [
         'http_requests_total{method="post",code="200"} 1027 1395066363000',
