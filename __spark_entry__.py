@@ -14,9 +14,10 @@ buckets) have no DuckDB twin for their *values*, but their pair
 semantics do: planted exact-duplicate corpora make the ground-truth
 pair set SQL-computable (see the dedup query section). The pipeline
 queries read a materialized enriched parquet so DuckDB recomputes
-routing/aggregation/detection from the same bytes. Rows-only remain:
-``media_features`` (numpy hash features) and ``graph_cycles``
-(driver-side DFS traversal).
+routing/aggregation/detection from the same bytes. ``graph_cycles`` is
+oracled as cycle *membership* (node reaches itself — a recursive CTE in
+DuckDB); the path-reporting DFS remains a unit-tested reporting layer.
+Every query has an oracle as of round 3.
 """
 
 from __future__ import annotations
@@ -772,15 +773,18 @@ def q_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = agg.edge_agg(
-        _pipeline_enriched(spark), ts_col="event_ts",
-        order_cols=["ts", "conv_id", "turn_idx"],
+    """Cycle MEMBERSHIP per node (on_cycle ⇔ node reaches itself) —
+    SQL-decidable, so the oracle is a DuckDB recursive CTE over the same
+    enriched parquet. The path-reporting DFS (find_cycles / cycle_key)
+    stays the unit-tested reporting layer (tests/test_graphalg.py);
+    membership and reporting agree by definition: a node is on a
+    reported cycle iff it reaches itself."""
+    edges = _pipeline_enriched(spark).filter(
+        "src_service <> '' AND dst_service <> ''"
+    ).select(
+        F.col("src_service").alias("src"), F.col("dst_service").alias("dst")
     )
-    cycles = graphalg.find_new_cycles(edges)
-    # serialize the path — the driver's canonicalizer cannot sort/hash
-    # array-typed cells; cycle_key is already the canonical '|' join
-    rows = [(graphalg.cycle_key(c), "->".join(c)) for c in cycles]
-    return spark.createDataFrame(rows, "cycle_key string, cycle_path string")
+    return graphalg.cycle_membership(edges)
 
 
 # ── driver contract ──
@@ -992,6 +996,22 @@ def oracle_sql() -> dict[str, str]:
                    round(value + 1e-9, 4) AS value_r, round(mean + 1e-9, 4) AS mean_r,
                    round(stddev + 1e-9, 4) AS stddev_r, round(zscore + 1e-9, 4) AS zscore_r
             FROM t WHERE is_anom AND NOT prev
+        """,
+        "graph_cycles": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src_service AS src, dst_service AS dst
+              FROM {_ENRICHED_REL}
+              WHERE src_service <> '' AND dst_service <> ''),
+            reach(src, dst) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.src, n.dst FROM reach r JOIN e n ON r.dst = n.src),
+            nodes AS (SELECT DISTINCT node FROM (
+              SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+            SELECT node,
+                   EXISTS (SELECT 1 FROM reach WHERE src = node AND dst = node)
+                     AS on_cycle
+            FROM nodes
         """,
         "minhash_lsh": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 1.0 AS est_jaccard

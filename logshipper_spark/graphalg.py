@@ -13,6 +13,7 @@ pinned by sorting, so results are deterministic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 WHITE, GRAY, BLACK = 0, 1, 2
 
@@ -96,3 +97,60 @@ def adjacency_from_edges(edges: DataFrame) -> dict[str, list[str]]:
 def find_new_cycles(edges: DataFrame, known: set[str] | None = None) -> list[list[str]]:
     """End-to-end: edge DataFrame → new cycles this batch."""
     return find_cycles(adjacency_from_edges(edges), known)
+
+
+def cycle_membership(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Per-node cycle membership: ``(node, on_cycle)`` where ``on_cycle``
+    iff the node reaches itself — exactly the set of nodes lying on at
+    least one directed cycle (the reference's cycle reports, cycle.go:21-79,
+    reduced to their SQL-decidable membership form so the result has an
+    exact oracle; the path-reporting DFS stays in ``find_cycles``).
+
+    Fully distributed semi-naive transitive closure over the DISTINCT
+    ``(src, dst)`` pair graph: each round joins only the NEW pairs from
+    the previous round against the edge list, so work per round is
+    proportional to the frontier, and the total state is bounded by V²
+    pairs where V is the number of *services* (the topology, not the
+    event volume — at 10^12 events V stays in the hundreds). Lineage is
+    severed per round with localCheckpoint (iterative plans otherwise
+    grow exponentially in Catalyst). Converges in ≤ diameter rounds;
+    raises if ``max_iter`` rounds don't reach the fixpoint rather than
+    returning silently wrong labels."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reach = e
+    frontier = e
+    # column-renamed (not alias-qualified) self-join: localCheckpoint's
+    # stats/constraints rewrite chokes on dedup'd qualified attributes
+    nbr = e.select(F.col("src").alias("_mid"), F.col("dst").alias("_nd"))
+    converged = False
+    for _ in range(max_iter):
+        grown = (
+            frontier.select("src", F.col("dst").alias("_mid"))
+            .join(nbr, "_mid")
+            .select("src", F.col("_nd").alias("dst"))
+            .distinct()
+        )
+        new = grown.join(reach, ["src", "dst"], "left_anti").localCheckpoint()
+        if new.limit(1).count() == 0:
+            converged = True
+            break
+        reach = reach.unionByName(new).localCheckpoint()
+        frontier = new
+    if not converged:
+        raise RuntimeError(
+            f"cycle_membership: no fixpoint after {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
+    on_cycle = (
+        reach.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"))
+        .withColumn("_on", F.lit(True))
+    )
+    return nodes.join(on_cycle, "node", "left").select(
+        "node", F.coalesce(F.col("_on"), F.lit(False)).alias("on_cycle")
+    )

@@ -46,6 +46,77 @@ def test_known_cycles_reported_once():
     assert find_cycles(adj, known) == []  # second call: already known
 
 
+# ── distributed cycle membership (the oracle-checkable reformulation) ──
+
+
+def _brute_membership(edges: list[tuple[str, str]]) -> dict[str, bool]:
+    """Independent ground truth: BFS reachability per node."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        nodes |= {s, d}
+    out = {}
+    for n in sorted(nodes):
+        seen: set[str] = set()
+        stack = list(adj.get(n, []))
+        hit = False
+        while stack:
+            v = stack.pop()
+            if v == n:
+                hit = True
+                break
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, []))
+        out[n] = hit
+    return out
+
+
+def _check_membership(spark, edges: list[tuple[str, str]]) -> None:
+    from logshipper_spark.graphalg import cycle_membership
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["on_cycle"] for r in cycle_membership(df).collect()}
+    assert got == _brute_membership(edges)
+
+
+def test_membership_bridge_between_cycles(spark):
+    # x sits on a path BETWEEN two cycles but on no cycle itself —
+    # the case naive trimming (remove deg-0 nodes) gets wrong
+    edges = [("a", "b"), ("b", "a"), ("b", "x"), ("x", "c"),
+             ("c", "d"), ("d", "c")]
+    _check_membership(spark, edges)
+
+
+def test_membership_dag_self_loop_and_chain(spark):
+    _check_membership(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    _check_membership(spark, [("a", "a"), ("a", "b")])
+    # long ring exercises multiple closure rounds
+    ring = [(f"n{i}", f"n{(i + 1) % 7}") for i in range(7)]
+    _check_membership(spark, ring + [("n0", "t"), ("t", "u")])
+
+
+def test_membership_agrees_with_dfs_reporting(spark):
+    """Membership == union of nodes in DFS-reported cycles, on a graph
+    where every on-cycle node appears in some reported cycle."""
+    from logshipper_spark.graphalg import cycle_membership
+
+    edges = [("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"), ("e", "c"),
+             ("f", "a"), ("b", "f2")]
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, [])
+    reported = set()
+    for cyc in find_cycles(adj):
+        reported |= set(cyc)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"] for r in cycle_membership(df).collect() if r["on_cycle"]}
+    assert got == reported
+
+
 def test_find_new_cycles_from_edges(spark):
     df = spark.createDataFrame(
         [("billing", "payment", "op"), ("payment", "billing", "op2"),
