@@ -588,6 +588,28 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs.unionByName(dup), max_hamming=3)
 
 
+SIMHASH_PATH = "/tmp/spark_graft_contract/simhash_sigs.parquet"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-banded SimHash near-dup pairs with a FULL SQL oracle:
+    the 64-bit signatures (hash-dependent, no DuckDB twin) are
+    materialized to parquet, and DuckDB independently re-derives the
+    banding (arithmetic 16-bit chunk split), the (band, chunk)
+    candidate equi-join, and the bit_count-XOR Hamming verify from the
+    same signature bytes — so the LSH pair logic itself is
+    oracle-checked, not just the planted-dup recall (which the
+    ``simhash`` query covers)."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 5 = 1").select(
+        "doc_id", "text"
+    )
+    dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    sims = dedup.simhash(docs.unionByName(dup))
+    sims.write.mode("overwrite").option("compression", "zstd").parquet(SIMHASH_PATH)
+    back = spark.read.schema("doc_id long, simhash long").parquet(SIMHASH_PATH)
+    return dedup.simhash_pairs_from_sims(back, max_hamming=3, bands=4)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dup = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
@@ -838,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1020,6 +1043,39 @@ def oracle_sql() -> dict[str, str]:
         "simhash": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
             FROM documents WHERE doc_id % 5 = 1
+        """,
+        "simhash_pairs": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     ((CAST(simhash AS HUGEINT) % 18446744073709551616)
+                      + 18446744073709551616) % 18446744073709551616 AS us
+              FROM read_parquet('{SIMHASH_PATH}/*.parquet')),
+            c AS (
+              SELECT doc_id,
+                     CAST(us % 65536 AS BIGINT) AS c0,
+                     CAST((us // 65536) % 65536 AS BIGINT) AS c1,
+                     CAST((us // 4294967296) % 65536 AS BIGINT) AS c2,
+                     CAST((us // 281474976710656) % 65536 AS BIGINT) AS c3
+              FROM u),
+            banded AS (
+              SELECT doc_id, band,
+                     CASE band WHEN 0 THEN c0 WHEN 1 THEN c1
+                          WHEN 2 THEN c2 ELSE c3 END AS chunk,
+                     c0, c1, c2, c3
+              FROM c CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+                     b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+              FROM banded a JOIN banded b USING (band, chunk)
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                        + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3))
+                     AS INT) AS hamming
+            FROM cands
+            WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+                  + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
         """,
         "fingerprint": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents

@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         minhash_threshold=args.minhash_threshold,
     )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_list"))
+    dedup.release_cached_signatures()  # minhash sig cache, post-action
     kept = spark.read.parquet(os.path.join(args.out, "keep_list"))
     n_keep = kept.count()
     n_exact_dups = int(
@@ -63,6 +64,7 @@ def main(argv: list[str] | None = None) -> int:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=args.minhash_threshold)
         comps = dedup.near_dup_components(pairs)
         comps.write.mode("overwrite").parquet(os.path.join(args.out, "components"))
+        dedup.release_cached_signatures()
         summary["near_dup_docs_in_components"] = spark.read.parquet(
             os.path.join(args.out, "components")
         ).count()

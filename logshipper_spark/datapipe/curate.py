@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import minhash_lsh_pairs
+from .dedup import dedup_key, minhash_lsh_pairs
 from .textstats import quality_score
 
 
@@ -42,9 +42,10 @@ def curate(
         quality_score(F.col(text_col)).alias("quality"),
     ).filter(F.col("quality") >= min_quality)
 
-    # exact dedup: one row per distinct text, min-id representative
+    # exact dedup: one row per distinct text, min-id representative;
+    # 128-bit composite key (see dedup.dedup_key collision math)
     kept = (
-        scored.groupBy(F.xxhash64("_text").alias("_th"))
+        scored.groupBy(dedup_key(F.col("_text")).alias("_th"))
         .agg(
             F.min(F.struct("doc_id", "quality", "_text")).alias("_rep"),
             F.count("*").alias("exact_dup_count"),

@@ -17,12 +17,40 @@ from pyspark.sql import functions as F
 
 from .textstats import tokens
 
+# signature frames cached by minhash_lsh_pairs (lazy builders cannot
+# unpersist their own intermediates — see release_cached_signatures)
+_SIG_CACHE: list[DataFrame] = []
+
+
+def release_cached_signatures() -> None:
+    """Unpersist every signature frame cached by ``minhash_lsh_pairs``.
+    Call after the terminal action of an eager pipeline (curation job,
+    bench) so long-lived sessions issuing many dedup calls don't
+    accumulate unbounded executor storage."""
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+
+
+def dedup_key(text: Column) -> Column:
+    """128-bit composite dedup key: two independently-seeded xxhash64
+    halves (seeding by hashing the text together with a distinct
+    literal). One 64-bit key is NOT enough at corpus scale: at the
+    10^12-document posture, expected 64-bit collisions ≈ n²/2^65 ≈
+    2.7×10⁴ silently-merged distinct documents; with 128 bits the
+    expectation drops to n²/2^129 ≈ 1.5×10⁻¹⁵ — zero for any feasible
+    corpus. Still a single hash-groupBy key (one shuffle, 16 bytes)."""
+    return F.struct(
+        F.xxhash64(text, F.lit(0)).alias("h0"),
+        F.xxhash64(text, F.lit(1)).alias("h1"),
+    )
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup via hash groupBy: one row per distinct text, keeping
-    the minimal id and the duplicate count."""
+    """Exact dedup via hash groupBy on the 128-bit composite key: one
+    row per distinct text, keeping the minimal id and the duplicate
+    count."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        df.groupBy(dedup_key(F.col(text_col)).alias("text_hash"))
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count("*").alias("dup_count"),
@@ -127,14 +155,16 @@ def minhash_lsh_pairs(
     # cache the signatures: the LSH self-join references them from both
     # sides, and without the cache Spark recomputes the whole
     # shingle+hash subtree twice (the dominant cost of this operator).
-    # The cached relation lives until the session drops it (a lazy
-    # builder cannot unpersist its own intermediate); long-lived
-    # sessions issuing many dedup calls should clearCache() between
-    # them, and a 100 TB run would persist signatures to a table.
+    # A lazy builder cannot unpersist its own intermediate, so the
+    # cached frame is registered in _SIG_CACHE; eager call sites
+    # (jobs/run_curation.py, bench) call release_cached_signatures()
+    # after their terminal action. A 100 TB run would persist
+    # signatures to a table instead.
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
         minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
     ).cache()
+    _SIG_CACHE.append(sigs)
     # band join ships only (doc_id, band, bucket) — the 32-long
     # signature arrays do NOT ride the explode/shuffle; they re-join
     # onto the (small) candidate pair set afterwards
@@ -210,12 +240,17 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     cluster-based dedup (keep one representative per component, not per
     pair, so transitive chains a~b~c collapse together).
 
-    Iterative min-label propagation (the standard distributed CC: each
-    round every node takes the min of its own and its neighbors'
-    labels; converges in O(diameter) rounds). Each round is one join +
-    one aggregation on (id, label) pairs — never materializes anything
-    per-component. Lineage is severed per round with localCheckpoint
-    (iterative plans otherwise grow exponentially in Catalyst).
+    Min-label propagation with POINTER JUMPING: each round a node takes
+    the min of (its label, its neighbors' labels, its *label's* label —
+    the path-halving step). Plain propagation advances one hop per
+    round and a >max_iter-diameter chain (template spam at corpus
+    scale) would silently split; the label-of-label join makes label
+    trees collapse exponentially, converging in O(log diameter) rounds.
+    Each round is two joins + one aggregation on (id, label) pairs —
+    never materializes anything per-component. Lineage is severed per
+    round with localCheckpoint (iterative plans otherwise grow
+    exponentially in Catalyst). Raises if the fixpoint isn't reached in
+    ``max_iter`` rounds rather than returning wrong labels.
     """
     edges = pairs.select("id_a", "id_b")
     sym = edges.unionByName(
@@ -224,47 +259,56 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["id_b"] == labels["id"])
             .groupBy(F.col("id_a").alias("id"))
             .agg(F.min("comp").alias("_nbr_min"))
         )
+        # pointer jump: my label's current label (labels re-keyed on id)
+        jump = labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("_comp_comp")
+        )
         new = (
             labels.join(nbr, "id", "left")
+            .join(jump, "comp", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("_nbr_min"), F.col("comp"))).alias(
-                    "_new"
-                ),
+                F.least(
+                    F.col("comp"),
+                    F.coalesce(F.col("_nbr_min"), F.col("comp")),
+                    F.coalesce(F.col("_comp_comp"), F.col("comp")),
+                ).alias("_new"),
                 "comp",
             )
         ).localCheckpoint()
         changed = new.filter(F.col("_new") != F.col("comp")).limit(1).count()
         labels = new.select("id", F.col("_new").alias("comp")).localCheckpoint()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_components: labels still changing after {max_iter} "
+            "rounds — raise max_iter (component diameter > 2^max_iter)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def simhash_pairs_from_sims(
+    sims: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, found with
-    pigeonhole-LSH banding: the 64-bit key splits into ``bands`` equal
-    chunks, and any pair within ``max_hamming < bands`` bit flips
-    differs in at most ``max_hamming`` chunks — so it shares at least
-    one chunk exactly. Candidates come from an equi-join on
-    (band, chunk); the exact Hamming distance (bit_count of the XOR)
-    verifies. No cross product anywhere — scales like the MinHash path.
-    """
+    """Pigeonhole-LSH banding + Hamming verify over a precomputed
+    ``(doc_id, simhash)`` frame — the banding stage of ``simhash_pairs``
+    factored out so it can run over persisted signatures (and so the
+    contract oracle can re-derive the same pairs in SQL from the same
+    signature parquet; the chunk split / equi-join / bit_count-XOR
+    verify are all SQL-expressible)."""
     assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
     width = 64 // bands
-    sims = simhash(df, text_col, id_col)
     chunks = F.array(
         *[
             F.struct(
@@ -299,22 +343,54 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, found with
+    pigeonhole-LSH banding: the 64-bit key splits into ``bands`` equal
+    chunks, and any pair within ``max_hamming < bands`` bit flips
+    differs in at most ``max_hamming`` chunks — so it shares at least
+    one chunk exactly. Candidates come from an equi-join on
+    (band, chunk); the exact Hamming distance (bit_count of the XOR)
+    verifies. No cross product anywhere — scales like the MinHash path.
+    """
+    return simhash_pairs_from_sims(simhash(df, text_col, id_col), max_hamming, bands)
+
+
 def fingerprint_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = False,
 ) -> DataFrame:
     """Exact-duplicate pairs by rolling-hash fingerprint equality
     (textstats.fingerprint): a self-equi-join on the 64-bit fingerprint
-    — the pairwise view of exact dedup, shuffling only (id, fp)."""
+    — the pairwise view of exact dedup, shuffling only (id, fp).
+
+    The 64-bit key matches the operator's name (a *fingerprint* is
+    64-bit by definition), but at 10^12 docs expects ~n²/2^65 ≈ 2.7×10⁴
+    false pairs; pass ``verify=True`` to ride the text through the
+    fp-join and filter on exact equality (costs text width in the
+    shuffle — for hash-only width at scale use ``exact_dedup``'s
+    128-bit composite key instead, see ``dedup_key``)."""
     from .textstats import fingerprint
 
-    fps = df.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+    cols = [F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")]
+    if verify:
+        cols.append(F.col(text_col).alias("_txt"))
+    fps = df.select(*cols)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp",
+                   *([F.col("_txt").alias("_ta")] if verify else []))
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp",
+                   *([F.col("_txt").alias("_tb")] if verify else []))
+    pairs = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    if verify:
+        pairs = pairs.filter(F.col("_ta") == F.col("_tb"))
+    return pairs.select("id_a", "id_b")
 
 
 def embedding_near_dup_pairs(
