@@ -145,6 +145,8 @@ def edge_metric_feed(
     ts_col: str = "ts",
     latency_col: str = "latency_us",
     status_col: str = "status_code",
+    two_phase: bool = True,
+    block_duration: str = "15 minutes",
 ) -> DataFrame:
     """The reference's detector feed (graph.go:149-152): per event, two
     metric samples per edge — latency in ms, and the **cumulative**
@@ -152,23 +154,69 @@ def edge_metric_feed(
     stable turn ordering, mirroring the order-dependent rate the Go
     code computes from its running aggregate; SURVEY.md §7.3.4).
 
+    ``two_phase`` (default) computes the running sums BOUNDED: rows are
+    blocked by ``block_duration`` time buckets of ``ts_col`` (monotone
+    in the primary ordering column, so block order == row order), the
+    running error/call counts accumulate locally per (edge, block), and
+    each block's starting offsets come from a window over the tiny
+    per-block totals table — the exact ``turn_rank_salted`` pattern
+    (skew.py:33). No task ever sorts or scans a hot edge's full
+    history, only one block of it; running sums are associative so the
+    result is identical to the single-window form (``two_phase=False``,
+    kept for plan comparison) for any block choice.
+
     Output: key columns + (ts, metric, value) with metric ∈
     {'latency', 'error_rate'} — feed straight into rolling_zscore /
     detect_alerts keyed on (*key_cols, 'metric').
     """
     key_cols = key_cols or ["src_service", "dst_service", "operation"]
     order_cols = order_cols or [ts_col]
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     is_err = (F.col(status_col) >= 500).cast("long")
     # window expressions can't live inside a generator's projection —
     # materialize the running rate as a column first, then explode
-    with_rate = df.withColumn(
-        "_rate", F.sum(is_err).over(w) / F.count(F.lit(1)).over(w)
-    )
+    if two_phase:
+        blk = F.window(F.col(ts_col), block_duration)["start"]
+        with_blk = df.withColumn("_blk", blk)
+        w_loc = (
+            Window.partitionBy(*key_cols, "_blk")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = with_blk.withColumn("_err_loc", F.sum(is_err).over(w_loc)).withColumn(
+            "_cnt_loc", F.count(F.lit(1)).over(w_loc)
+        )
+        totals = with_blk.groupBy(*key_cols, "_blk").agg(
+            F.sum(is_err).alias("_err_tot"), F.count("*").alias("_cnt_tot")
+        )
+        w_off = (
+            Window.partitionBy(*key_cols)
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            *key_cols,
+            "_blk",
+            F.coalesce(F.sum("_err_tot").over(w_off), F.lit(0)).alias("_err_off"),
+            F.coalesce(F.sum("_cnt_tot").over(w_off), F.lit(0)).alias("_cnt_off"),
+        )
+        with_rate = (
+            local.join(offsets, [*key_cols, "_blk"])
+            .withColumn(
+                "_rate",
+                (F.col("_err_off") + F.col("_err_loc"))
+                / (F.col("_cnt_off") + F.col("_cnt_loc")),
+            )
+            .drop("_blk", "_err_loc", "_cnt_loc", "_err_off", "_cnt_off")
+        )
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        with_rate = df.withColumn(
+            "_rate", F.sum(is_err).over(w) / F.count(F.lit(1)).over(w)
+        )
     lat_ms = F.col(latency_col) / 1000.0
     pair = F.array(
         F.struct(F.lit("latency").alias("metric"), lat_ms.alias("value")),

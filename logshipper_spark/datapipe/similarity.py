@@ -177,6 +177,15 @@ def ivf_knn_join(
     small, co-partitioned shuffle otherwise). Top-k is a per-query
     row_number window over the candidates — candidate count per query
     is bounded by the probed cells' population, never the full table.
+
+    Index-side pruning is a LITERAL partition filter, not a hope that
+    dynamic partition pruning fires on the join: the distinct probe
+    cells across all queries are collected to the driver first — a
+    tiny aggregation bounded by ``num_cells`` values by construction —
+    and pushed as ``cell IN (...)`` onto the partitioned index scan, so
+    unprobed directories are skipped at planning time (verify:
+    PLANS.md shows ``PartitionFilters`` for this path, the same proof
+    as ``ivf_topk_indexed``).
     """
     import math
 
@@ -195,8 +204,13 @@ def ivf_knn_join(
         F.col(vec_col).alias("_qv"),
         F.explode(probe_arr).alias("cell"),
     )
-    idx = spark.read.parquet(index_path).select(
-        id_col, vec_col, F.col("cell").cast("int").alias("cell")
+    probed = sorted(
+        r["cell"] for r in qx.select("cell").distinct().collect()
+    )  # ≤ num_cells values — bounded by construction, not by data volume
+    idx = (
+        spark.read.parquet(index_path)
+        .where(F.col("cell").isin(probed) if probed else F.lit(False))
+        .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
     )
     scored = idx.join(qx, "cell").select(
         query_id_col,

@@ -141,3 +141,44 @@ def test_statistical_eval_f1(spark):
         best_f1 = max(best_f1, f1)
     df.unpersist()
     assert best_f1 >= 0.85, best_f1
+
+
+# ── bounded two-phase error-rate feed (round-3 scale fix) ──
+def test_edge_metric_feed_two_phase_parity_hot_edge(spark):
+    """Two-phase blocked running sums == single-window running sums on a
+    synthetic hot edge spanning many time blocks, and no (edge, block)
+    group holds more than one block's worth of rows."""
+    from datetime import datetime, timedelta
+
+    from logshipper_spark.anomaly import edge_metric_feed
+
+    start = datetime(2024, 3, 1)
+    rows = []
+    for i in range(600):  # one hot edge, rows every 30 s → 50 blocks at 15 min
+        rows.append(("hot", "dst", "op", start + timedelta(seconds=30 * i), i,
+                     1000 + i, 500 if i % 7 == 0 else 200))
+    for i in range(20):  # one cold edge in a single block
+        rows.append(("cold", "dst", "op", start + timedelta(seconds=i), 1000 + i,
+                     50, 200))
+    df = spark.createDataFrame(
+        rows,
+        "src_service string, dst_service string, operation string, "
+        "ts timestamp, event_id long, latency_us long, status_code int",
+    )
+    kw = dict(
+        key_cols=["src_service", "dst_service", "operation"],
+        order_cols=["ts", "event_id"],
+    )
+    fast = edge_metric_feed(df, two_phase=True, block_duration="15 minutes", **kw)
+    slow = edge_metric_feed(df, two_phase=False, **kw)
+    key = lambda r: (r["src_service"], r["event_id"], r["metric"])  # noqa: E731
+    got = {key(r): r["value"] for r in fast.collect()}
+    want = {key(r): r["value"] for r in slow.collect()}
+    assert got == want
+    # per-task bound: the hot edge's 600 rows split across ~50 blocks,
+    # so no (edge, block) partition holds more than 2 blocks' rows
+    blk = df.groupBy(
+        "src_service", F.window("ts", "15 minutes")["start"].alias("b")
+    ).count()
+    assert blk.agg(F.max("count")).first()[0] <= 30
+    assert blk.filter("src_service = 'hot'").count() >= 20
