@@ -445,6 +445,58 @@ def q_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-family nested-JSON roundtrip (normalization-spec.md:91,
+    355-385, 250-291): six line shapes constructed from events columns
+    exercise depth-5 top-level flattening, depth-3 message-string
+    merging with Message cleared, the depth cap (raw-JSON remainder),
+    first-win duplicate keys, and both _parse_warn cases; the oracle
+    recomputes every output from the source columns directly."""
+    ev = _t(spark, sf_dir, "events")
+    m6 = F.expr("event_id % 6")
+    eid = F.col("event_id").cast("string")
+    svc = F.expr("'svc-' || CAST(user_id % 8 AS STRING)")
+    uid = F.col("user_id").cast("string")
+    tss = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    line = (
+        F.when(m6 == 0, _jpart(
+            '{"timestamp":"', tss, '","level":"INFO","service":"', svc,
+            '","ctx":{"user":{"id":"', uid, '","tier":"gold"},"region":"eu"},'
+            '"message":"hello"}',
+        ))
+        .when(m6 == 1, _jpart(
+            '{"time":"', tss, '","msg":"{\\"trace_id\\":\\"tr-', eid,
+            '\\",\\"depth\\":{\\"k\\":\\"v\\"}}","severity":"warn"}',
+        ))
+        .when(m6 == 2, _jpart(
+            '{"ts":"notatime","http":{"response":{"status_code":"OK"}},'
+            '"body":"evt ', eid, '"}',
+        ))
+        .when(m6 == 3, _jpart(
+            '{"a":{"b":{"c":{"d":{"e":{"f":"', eid, '"}}}}},"app":"', svc, '"}',
+        ))
+        .when(m6 == 4, F.lit('{"dup.k":"top","dup":{"k":"nested"},"level":"ERROR"}'))
+        .otherwise(_jpart("plain ", eid))
+    )
+    from logshipper_spark import nested
+
+    out = nested.parse_nested(ev.withColumn("text", line))
+    a = lambda k: F.coalesce(F.try_element_at("attrs", F.lit(k)), F.lit(""))  # noqa: E731
+    return out.select(
+        "event_id",
+        F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),
+        "level", "service", "message",
+        F.size("attrs").alias("n_attrs"),
+        a("ctx.user.id").alias("a_user"),
+        a("ctx.user.tier").alias("a_tier"),
+        a("a.b.c.d.e").alias("a_deep"),
+        a("msg.trace_id").alias("m_trace"),
+        a("msg.depth.k").alias("m_k"),
+        a("dup.k").alias("a_dup"),
+        F.concat_ws("; ", "parse_warn").alias("warn"),
+    )
+
+
 def q_turn_rank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted row_number == plain window row_number (W11 at
     hot-conversation scale); events play the transcript role with
@@ -846,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_formats": q_parse_formats,
         "template_nginx": q_template_nginx,
         "parse_extended": q_parse_extended,
+        "parse_nested": q_parse_nested,
         "turn_rank_salted": q_turn_rank_salted,
         "case_transforms": q_case_transforms,
         "enrich_lookup": q_enrich_lookup,
@@ -1397,6 +1450,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN date_trunc('milliseconds', ts)
                         WHEN 3 THEN date_trunc('second', ts)
                         ELSE date_trunc('milliseconds', ts) END AS event_ts
+            FROM events
+        """,
+        "parse_nested": f"""
+            SELECT event_id,
+                   CASE WHEN event_id % 6 IN (0, 1) THEN date_trunc('milliseconds', ts)
+                        ELSE TIMESTAMP '{ingest}' END AS event_ts,
+                   CASE event_id % 6 WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+                        WHEN 4 THEN 'error' ELSE '' END AS level,
+                   CASE WHEN event_id % 6 IN (0, 3)
+                        THEN 'svc-' || CAST(user_id % 8 AS VARCHAR)
+                        ELSE '' END AS service,
+                   CASE event_id % 6 WHEN 0 THEN 'hello'
+                        WHEN 2 THEN 'evt ' || CAST(event_id AS VARCHAR)
+                        WHEN 5 THEN 'plain ' || CAST(event_id AS VARCHAR)
+                        ELSE '' END AS message,
+                   CAST(CASE event_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 2
+                        WHEN 5 THEN 0 ELSE 1 END AS INT) AS n_attrs,
+                   CASE WHEN event_id % 6 = 0 THEN CAST(user_id AS VARCHAR)
+                        ELSE '' END AS a_user,
+                   CASE WHEN event_id % 6 = 0 THEN 'gold' ELSE '' END AS a_tier,
+                   CASE WHEN event_id % 6 = 3
+                        THEN '{{"f":"' || CAST(event_id AS VARCHAR) || '"}}'
+                        ELSE '' END AS a_deep,
+                   CASE WHEN event_id % 6 = 1 THEN 'tr-' || CAST(event_id AS VARCHAR)
+                        ELSE '' END AS m_trace,
+                   CASE WHEN event_id % 6 = 1 THEN 'v' ELSE '' END AS m_k,
+                   CASE WHEN event_id % 6 = 4 THEN 'top' ELSE '' END AS a_dup,
+                   CASE WHEN event_id % 6 = 2
+                        THEN 'timestamp parse failed: ''notatime''; '
+                             || 'int coercion failed: http.response.status_code = ''OK'''
+                        ELSE '' END AS warn
             FROM events
         """,
         "turn_rank_salted": """
