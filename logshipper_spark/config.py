@@ -37,12 +37,19 @@ class ConfigError(ValueError):
 def expand_env(text: str) -> str:
     """``${VAR}`` / ``$VAR`` expansion with Go ``os.ExpandEnv``
     semantics: unset variables expand to the empty string (Python's
-    ``os.path.expandvars`` would leave them verbatim)."""
+    ``os.path.expandvars`` would leave them verbatim), and Go's
+    shell-special single-char names (``$$ $* $# $@ $! $? $0``-``$9``)
+    consume exactly one character and expand to that (virtually always
+    unset) variable — so ``$1abc`` → ``abc``, matching
+    ``os.ExpandEnv``'s getShellName. A ``$`` followed by nothing
+    expandable stays verbatim, as in Go."""
     def sub(m: re.Match) -> str:
-        name = m.group(1) or m.group(2)
+        name = m.group(1) or m.group(2) or m.group(3)
         return os.environ.get(name, "")
 
-    return re.sub(r"\$\{(\w+)\}|\$(\w+)", sub, text)
+    return re.sub(
+        r"\$\{(\w+)\}|\$([*#$@!?0-9])|\$([A-Za-z_]\w*)", sub, text
+    )
 
 
 @dataclass
@@ -198,15 +205,26 @@ def build_source(spark: SparkSession, name: str, sc: SourceConfig) -> DataFrame:
     return out.withColumn("source_component", F.lit(name))
 
 
-def component_sources(cfg: Config, name: str) -> set[str]:
+def component_sources(
+    cfg: Config, name: str, _visiting: frozenset[str] = frozenset()
+) -> set[str]:
     """Transitive set of SOURCE components feeding ``name`` (itself, if
-    a source) — the reference's ``inputs`` edges resolved to lineage."""
+    a source) — the reference's ``inputs`` edges resolved to lineage.
+    Transforms referencing each other (or themselves) through ``inputs``
+    raise ConfigError instead of recursing forever (transforms are
+    legal input components, so validate() alone cannot reject the
+    cycle)."""
     if name in cfg.sources:
         return {name}
     if name in cfg.transforms:
+        if name in _visiting:
+            raise ConfigError(
+                f"transform input cycle involving '{name}'"
+            )
+        seen = _visiting | {name}
         out: set[str] = set()
         for inp in cfg.transforms[name].inputs:
-            out |= component_sources(cfg, inp)
+            out |= component_sources(cfg, inp, seen)
         return out
     return set()
 

@@ -231,3 +231,42 @@ def test_unknown_source_type_raises(spark):
     c = _cfg(sources={"s": SourceConfig(type="wat")})
     with pytest.raises(ConfigError, match=r"source \[s\]: unknown type 'wat'"):
         cfgmod.build_source(spark, "s", c.sources["s"])
+
+
+# ── Go getShellName parity: shell-special single-char vars ──
+def test_expand_env_shell_specials():
+    # $$ / $1 / $* consume one char and expand to the (unset) special
+    # var — os.ExpandEnv("$1abc") == "abc"
+    assert expand_env("cost: $$5") == "cost: 5"
+    assert expand_env("$1abc") == "abc"
+    assert expand_env("glob $* done") == "glob  done"
+    # bare $ before a non-name char stays verbatim, as in Go
+    assert expand_env("100$ flat") == "100$ flat"
+    assert expand_env("end$") == "end$"
+
+
+# ── transform input cycles raise ConfigError, not RecursionError ──
+def test_transform_input_cycle_raises():
+    from logshipper_spark.config import component_sources
+
+    c = _cfg(
+        transforms={
+            "t1": TransformConfig(inputs=["t2"]),
+            "t2": TransformConfig(inputs=["t1"]),
+        },
+        sinks={"k": SinkConfig(inputs=["t1"])},
+    )
+    c.validate()  # transforms are legal inputs — validate alone passes
+    with pytest.raises(ConfigError, match="cycle"):
+        component_sources(c, "t1")
+
+
+def test_transform_self_cycle_raises():
+    from logshipper_spark.config import component_sources
+
+    c = _cfg(
+        transforms={"t": TransformConfig(inputs=["t"])},
+        sinks={"k": SinkConfig(inputs=["t"])},
+    )
+    with pytest.raises(ConfigError, match="cycle"):
+        component_sources(c, "t")

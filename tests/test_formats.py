@@ -133,8 +133,10 @@ def test_logfmt_and_json_suffix_correlation_fields(spark):
 
 
 def test_logfmt_duplicate_key_last_wins(spark):
-    """A repeated key must not abort the job (Go maps are last-write-wins;
-    session pins spark.sql.mapKeyDedupPolicy=LAST_WIN)."""
+    """A repeated key must not abort the job (Go maps are
+    last-write-wins). The session deliberately keeps the EXCEPTION
+    mapKeyDedupPolicy default — logfmt_map dedups keys itself, keeping
+    the last occurrence, before map construction."""
     out = _parse_lines(
         spark, ["level=info level=debug service=auth msg=x", "just plain"]
     )
