@@ -6,9 +6,24 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 The headline is the north-rule metric — end-to-end routed turns/sec
 through parse → enrich → route → aggregate on the synthetic transcript
 table (turn count scaled by sf). `--scaling` re-runs the pipeline in
-two fresh subprocesses at N and 4N cores on the SAME input and reports
+fresh subprocesses at N and 4N cores on the SAME input and reports
 throughput at both plus scaling efficiency (the sandbox stand-in for
 the N → 4N executor criterion; see BASELINE.md).
+
+Noise discipline (this VM has noisy neighbors arriving in multi-second
+bursts — BASELINE.md round-2 notes) lives INSIDE the harness so the
+driver's capture is trustworthy, not just quiet-window reruns:
+
+* every query is timed best-of-N (default 5; `SPARK_GRAFT_QUERY_RUNS`)
+  after a warmup evaluation of the same plan (Janino + JIT excluded);
+  the JSON reports the best per query (`queries`) AND the full spread
+  (`query_runs`);
+* the materialized-batch measurement takes best-of-N batches (default
+  3; `SPARK_GRAFT_BATCH_RUNS`) after the warmup batch;
+* `--scaling` interleaves the parallelism legs ABAB (N, 4N, N, 4N —
+  never AA-then-BB, so a noise burst cannot land entirely on one
+  level), each leg a fresh JVM doing best-of-4 timed runs; efficiency
+  pairs each level's best across its legs.
 
 Forced evaluation uses the `noop` datasource — full computation of
 every output column, no sink IO in the measurement.
@@ -46,10 +61,25 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(fn) -> float:
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+_RUN_LOG: dict[str, list[float]] = {}
+
+
+def _timed(fn, name: str | None = None, warmup: bool = True) -> float:
+    """Best-of-N timing with a warmup evaluation: the first (untimed)
+    run pays Janino compilation and JIT; N timed runs follow and the
+    minimum is reported (peak sustained throughput — the comparable
+    number on a noisy-neighbor VM). All runs land in _RUN_LOG."""
+    n = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "5"))
+    if warmup:
+        fn()
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+    if name:
+        _RUN_LOG[name] = runs
+    return min(runs)
 
 
 def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
@@ -66,14 +96,15 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     tr.count()  # materialize the input so the measurement excludes generation
     enriched = pipeline.normalize_and_enrich(spark, tr)
     _force(enriched)  # warmup pass: Janino compile + HotSpot JIT, not measured
-    # best-of-3: the sandbox VM has noisy neighbors; peak sustained
+    # best-of-N: the sandbox VM has noisy neighbors; peak sustained
     # throughput is the stable, comparable number
     runs = []
-    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))):
         t0 = time.time()
         _force(enriched)
         runs.append(round(time.time() - t0, 3))
     times["pipeline_parse_enrich"] = min(runs)
+    _RUN_LOG["pipeline_parse_enrich"] = runs
     turns_per_sec = round(n_turns / times["pipeline_parse_enrich"], 1)
 
     enriched = enriched.cache()
@@ -83,14 +114,16 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             route.sink_counts(
                 route.routed_rows(enriched, gen.routing_rules()), ts_col="ts"
             )
-        )
+        ),
+        "route_sink_counts",
     )
     times["edge_agg"] = _timed(
         lambda: _force(
             agg.edge_agg(
                 enriched, ts_col="event_ts", order_cols=["ts", "conv_id", "turn_idx"]
             )
-        )
+        ),
+        "edge_agg",
     )
     result: dict = {
         "metric": "end_to_end_routed_turns_per_sec",
@@ -125,16 +158,31 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
 
     batch_tps = {}
     for mode in ("single_pass", "per_sink"):
-        out_dir = tempfile.mkdtemp(prefix="bench_batch_")
-        try:
-            summary = pipeline.run_batch(
-                spark, tr, out_dir, run_id="bench", batch_id=0,
-                sink_write_mode=mode,
-            )
-            times[f"full_batch_{mode}"] = round(summary["elapsed_sec"], 3)
-            batch_tps[mode] = round(summary["turns_per_sec"], 1)
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+        # the headline mode takes best-of-N full batches (real sink IO
+        # is where noise bursts hit hardest); per_sink is informational
+        n_batches = (
+            int(os.environ.get("SPARK_GRAFT_BATCH_RUNS", "3"))
+            if mode == "single_pass"
+            else 1
+        )
+        mode_runs = []
+        for i in range(n_batches):
+            out_dir = tempfile.mkdtemp(prefix="bench_batch_")
+            try:
+                summary = pipeline.run_batch(
+                    spark, tr, out_dir, run_id=f"bench{i}", batch_id=0,
+                    sink_write_mode=mode,
+                )
+                mode_runs.append(
+                    (round(summary["elapsed_sec"], 3),
+                     round(summary["turns_per_sec"], 1))
+                )
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        best = min(mode_runs)
+        times[f"full_batch_{mode}"] = best[0]
+        _RUN_LOG[f"full_batch_{mode}"] = [r[0] for r in mode_runs]
+        batch_tps[mode] = best[1]
     result_batch_tps = batch_tps["single_pass"]
 
     times["anomaly_zscore"] = _timed(
@@ -147,7 +195,8 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
                 key_cols=["edge_key"], value_col="value",
                 order_cols=["ts", "conv_id", "turn_idx"],
             )
-        )
+        ),
+        "anomaly_zscore",
     )
     enriched.unpersist()
     tr.unpersist()
@@ -165,7 +214,8 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             parse.parse_normalized(
                 ev.withColumn("text", jtext), text_col="text", source_name="bench"
             )
-        )
+        ),
+        "parse_json_events",
     )
     # per-format micro-parity with the reference's ns/op table
     # (docs/benchmark-results.md:21-23: JSON 2867, ECS 2879, plain 429 ns/op)
@@ -181,7 +231,8 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             parse.parse_normalized(
                 ev.withColumn("text", ecs_text), text_col="text", source_name="bench"
             )
-        )
+        ),
+        "parse_ecs_events",
     )
     plain_text = F.expr(
         "concat('worker handled request #', CAST(event_id AS STRING), ' ok')"
@@ -191,27 +242,40 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             parse.parse_normalized(
                 ev.withColumn("text", plain_text), text_col="text", source_name="bench"
             )
-        )
+        ),
+        "parse_plain_events",
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    times["minhash_lsh"] = _timed(
-        lambda: _force(dedup.minhash_lsh_pairs(docs, threshold=0.5))
-    )
+
+    # minhash/curate cache signatures internally: rebuild the plan COLD
+    # each timed run (clearCache + release) so best-of-N measures the
+    # full operator, not a warm signature cache
+    def _cold_minhash() -> None:
+        spark.catalog.clearCache()
+        dedup.release_cached_signatures()
+        _force(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+
+    times["minhash_lsh"] = _timed(_cold_minhash, "minhash_lsh")
     times["simhash_pairs"] = _timed(
-        lambda: _force(dedup.simhash_pairs(docs, max_hamming=3))
+        lambda: _force(dedup.simhash_pairs(docs, max_hamming=3)),
+        "simhash_pairs",
     )
     from logshipper_spark.datapipe import curate as curate_mod
 
-    times["curate"] = _timed(
-        lambda: _force(curate_mod.curate(docs, min_quality=0.3, near_dup=True))
-    )
+    def _cold_curate() -> None:
+        spark.catalog.clearCache()
+        dedup.release_cached_signatures()
+        _force(curate_mod.curate(docs, min_quality=0.3, near_dup=True))
+
+    times["curate"] = _timed(_cold_curate, "curate")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     times["cosine_topk"] = _timed(
-        lambda: _force(similarity.cosine_topk(emb, qv, vec_col="embedding", k=10))
+        lambda: _force(similarity.cosine_topk(emb, qv, vec_col="embedding", k=10)),
+        "cosine_topk",
     )
     spark.catalog.clearCache()  # dedup builders cache signatures internally
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
@@ -220,7 +284,8 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         similarity.write_ivf_index(emb, ivf_dir, num_cells=16, dim=len(qv))
         times["ivf_index_build"] = round(time.time() - t0, 3)
         times["ivf_topk_indexed"] = _timed(
-            lambda: _force(similarity.ivf_topk_indexed(spark, ivf_dir, qv, k=10))
+            lambda: _force(similarity.ivf_topk_indexed(spark, ivf_dir, qv, k=10)),
+            "ivf_topk_indexed",
         )
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
@@ -228,28 +293,38 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     result["value"] = turns_per_sec
     result["batch_turns_per_sec_with_sink_io"] = result_batch_tps
     result["batch_turns_per_sec_by_mode"] = batch_tps
+    result["query_runs"] = dict(_RUN_LOG)  # full spread per query
     return result
 
 
-def run_scaling(sf_dir: str, n: int = 4, turns: int = 4_800_000) -> dict:
-    """Same job, two parallelism levels (N and 4N cores), fresh JVMs.
+def run_scaling(sf_dir: str, n: int = 4, turns: int | None = None) -> dict:
+    """Same job at two parallelism levels (N and 4N cores), fresh JVMs,
+    legs INTERLEAVED ABAB — a noise burst that lands during one wall-
+    clock window degrades one leg of each level, not every run of one
+    level, so the best-per-level pairing stays comparable. Each leg
+    takes best-of-4 timed runs in-JVM (this VM's noisy neighbors arrive
+    in multi-second bursts that hit high-parallelism runs hardest —
+    spare cores absorb them at N=4, not at 4N=16).
 
-    The input is 4x the per-round bench size so per-task work dominates
-    fixed per-query overhead (with the default 600k turns the job is
-    overhead-bound and any scaling measurement is meaningless); N=4
-    keeps 4N=16 well under the VM's 32 cores so the two runs see the
-    same per-core memory bandwidth.
+    The input is 16x the per-round bench size (9.6M turns;
+    `SPARK_GRAFT_SCALING_TURNS` overrides) so per-task work dominates
+    fixed per-query overhead — with small inputs the high-core leg is
+    overhead-bound and efficiency reads artificially low; the round-3
+    chain got fast enough that the round-2 4.8M input hit exactly that
+    (16-core leg ~9 s ≈ scheduling floor). N=4 keeps 4N=16 well under
+    the VM's 32 cores so the two runs see the same per-core memory
+    bandwidth.
     """
-    out = {}
-    for cores in (n, 4 * n):
+    if turns is None:
+        turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "9600000"))
+    legs = [n, 4 * n, n, 4 * n]  # ABAB — never AA then BB
+    per_level: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for cores in legs:
         env = dict(
             os.environ, SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_BENCH_TURNS=str(turns),
-            # 8 timed runs per level: this VM's noisy neighbors arrive in
-            # multi-second bursts that hit high-parallelism runs hardest
-            # (spare cores absorb them at N=4, not at 4N=16); best-of-8
-            # reliably catches a quiet window at both levels
-            SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "8"),
+            SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"),
+            SPARK_GRAFT_QUERY_RUNS="1",  # secondary queries: 1 timed run per leg
             # heap scales with cores, as a real cluster's aggregate
             # executor memory scales with executor count
             SPARK_DRIVER_MEMORY=f"{max(8, cores)}g",
@@ -259,18 +334,26 @@ def run_scaling(sf_dir: str, n: int = 4, turns: int = 4_800_000) -> dict:
             env=env, capture_output=True, text=True, check=True,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[f"cores_{cores}"] = json.loads(line)
-    tp_n = out[f"cores_{n}"]["value"]
-    tp_4n = out[f"cores_{4 * n}"]["value"]
+        per_level[cores].append(json.loads(line))
+    tp_n = max(r["value"] for r in per_level[n])
+    tp_4n = max(r["value"] for r in per_level[4 * n])
     return {
         "metric": "scaling_efficiency_Nx4",
         "value": round(tp_4n / tp_n / 4.0, 3),
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "throughput_turns_per_sec": {f"{n}_cores": tp_n, f"{4 * n}_cores": tp_4n},
+        "per_leg_turns_per_sec": {
+            f"{n}_cores": [r["value"] for r in per_level[n]],
+            f"{4 * n}_cores": [r["value"] for r in per_level[4 * n]],
+        },
+        "per_leg_pipeline_runs": {
+            f"{n}_cores": [r["pipeline_runs"] for r in per_level[n]],
+            f"{4 * n}_cores": [r["pipeline_runs"] for r in per_level[4 * n]],
+        },
         "queries": {
-            f"{n}_cores": out[f"cores_{n}"]["queries"],
-            f"{4 * n}_cores": out[f"cores_{4 * n}"]["queries"],
+            f"{n}_cores": per_level[n][0]["queries"],
+            f"{4 * n}_cores": per_level[4 * n][0]["queries"],
         },
     }
 
