@@ -719,6 +719,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_TRAINED_PATH = "/tmp/spark_graft_contract/ivf_trained.parquet"
+IVF_TRAINED_CELLS, IVF_TRAINED_PROBE = 8, 3
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF (deterministic Lloyd k-means → partitioned
+    index + materialized centroid table): the oracle re-derives every
+    vector's nearest-centroid assignment, the query's probe set, and
+    the final cosine top-k in SQL from the SAME centroid parquet — so
+    the assignment math, the index write, and the probe logic are all
+    independently checked."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    cents = similarity.kmeans_fit(
+        emb, num_cells=IVF_TRAINED_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    similarity.write_ivf_trained(emb, IVF_TRAINED_PATH, cents)
+    return similarity.ivf_trained_topk(
+        spark, IVF_TRAINED_PATH, qv, k=10, n_probe=IVF_TRAINED_PROBE
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN join: top-5 per query for the first 5 vectors against
     the IVF index. Oracle re-derives every vector's cell and each
@@ -917,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "knn_join": q_knn_join,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
@@ -1221,6 +1246,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM sc
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, vec_id) <= 5
+        """,
+        "ann_ivf_trained": f"""
+            WITH cent AS (
+              SELECT cell, centroid
+              FROM read_parquet('{IVF_TRAINED_PATH}_centroids/*.parquet')),
+            s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (
+              SELECT s.vec_id, s.v, cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (s.v[i] - cent.centroid[i]) * (s.v[i] - cent.centroid[i]))), 6)
+                       AS dist
+              FROM s CROSS JOIN cent),
+            a AS (
+              SELECT vec_id, v, cell FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+            q AS (SELECT v AS qv FROM s WHERE vec_id = 0),
+            qd AS (
+              SELECT cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (q.qv[i] - cent.centroid[i]) * (q.qv[i] - cent.centroid[i]))), 6)
+                       AS dist
+              FROM cent CROSS JOIN q),
+            probes AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT {IVF_TRAINED_PROBE}),
+            cand AS (SELECT a.vec_id, a.v FROM a JOIN probes USING (cell)),
+            sc AS (
+              SELECT vec_id,
+                     list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                             i -> cand.v[i] * q.qv[i])) AS dot,
+                     sqrt(list_sum(list_transform(cand.v, x -> x * x))) AS nv,
+                     sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq
+              FROM cand CROSS JOIN q)
+            SELECT vec_id,
+                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 6)
+                     AS cosine
+            FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "ann_ivf": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

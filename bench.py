@@ -317,13 +317,18 @@ def run_scaling(sf_dir: str, n: int = 4, turns: int | None = None) -> dict:
     """
     if turns is None:
         turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "9600000"))
-    legs = [n, 4 * n, n, 4 * n]  # ABAB — never AA then BB
+    # legs per level (ABAB...; never AA then BB). The VM's noise bursts
+    # disproportionately hit the high-parallelism leg, and they only
+    # ever ADD time — more interleaved legs tighten the min estimate of
+    # the true quiet-window time symmetrically at both levels.
+    n_legs = int(os.environ.get("SPARK_GRAFT_SCALING_LEGS", "3"))
+    legs = [c for _ in range(n_legs) for c in (n, 4 * n)]
     per_level: dict[int, list[dict]] = {n: [], 4 * n: []}
     for cores in legs:
         env = dict(
             os.environ, SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_BENCH_TURNS=str(turns),
-            SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"),
+            SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "6"),
             SPARK_GRAFT_QUERY_RUNS="1",  # secondary queries: 1 timed run per leg
             # heap scales with cores, as a real cluster's aggregate
             # executor memory scales with executor count

@@ -225,6 +225,134 @@ def ivf_knn_join(
     )
 
 
+def _vec_key(v: Column) -> Column:
+    """Deterministic 64-bit key for a vector (no rand()): hash of the
+    comma-joined string form."""
+    return F.xxhash64(F.concat_ws(",", v.cast("array<string>")))
+
+
+def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
+    """Argmin of squared L2 distance over driver-literal centroids;
+    distances rounded to 6 dp before comparison so an independent
+    re-derivation (the DuckDB oracle) agrees on near-ties, index
+    tie-break. One multiply-add pass per centroid per row."""
+    ds = []
+    for i, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        ds.append(F.struct(F.round(d, 6).alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*ds))["i"].cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_iter: int = 5,
+    sample_mod: int | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means: trained centroids for a real
+    IVF-Flat index (the hyperplane cells in ``assign_cells`` are the
+    fitting-free stand-in; trained centroids cluster where the data
+    actually lives, so the same ``n_probe`` recovers more true
+    neighbors).
+
+    Determinism: init takes the ``num_cells`` vectors with the smallest
+    content hash (no rand()); every iteration is one scan with
+    map-side-combined per-cell dimension sums (``num_cells`` rows × dim
+    doubles collected — bytes, not data volume). An empty cell keeps
+    its previous centroid. ``sample_mod=m`` fits on the deterministic
+    1/m hash-slice of the rows — at 100 TB you fit on a slice and
+    assign everything (the standard IVF practice)."""
+    dim = dim if dim is not None else _vec_dim(df, vec_col)
+    v = F.col(vec_col)
+    fit_df = df
+    if sample_mod:
+        fit_df = df.filter(F.pmod(_vec_key(v), F.lit(sample_mod)) == 0)
+    init_rows = (
+        fit_df.select(v.alias("_v")).withColumn("_k", _vec_key(F.col("_v")))
+        .orderBy("_k").limit(num_cells).collect()
+    )
+    centroids = [[float(x) for x in r["_v"]] for r in init_rows]
+    if not centroids:
+        return []
+    while len(centroids) < num_cells:  # tiny corpus: duplicate last
+        centroids.append(centroids[-1])
+    for _ in range(max_iter):
+        assigned = fit_df.select(
+            _nearest_centroid(v, centroids).alias("cell"), v.alias("_v")
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.array(
+                *[F.sum(F.element_at("_v", i + 1)) for i in range(dim)]
+            ).alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        new = {
+            r["cell"]: [x / r["_n"] for x in r["_s"]] for r in sums.collect()
+        }
+        centroids = [new.get(i, centroids[i]) for i in range(num_cells)]
+    return centroids
+
+
+def write_ivf_trained(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+    codec: str = "zstd",
+) -> None:
+    """Persist the table partitioned by its TRAINED cell, plus the
+    centroid table at ``<path>_centroids`` — the index is then fully
+    self-describing: probes (and the contract oracle) re-derive every
+    assignment from the same centroid bytes."""
+    spark = df.sparkSession
+    df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids)).write.mode(
+        mode
+    ).option("compression", codec).partitionBy("cell").parquet(path)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
+    )
+    cent.coalesce(1).write.mode(mode).option("compression", codec).parquet(
+        path + "_centroids"
+    )
+
+
+def ivf_trained_topk(
+    spark,
+    path: str,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a ``write_ivf_trained`` index: the ``n_probe``
+    centroids nearest the query are found on the driver (the centroid
+    table is num_cells rows), and the scan carries a literal
+    ``cell IN`` partition filter — unprobed directories never read."""
+    cent = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    }
+    by_dist = sorted(
+        cent,
+        key=lambda c: (
+            round(sum((a - b) * (a - b) for a, b in zip(query, cent[c])), 6),
+            c,
+        ),
+    )
+    probes = by_dist[: max(1, n_probe)]
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return cosine_topk(pruned, query, vec_col, id_col, k)
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -345,3 +345,43 @@ def test_frame_sample(spark):
     )
     for r in joined.collect():
         assert r["count"] == r["d"] // 1000 + 1
+
+
+# ── trained-centroid IVF (round 3) ──
+def test_kmeans_fit_deterministic_and_trained_topk(spark, tmp_path):
+    import math
+
+    from logshipper_spark.datapipe import similarity
+
+    # three tight clusters around orthogonal corners
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for i in range(60):
+        c = i % 3
+        bump = [((i * 7 + j) % 5) * 0.01 for j in range(3)]
+        rows.append((i, [base[c][j] + bump[j] for j in range(3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c1 = similarity.kmeans_fit(df, num_cells=3, dim=3, max_iter=4)
+    c2 = similarity.kmeans_fit(df, num_cells=3, dim=3, max_iter=4)
+    assert c1 == c2  # hash-seeded init + Lloyd = fully deterministic
+    # each trained centroid sits near one distinct corner
+    corners = {tuple(1 if x > 5 else 0 for x in c) for c in c1}
+    assert corners == {(1, 0, 0), (0, 1, 0), (0, 0, 1)}
+
+    path = str(tmp_path / "ivf_trained")
+    similarity.write_ivf_trained(df, path, c1)
+    q = [10.0, 0.1, 0.0]
+    got = similarity.ivf_trained_topk(spark, path, q, k=5, n_probe=1).collect()
+    # probing ONE trained cell recovers the query's whole cluster
+    assert len(got) == 5
+    assert all(r["vec_id"] % 3 == 0 for r in got)
+    brute = similarity.cosine_topk(df, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+
+
+def test_kmeans_empty_input(spark):
+    from logshipper_spark.datapipe import similarity
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.kmeans_fit(df, num_cells=4, dim=3) == []
