@@ -262,8 +262,15 @@ def kmeans_fit(
     actually lives, so the same ``n_probe`` recovers more true
     neighbors).
 
-    Determinism: init takes the ``num_cells`` vectors with the smallest
-    content hash (no rand()); every iteration is one scan with
+    Determinism: init is farthest-point (maximin) seeding with no
+    rand() — the first seed is the vector with the smallest content
+    hash, each further seed the vector maximizing distance to its
+    nearest chosen seed (distance rounded to 6 dp, ties broken by
+    hash). Hash-min-k init is NOT used: its k smallest hashes are
+    uniform over rows, so two seeds can land in one dense cluster and
+    Lloyd then sits in a local minimum that merges two true clusters.
+    Maximin costs ``num_cells`` scans of the fit slice (a bounded
+    TakeOrdered each); every Lloyd iteration is one scan with
     map-side-combined per-cell dimension sums (``num_cells`` rows × dim
     doubles collected — bytes, not data volume). An empty cell keeps
     its previous centroid. ``sample_mod=m`` fits on the deterministic
@@ -274,18 +281,44 @@ def kmeans_fit(
     fit_df = df
     if sample_mod:
         fit_df = df.filter(F.pmod(_vec_key(v), F.lit(sample_mod)) == 0)
-    init_rows = (
-        fit_df.select(v.alias("_v")).withColumn("_k", _vec_key(F.col("_v")))
-        .orderBy("_k").limit(num_cells).collect()
+    base = (
+        fit_df.select(v.alias("_v"))
+        .withColumn("_k", _vec_key(F.col("_v")))
+        .persist()
     )
-    centroids = [[float(x) for x in r["_v"]] for r in init_rows]
-    if not centroids:
+    first = base.orderBy("_k").limit(1).collect()
+    if not first:
+        base.unpersist()
         return []
-    while len(centroids) < num_cells:  # tiny corpus: duplicate last
-        centroids.append(centroids[-1])
+    centroids = [[float(x) for x in first[0]["_v"]]]
+    while len(centroids) < num_cells:
+        dmin = F.array_min(
+            F.array(
+                *[
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("_v"),
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda s, x: s + x,
+                        ),
+                        6,
+                    )
+                    for c in centroids
+                ]
+            )
+        )
+        far = base.orderBy(F.desc(dmin), F.col("_k")).limit(1).collect()
+        # distance 0 = every distinct vector already chosen (tiny
+        # corpus): the pick duplicates an existing centroid, which is
+        # harmless (its cell just stays empty)
+        centroids.append([float(x) for x in far[0]["_v"]])
     for _ in range(max_iter):
-        assigned = fit_df.select(
-            _nearest_centroid(v, centroids).alias("cell"), v.alias("_v")
+        assigned = base.select(
+            _nearest_centroid(F.col("_v"), centroids).alias("cell"), "_v"
         )
         sums = assigned.groupBy("cell").agg(
             F.array(
@@ -297,6 +330,7 @@ def kmeans_fit(
             r["cell"]: [x / r["_n"] for x in r["_s"]] for r in sums.collect()
         }
         centroids = [new.get(i, centroids[i]) for i in range(num_cells)]
+    base.unpersist()
     return centroids
 
 
