@@ -71,7 +71,8 @@ def _timed(fn, name: str | None = None, warmup: bool = True) -> float:
     number on a noisy-neighbor VM). All runs land in _RUN_LOG."""
     n = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "5"))
     if warmup:
-        fn()
+        for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))):
+            fn()
     runs = []
     for _ in range(n):
         t0 = time.time()
@@ -95,7 +96,13 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     tr = gen.transcripts(spark, n_turns).cache()
     tr.count()  # materialize the input so the measurement excludes generation
     enriched = pipeline.normalize_and_enrich(spark, tr)
-    _force(enriched)  # warmup pass: Janino compile + HotSpot JIT, not measured
+    # warmup pass(es): Janino compile + HotSpot JIT tiering, not
+    # measured. Fresh high-parallelism JVMs ramp for ~2 evaluations
+    # (measured in the round-3 scaling runs: first timed 16-core run
+    # 57-59 s vs 25-29 s steady state), so the scaling harness sets
+    # SPARK_GRAFT_BENCH_WARMUPS=2 on 4N-core legs.
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))):
+        _force(enriched)
     # best-of-N: the sandbox VM has noisy neighbors; peak sustained
     # throughput is the stable, comparable number
     runs = []
@@ -330,6 +337,11 @@ def run_scaling(sf_dir: str, n: int = 4, turns: int | None = None) -> dict:
             SPARK_GRAFT_BENCH_TURNS=str(turns),
             SPARK_GRAFT_BENCH_RUNS=os.environ.get("SPARK_GRAFT_BENCH_RUNS", "6"),
             SPARK_GRAFT_QUERY_RUNS="1",  # secondary queries: 1 timed run per leg
+            # fresh 4N JVMs ramp for ~2 evaluations (JIT tiering + heap
+            # growth, amplified at high parallelism — measured 57-59 s
+            # first run vs 25-29 s steady state); 2 warmups there so all
+            # timed runs sample steady state. N-core legs show no ramp.
+            SPARK_GRAFT_BENCH_WARMUPS="2" if cores == 4 * n else "1",
             # heap scales with cores, as a real cluster's aggregate
             # executor memory scales with executor count
             SPARK_DRIVER_MEMORY=f"{max(8, cores)}g",

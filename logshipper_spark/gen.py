@@ -100,6 +100,16 @@ def transcripts(
     Deterministic for a given ``n_turns`` regardless of parallelism or
     partitioning — every column derives from (conv_id, turn_idx) hashes.
     """
+    if parallelism is None:
+        # match the session's tasks-per-core posture (see session.py):
+        # spark.range defaults to exactly defaultParallelism partitions
+        # = 1 task/core, which leaves no straggler slack on the narrow
+        # generate→parse→enrich stage.
+        import os
+
+        parallelism = spark.sparkContext.defaultParallelism * int(
+            os.environ.get("SPARK_GRAFT_TASKS_PER_CORE", "3")
+        )
     n_hot = max(1, int(round(HOT_SHARE * n_turns / HOT_TURNS)))
     hot_turns = min(n_hot * HOT_TURNS, n_turns)
     cold_turns = n_turns - hot_turns

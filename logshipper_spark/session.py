@@ -25,7 +25,19 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # 3 tasks per core (Spark tuning-guide posture), not 1: with
+        # exactly one task per core the slowest task IS the stage — no
+        # straggler slack, and a noisy-neighbor burst on one core
+        # extends the stage by the full burst length. Measured at 16
+        # cores / 9.6M turns (interleaved fresh-JVM A/B, best-of-4):
+        # 17.2 s at 3 tasks/core vs 23.6 s at 1, spread collapsing from
+        # 23-48 s to 17-19 s; 4-core leg 68.0 s vs 84.3 s. 6/core was
+        # within noise of 3 and not adopted. On a real cluster the same
+        # setting gives dynamic-allocation slack and skew headroom.
+        tasks_per_core = int(os.environ.get("SPARK_GRAFT_TASKS_PER_CORE", "3"))
+        shuffle_partitions = (
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * tasks_per_core
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
