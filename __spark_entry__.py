@@ -128,6 +128,11 @@ def q_upstream_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct node set of the service graph (graph.go:78-79)."""
+    return agg.nodes(_edges(spark, sf_dir))
+
+
 def q_last_n_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Screen3 last-N ring per edge (W9)."""
     df = _events_normalized(spark, sf_dir)
@@ -519,6 +524,26 @@ def q_case_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2: static-field merge into the raw map — a static field
+    OVERWRITES an existing raw key (Go map assignment, remap.go:23-25)
+    — plus upper/lower message case (remap.go:27-37)."""
+    facts = _t(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "map('kind', event_type, 'env', 'staging') AS raw",
+        "'Handled ' || event_type || ' #' || CAST(event_id AS STRING) AS text",
+    )
+    out = transform.remap(facts, add={"env": "prod", "region": "eu-1"}, case="upper")
+    return out.select(
+        "event_id",
+        F.element_at("raw", F.lit("kind")).alias("kind"),
+        F.element_at("raw", F.lit("env")).alias("env"),
+        F.element_at("raw", F.lit("region")).alias("region"),
+        F.col("text").alias("text_upper"),
+        transform.apply_case(F.col("text"), "lower").alias("text_lower"),
+    )
+
+
 # ── enrichment / resolver (J1–J7) ──
 
 
@@ -558,6 +583,19 @@ _EVENT_RULES = [
     ("sink_big", "value > 50.0", 1),
     ("sink_default", "true", 2),
 ]
+
+
+def q_fanin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: multi-source fan-in. Sources project their columns in
+    different orders; the merge is by NAME (a positional union would
+    silently swap fields), and every per-source row survives."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.selectExpr("event_id", "'file' AS source_name", "event_type AS kind")
+    b = ev.filter("event_id % 3 = 0").selectExpr(
+        "'docker' AS source_name", "event_type AS kind", "event_id"
+    )
+    merged = a.unionByName(b)
+    return merged.groupBy("source_name", "kind").agg(F.count("*").alias("cnt"))
 
 
 def q_routing_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,6 +923,28 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+def q_cycle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: canonical cycle-key rotation (cycle.go:81-105) as a pure
+    relational expression — at corpus scale cycle frames canonicalize
+    where they live instead of collecting to the driver. Three path
+    shapes: closed walk with a trailing repeat of the head, open
+    two-node path, single node."""
+    ev = _t(spark, sf_dir, "events")
+    path = F.expr(
+        "CASE CAST(event_id % 3 AS INT) "
+        "WHEN 0 THEN array('s' || CAST(user_id % 5 AS STRING),"
+        " 's' || CAST(user_id % 3 AS STRING),"
+        " 's' || CAST(event_id % 7 AS STRING),"
+        " 's' || CAST(user_id % 5 AS STRING)) "
+        "WHEN 1 THEN array('s' || CAST(user_id % 7 AS STRING),"
+        " 's' || CAST(event_id % 4 AS STRING)) "
+        "ELSE array('s' || CAST(user_id % 2 AS STRING)) END"
+    )
+    return ev.select(
+        "event_id", graphalg.cycle_key_expr(path).alias("cycle_key")
+    )
+
+
 # ── driver contract ──
 
 
@@ -925,6 +985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_nested": q_parse_nested,
         "turn_rank_salted": q_turn_rank_salted,
         "case_transforms": q_case_transforms,
+        "transform_remap": q_transform_remap,
+        "graph_nodes": q_graph_nodes,
+        "fanin_union": q_fanin_union,
+        "cycle_keys": q_cycle_keys,
         "enrich_lookup": q_enrich_lookup,
         "resolver_chain": q_resolver_chain,
         "routing_fanout": q_routing_fanout,
@@ -1559,6 +1623,57 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                   FROM documents)
+        """,
+        "transform_remap": """
+            SELECT event_id, event_type AS kind,
+                   'prod' AS env, 'eu-1' AS region,
+                   upper('Handled ' || event_type || ' #'
+                         || CAST(event_id AS VARCHAR)) AS text_upper,
+                   lower('Handled ' || event_type || ' #'
+                         || CAST(event_id AS VARCHAR)) AS text_lower
+            FROM events
+        """,
+        "graph_nodes": f"""
+            WITH fed AS ({_FED_SQL})
+            SELECT DISTINCT service FROM (
+              SELECT src AS service FROM fed
+              UNION ALL SELECT dst AS service FROM fed)
+        """,
+        "fanin_union": """
+            WITH merged AS (
+              SELECT event_id, 'file' AS source_name, event_type AS kind FROM events
+              UNION ALL
+              SELECT event_id, 'docker', event_type FROM events WHERE event_id % 3 = 0)
+            SELECT source_name, kind, COUNT(*) AS cnt
+            FROM merged GROUP BY source_name, kind
+        """,
+        "cycle_keys": """
+            WITH p AS (
+              SELECT event_id,
+                     CASE CAST(event_id % 3 AS INT)
+                       WHEN 0 THEN ['s' || CAST(user_id % 5 AS VARCHAR),
+                                    's' || CAST(user_id % 3 AS VARCHAR),
+                                    's' || CAST(event_id % 7 AS VARCHAR),
+                                    's' || CAST(user_id % 5 AS VARCHAR)]
+                       WHEN 1 THEN ['s' || CAST(user_id % 7 AS VARCHAR),
+                                    's' || CAST(event_id % 4 AS VARCHAR)]
+                       ELSE ['s' || CAST(user_id % 2 AS VARCHAR)] END AS path
+              FROM events),
+            t AS (
+              SELECT event_id,
+                     CASE WHEN len(path) > 1 AND path[1] = path[-1]
+                          THEN list_slice(path, 1, len(path) - 1)
+                          ELSE path END AS tp
+              FROM p),
+            r AS (
+              SELECT event_id, tp,
+                     list_position(tp, list_aggregate(tp, 'min')) AS i
+              FROM t)
+            SELECT event_id,
+                   array_to_string(
+                     list_slice(tp, i, len(tp)) || list_slice(tp, 1, i - 1),
+                     '|') AS cycle_key
+            FROM r
         """,
         "enrich_lookup": """
             WITH lk(role, tool, team, cost_tier, sink_hint) AS (VALUES

@@ -18,6 +18,31 @@ from pyspark.sql import functions as F
 WHITE, GRAY, BLACK = 0, 1, 2
 
 
+def cycle_key_expr(path: "F.Column | str") -> "F.Column":
+    """Relational twin of :func:`cycle_key` over an ``array<string>``
+    column (reference: cycle.go:81-105): drop a trailing repeat of the
+    head node, rotate so the lexicographically minimal node leads, join
+    with ``'|'``. Pure built-in expressions — at corpus scale the cycle
+    frames are canonicalized where they live instead of collecting to
+    the driver. Empty/null arrays yield ''.
+    """
+    p = F.col(path) if isinstance(path, str) else path
+    trimmed = F.when(
+        (F.size(p) > 1) & (F.element_at(p, 1) == F.element_at(p, -1)),
+        F.slice(p, 1, F.size(p) - 1),
+    ).otherwise(p)
+    # array_position of the min element = 1-based rotation point; ties
+    # resolve to the first occurrence, matching min(range, key=...)
+    rot = F.array_position(trimmed, F.array_min(trimmed))
+    rotated = F.concat(
+        F.slice(trimmed, rot.cast("int"), F.size(trimmed) - rot.cast("int") + 1),
+        F.slice(trimmed, 1, rot.cast("int") - 1),
+    )
+    return F.when(
+        p.isNull() | (F.size(p) == 0), F.lit("")
+    ).otherwise(F.array_join(rotated, "|"))
+
+
 def cycle_key(cycle: list[str]) -> str:
     """Canonical cycle key: rotate to the minimal node, join with '|'
     (reference: cycle.go:81-105). A trailing repeat of the head node is

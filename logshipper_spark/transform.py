@@ -72,11 +72,20 @@ def apply_case(col: Column, case: str) -> Column:
 
 
 def add_fields(df: DataFrame, fields: dict[str, str], raw_col: str = "raw") -> DataFrame:
-    """Merge static fields into the raw map (reference: remap.go:23-25)."""
+    """Merge static fields into the raw map (reference: remap.go:23-25).
+
+    Go map assignment overwrites, so a static field wins over an
+    existing raw key. The session keeps mapKeyDedupPolicy=EXCEPTION, so
+    the colliding keys must be filtered out of the existing map before
+    map_concat (a raw concat would abort the job on the first document
+    that already carries one of the static keys).
+    """
     if not fields:
         return df
     static = F.create_map(*[x for k, v in fields.items() for x in (F.lit(k), F.lit(v))])
-    return df.withColumn(raw_col, F.map_concat(F.col(raw_col), static))
+    keys = list(fields)
+    cleaned = F.map_filter(F.col(raw_col), lambda k, _v: ~k.isin(keys))
+    return df.withColumn(raw_col, F.map_concat(cleaned, static))
 
 
 def remap(

@@ -125,3 +125,26 @@ def test_find_new_cycles_from_edges(spark):
     )
     cycles = find_new_cycles(df)
     assert [cycle_key(c) for c in cycles] == ["billing|payment"]
+
+
+def test_cycle_key_expr_matches_python(spark):
+    """Relational canonicalization (cycle_key_expr) is byte-identical to
+    the driver-side cycle_key for every shape: trailing-repeat closure,
+    duplicate minimal nodes, single node, ties, empty."""
+    from logshipper_spark.graphalg import cycle_key_expr
+
+    paths = [
+        ["b", "a", "c"],
+        ["b", "a", "c", "b"],        # trailing repeat of the head
+        ["s3", "s0", "s3", "s3"],    # duplicate min after trim
+        ["a"],
+        ["a", "a"],                  # self-loop closure
+        ["z", "a", "a", "b"],        # tied minimal nodes -> first wins
+        [],
+    ]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(paths)],
+                               "i int, path array<string>")
+    got = {r["i"]: r["k"] for r in
+           df.select("i", cycle_key_expr("path").alias("k")).collect()}
+    for i, p in enumerate(paths):
+        assert got[i] == cycle_key(p), (p, got[i], cycle_key(p))

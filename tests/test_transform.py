@@ -76,3 +76,14 @@ def test_add_fields(spark):
     df = spark.createDataFrame([({"a": "1"},)], "raw map<string,string>")
     out = remap(df, add={"env": "prod"}, message_col="missing_ok")
     assert out.first()["raw"] == {"a": "1", "env": "prod"}
+
+
+def test_add_fields_overwrites_existing_key(spark):
+    """Go map assignment overwrites (remap.go:23-25): a static field
+    replaces an existing raw key instead of aborting the job under the
+    session's EXCEPTION map-dedup policy."""
+    df = spark.createDataFrame(
+        [({"a": "1", "env": "staging"},)], "raw map<string,string>"
+    )
+    out = remap(df, add={"env": "prod"}, message_col="missing_ok")
+    assert out.first()["raw"] == {"a": "1", "env": "prod"}
