@@ -1,130 +1,232 @@
-"""Memory / shuffle posture at the scale-headroom input (6M turns):
-peak execution memory, shuffle bytes, and spill per headline query,
-pulled from the Spark status REST API while the queries run.
+"""Memory/shuffle posture of the headline queries at scale.
 
-    python tools/mem_posture.py [n_turns]
-
-Prints a markdown table for BASELINE.md — the bytes-per-row basis for
+Runs each headline operator once at the scale-headroom input size
+(default 6M turns; ``SPARK_GRAFT_POSTURE_TURNS``) in a single JVM with
+the Spark UI's REST API enabled, and attributes per-query stage metrics
+(input/output bytes, shuffle read/write, memory/disk spill, peak
+single-task execution memory) by diffing the completed-stage list
+before and after each query. Prints a JSON summary and a ready-to-paste
+markdown table with per-row byte costs — the bytes-per-row basis for
 the 100 TB extrapolation (wall-time alone says nothing about whether a
-partition fits executor memory). The session enables the UI (the
-engine default keeps it off) solely to expose /api/v1.
+partition fits an executor).
+
+Usage: python tools/mem_posture.py [sf_dir]   (writes nothing; ~5 min)
+
+Not part of bench.py because the UI server itself costs a little and
+the bench must stay measurement-pure.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from logshipper_spark import aggregate as agg  # noqa: E402
 from logshipper_spark import anomaly, gen, pipeline, route  # noqa: E402
+from logshipper_spark.datapipe import dedup  # noqa: E402
 from logshipper_spark.session import get_spark  # noqa: E402
 
+UI = "http://localhost:4040/api/v1"  # overwritten from sc.uiWebUrl in measure()
 
-def _rest(app_id: str, path: str):
-    url = f"http://localhost:4040/api/v1/applications/{app_id}{path}"
-    with urllib.request.urlopen(url) as r:
-        return json.load(r)
+STAGE_FIELDS = (
+    "inputBytes",
+    "outputBytes",
+    "shuffleReadBytes",
+    "shuffleWriteBytes",
+    "memoryBytesSpilled",
+    "diskBytesSpilled",
+)
 
 
-def _mb(b: float) -> str:
-    return f"{b / (1 << 20):,.0f}"
+def _get(path: str):
+    with urllib.request.urlopen(f"{UI}{path}", timeout=60) as r:
+        return json.loads(r.read())
 
 
-def main() -> None:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
+def _app_id() -> str:
+    return _get("/applications")[0]["id"]
+
+
+def _stages(app: str) -> dict[int, dict]:
+    # one entry per (stageId, attempt); keep the latest attempt
+    out: dict[int, dict] = {}
+    for s in _get(f"/applications/{app}/stages?status=complete"):
+        out[s["stageId"]] = s
+    return out
+
+
+def _peak_exec_mem(app: str, stage_id: int) -> int:
+    """Max per-task peak execution memory for a stage (bytes)."""
+    try:
+        detail = _get(
+            f"/applications/{app}/stages/{stage_id}?withSummaries=true"
+            "&quantiles=1.0"
+        )
+        for attempt in detail if isinstance(detail, list) else [detail]:
+            dist = attempt.get("taskMetricsDistributions")
+            if dist and "peakExecutionMemory" in dist:
+                return int(max(dist["peakExecutionMemory"]))
+    except Exception:
+        pass
+    return 0
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def measure(sf_dir: str) -> dict:
+    n_turns = int(os.environ.get("SPARK_GRAFT_POSTURE_TURNS", "6000000"))
     spark = get_spark(
-        app_name="mem-posture", extra_conf={"spark.ui.enabled": "true"}
+        app_name="logshipper-mem-posture",
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    app_id = spark.sparkContext.applicationId
-
-    def force(df):
-        df.write.format("noop").mode("overwrite").save()
+    global UI
+    # the UI port walks up from 4040 when taken by another JVM
+    UI = spark.sparkContext.uiWebUrl.rstrip("/") + "/api/v1"
+    app = _app_id()
 
     tr = gen.transcripts(spark, n_turns).cache()
     tr.count()
-    enr = pipeline.normalize_and_enrich(spark, tr)
-    force(enr)  # warmup: codegen/JIT outside the measured stages
+    enriched = pipeline.normalize_and_enrich(spark, tr)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
 
-    rows = []
+    out_dir = tempfile.mkdtemp(prefix="posture_batch_")
 
-    def measure(name: str, fn) -> None:
-        before = {s["stageId"] for s in _rest(app_id, "/stages")}
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
-        stages = [
-            s
-            for s in _rest(app_id, "/stages")
-            if s["stageId"] not in before and s["status"] == "COMPLETE"
-        ]
-        tot = lambda k: sum(s.get(k) or 0 for s in stages)  # noqa: E731
-        peak = max((s.get("peakExecutionMemory") or 0 for s in stages), default=0)
-        rows.append(
-            (name, round(dt, 1), len(stages), _mb(tot("shuffleWriteBytes")),
-             _mb(tot("shuffleReadBytes")), _mb(tot("memoryBytesSpilled")),
-             _mb(tot("diskBytesSpilled")), _mb(peak))
+    def _full_batch() -> None:
+        pipeline.run_batch(
+            spark, tr, out_dir, run_id="posture", batch_id=0,
+            sink_write_mode="single_pass",
         )
 
-    measure("parse→enrich→order (noop-forced)", lambda: force(enr))
-    measure(
-        "route → per-sink windowed counts",
-        lambda: force(
-            route.sink_counts(
-                route.routed_rows(enr, gen.routing_rules()), ts_col="ts"
-            )
+    queries = [
+        ("pipeline_parse_enrich", n_turns, lambda: _force(enriched)),
+        (
+            "route_sink_counts",
+            n_turns,
+            lambda: _force(
+                route.sink_counts(
+                    route.routed_rows(enriched, gen.routing_rules()), ts_col="ts"
+                )
+            ),
         ),
-    )
-    measure(
-        "edge aggregate (bounded two-phase ring)",
-        lambda: force(
-            agg.edge_agg(enr, ts_col="event_ts", order_cols=["ts", "conv_id", "turn_idx"])
+        (
+            "edge_agg",
+            n_turns,
+            lambda: _force(
+                agg.edge_agg(
+                    enriched, ts_col="event_ts",
+                    order_cols=["ts", "conv_id", "turn_idx"],
+                )
+            ),
         ),
-    )
-    measure(
-        "rolling z-score",
-        lambda: force(
-            anomaly.rolling_zscore(
-                enr.filter("src_service <> '' AND dst_service <> ''").selectExpr(
-                    "src_service || '|' || dst_service AS edge_key",
-                    "ts", "conv_id", "turn_idx", "latency_us / 1000.0 AS value",
-                ),
-                key_cols=["edge_key"], value_col="value",
-                order_cols=["ts", "conv_id", "turn_idx"],
-            )
+        (
+            "anomaly_zscore",
+            n_turns,
+            lambda: _force(
+                anomaly.rolling_zscore(
+                    enriched.filter(
+                        "src_service <> '' AND dst_service <> ''"
+                    ).selectExpr(
+                        "src_service || '|' || dst_service AS edge_key",
+                        "ts", "conv_id", "turn_idx",
+                        "latency_us / 1000.0 AS value",
+                    ),
+                    key_cols=["edge_key"], value_col="value",
+                    order_cols=["ts", "conv_id", "turn_idx"],
+                )
+            ),
         ),
-    )
-    measure(
-        "error-rate feed (two-phase running sums)",
-        lambda: force(
-            anomaly.edge_metric_feed(
-                enr.filter("src_service <> '' AND dst_service <> ''"),
-                key_cols=["src_service", "dst_service", "operation"],
-                order_cols=["ts", "conv_id", "turn_idx"],
-            )
+        ("full_batch_single_pass", n_turns, _full_batch),
+        (
+            "minhash_lsh",
+            n_docs,
+            lambda: _force(dedup.minhash_lsh_pairs(docs, threshold=0.5)),
         ),
-    )
+    ]
 
-    execs = _rest(app_id, "/executors")
+    rows = []
+    try:
+        for name, n_rows, fn in queries:
+            before = set(_stages(app))
+            t0 = time.time()
+            fn()
+            wall = time.time() - t0
+            # stages complete asynchronously after the job returns
+            time.sleep(2)
+            after = _stages(app)
+            new = [after[sid] for sid in after.keys() - before]
+            tot = {f: sum(int(s.get(f) or 0) for s in new) for f in STAGE_FIELDS}
+            peak = max(
+                (_peak_exec_mem(app, s["stageId"]) for s in new), default=0
+            )
+            rows.append(
+                {
+                    "query": name,
+                    "rows": n_rows,
+                    "wall_sec": round(wall, 2),
+                    "stages": len(new),
+                    **tot,
+                    "peakTaskExecutionMemory": peak,
+                }
+            )
+            dedup.release_cached_signatures()
+            spark.catalog.clearCache()
+            tr.cache().count()  # keep the input cached between queries
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    execs = _get(f"/applications/{app}/executors")
     peak_heap = max(
-        (e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0) for e in execs),
-        default=0,
+        int((e.get("peakMemoryMetrics") or {}).get("JVMHeapMemory", 0))
+        for e in execs
     )
+    return {
+        "n_turns": n_turns,
+        "cores": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "peak_jvm_heap_bytes": peak_heap,
+        "queries": rows,
+    }
 
-    print(f"\nInput: {n_turns:,} generated turns, "
-          f"{spark.sparkContext.master}, app {app_id}\n")
-    print("| query | wall s | stages | shuffle write MB | shuffle read MB "
-          "| mem spill MB | disk spill MB | peak task mem MB |")
+
+def _mb(b: int) -> str:
+    return f"{b / 1048576:.1f}"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    res = measure(sf_dir)
+    print(json.dumps(res))
+    print()
+    print(
+        "| query | rows | wall s | shuffle write MB | shuffle read MB |"
+        " spill mem/disk MB | peak task exec mem MB | shuffle B/row |"
+    )
     print("|---|---|---|---|---|---|---|---|")
-    for r in rows:
-        print("| " + " | ".join(str(x) for x in r) + " |")
-    print(f"\nPeak JVM heap (single local-mode executor): {_mb(peak_heap)} MB")
+    for r in res["queries"]:
+        print(
+            f"| {r['query']} | {r['rows']:,} | {r['wall_sec']} |"
+            f" {_mb(r['shuffleWriteBytes'])} | {_mb(r['shuffleReadBytes'])} |"
+            f" {_mb(r['memoryBytesSpilled'])}/{_mb(r['diskBytesSpilled'])} |"
+            f" {_mb(r['peakTaskExecutionMemory'])} |"
+            f" {r['shuffleWriteBytes'] / max(1, r['rows']):.1f} |"
+        )
+    print(
+        f"\npeak JVM heap: {_mb(res['peak_jvm_heap_bytes'])} MB of"
+        f" {res['driver_memory']} on local[{res['cores']}]"
+    )
 
 
 if __name__ == "__main__":
