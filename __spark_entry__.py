@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 
 from logshipper_spark import aggregate as agg
 from logshipper_spark import (
-    anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, skew,
-    template, transform,
+    anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, sinks,
+    skew, template, transform,
 )
 from logshipper_spark.datapipe import curate, dedup, multimodal, similarity, textstats
 from logshipper_spark.schemas import DEFAULT_INGEST_TS
@@ -635,6 +635,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus accounting: the oracle recomputes every stat
+    in SQL AND counts DISTINCT text directly, independently checking the
+    Spark side's 128-bit-hash distinct count."""
+    return textstats.corpus_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -646,6 +653,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(similarity.cosine_similarity(F.col("v"), q), 4).alias("cosine_r"),
     )
     return scored.orderBy(F.col("cosine_r").desc(), "vec_id").limit(10)
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized coarse top-k + exact rerank. The oracle
+    re-derives the per-vector quantization codes, the integer dot
+    products, the k*rerank candidate cut, and the exact-cosine rerank
+    entirely in SQL from the same floats — integer dots are exact in
+    any engine, so the candidate boundary is bit-reproducible."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["v"]]
+    return similarity.quantized_topk(
+        emb, qv, vec_col="v", id_col="vec_id", k=10, rerank=4
+    )
 
 
 # ── dedup/similarity queries with planted-duplicate oracles ──
@@ -945,6 +967,50 @@ def q_cycle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JSONSINK_PATH = "/tmp/spark_graft_contract/jsonsink_20000"
+_jsonsink_written = False
+
+
+def _ensure_json_sink(spark: SparkSession) -> None:
+    """Materialize the K1 stdout-sink output once: the enriched frame
+    JSON-encoded one event per line (sinks.json_lines, reference
+    internal/sinks/stdout.go:14-27) written as plain text files."""
+    global _jsonsink_written
+    if _jsonsink_written:
+        return
+    ev = _pipeline_enriched(spark).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "role", "format", "parse_ok", "level",
+        F.coalesce(F.col("status_code").cast("long"), F.lit(-1)).alias(
+            "status_code"
+        ),
+        F.coalesce("latency_us", F.lit(-1)).alias("latency_us"),
+        "src_service", "dst_service", "operation",
+        # ntz → session-tz(UTC) timestamp → epoch seconds: a plain
+        # number survives any JSON reader's type inference
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+    )
+    sinks.json_lines(ev).coalesce(4).write.mode("overwrite").text(JSONSINK_PATH)
+    _jsonsink_written = True
+
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 JSON sink round-trip: the sink's emitted bytes are read back
+    by Spark's JSON source while the oracle reads the SAME files with
+    DuckDB's independent spec-compliant reader (read_json_auto) — an
+    exact-hash match proves the stdout sink's encoding is standard JSON
+    lines any downstream consumer can ingest losslessly."""
+    _ensure_json_sink(spark)
+    schema = (
+        "conv_id string, turn_idx long, role string, format string, "
+        "parse_ok boolean, level string, status_code long, latency_us long, "
+        "src_service string, dst_service string, operation string, "
+        "ts_epoch long"
+    )
+    return spark.read.schema(schema).json(JSONSINK_PATH)
+
+
 # ── driver contract ──
 
 
@@ -998,7 +1064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
+        "corpus_stats": q_corpus_stats,
         "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1012,7 +1080,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_edge_agg": q_pipeline_edge_agg,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
+        "sink_roundtrip": q_sink_roundtrip,
     }
+
+
+_TEXTSTATS_SQL = r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+                     length(text) AS n_chars
+              FROM documents),
+            hits AS (
+              SELECT *,
+                CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tok,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS h_de,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['el','la','los','y','es','un','una','de','que','por'], t))) AS h_es,
+                len(list_filter(ltoks, t -> list_contains(
+                  ['le','la','les','et','est','un','une','de','que','pour'], t))) AS h_fr,
+                len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+                len(regexp_extract_all(text, '[A-Za-z]+|\d|[^A-Za-z\d\s]')) AS n_bpe
+              FROM base),
+            st AS (
+              SELECT doc_id, text, n_chars, n_tok AS n_tokens, n_bpe AS n_bpe_tokens,
+                   round(((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
+                                THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'unknown'
+                        WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        ELSE 'de' END AS lang_guess
+              FROM hits)
+"""
 
 
 _ROLLUP_SQL = f"""
@@ -1095,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         try:
             _pipeline_enriched(spark)
             _ensure_media(spark)
+            _ensure_json_sink(spark)
         except Exception:
             pass  # the per-query path will write them
 
@@ -1161,6 +1268,12 @@ def oracle_sql() -> dict[str, str]:
                    round(value + 1e-9, 4) AS value_r, round(mean + 1e-9, 4) AS mean_r,
                    round(stddev + 1e-9, 4) AS stddev_r, round(zscore + 1e-9, 4) AS zscore_r
             FROM t WHERE is_anom AND NOT prev
+        """,
+        "sink_roundtrip": f"""
+            SELECT conv_id, turn_idx, role, "format", parse_ok, level,
+                   status_code, latency_us, src_service, dst_service,
+                   operation, ts_epoch
+            FROM read_json_auto('{JSONSINK_PATH}/*.txt')
         """,
         "graph_cycles": f"""
             WITH RECURSIVE e AS (
@@ -1345,6 +1458,36 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 6)
                      AS cosine
             FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "quantized_topk": """
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q0 AS (SELECT v AS qv FROM s WHERE vec_id = 0),
+            qp AS (SELECT qv,
+                          greatest(list_max(list_transform(qv, x -> abs(x))), 1e-30) / 127.0 AS qs
+                   FROM q0),
+            qqv AS (SELECT qv, qs,
+                           list_transform(qv, x -> CAST(floor(x / qs + 0.5) AS BIGINT)) AS qq
+                    FROM qp),
+            d AS (SELECT vec_id, v,
+                         greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS qscale
+                  FROM s),
+            dq AS (SELECT vec_id, v, qscale,
+                          list_transform(v, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS qd
+                   FROM d),
+            sc AS (SELECT vec_id, v, qv,
+                          qscale * qs * CAST(list_sum(list_transform(
+                              range(1, len(v) + 1), i -> qd[i] * qq[i])) AS DOUBLE) AS qscore
+                   FROM dq CROSS JOIN qqv),
+            cand AS (SELECT * FROM sc ORDER BY qscore DESC, vec_id LIMIT 40),
+            fin AS (SELECT vec_id, qscore,
+                           list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) AS dot,
+                           sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+                           sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+                    FROM cand)
+            SELECT vec_id, round(qscore + 1e-9, 6) AS qscore_r,
+                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4)
+                     AS cosine_r
+            FROM fin ORDER BY cosine_r DESC, vec_id LIMIT 10
         """,
         "ann_ivf": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1753,39 +1896,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(common / (sa + sb - common), 6) >= 0.5 AND common > 0
         """,
-        "text_stats": r"""
-            WITH base AS (
-              SELECT doc_id, text,
-                     regexp_split_to_array(trim(text), '\s+') AS toks,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
-                     length(text) AS n_chars
-              FROM documents),
-            hits AS (
-              SELECT *,
-                CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tok,
-                len(list_filter(ltoks, t -> list_contains(
-                  ['der','die','das','und','ist','ein','zu','mit','von','nicht'], t))) AS h_de,
-                len(list_filter(ltoks, t -> list_contains(
-                  ['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
-                len(list_filter(ltoks, t -> list_contains(
-                  ['el','la','los','y','es','un','una','de','que','por'], t))) AS h_es,
-                len(list_filter(ltoks, t -> list_contains(
-                  ['le','la','les','et','est','un','une','de','que','pour'], t))) AS h_fr,
-                len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
-                len(regexp_extract_all(text, '[A-Za-z]+|\d|[^A-Za-z\d\s]')) AS n_bpe
-              FROM base)
-            SELECT doc_id, n_tok AS n_tokens, n_bpe AS n_bpe_tokens,
-                   round(((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
-                        + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
-                                THEN 1.0 ELSE 0.0 END)
-                        + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
-                                THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality,
-                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'unknown'
-                        WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-                        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-                        ELSE 'de' END AS lang_guess
-            FROM hits
+        "text_stats": f"""
+            {_TEXTSTATS_SQL}
+            SELECT doc_id, n_tokens, n_bpe_tokens, quality, lang_guess
+            FROM st
+        """,
+        "corpus_stats": f"""
+            {_TEXTSTATS_SQL}
+            SELECT lang_guess, COUNT(*) AS docs,
+                   COUNT(DISTINCT text) AS distinct_texts,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(SUM(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS quality_sum_4dp
+            FROM st GROUP BY lang_guess
         """,
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

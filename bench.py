@@ -284,6 +284,12 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(similarity.cosine_topk(emb, qv, vec_col="embedding", k=10)),
         "cosine_topk",
     )
+    times["quantized_topk"] = _timed(
+        lambda: _force(
+            similarity.quantized_topk(emb, qv, vec_col="embedding", k=10, rerank=4)
+        ),
+        "quantized_topk",
+    )
     spark.catalog.clearCache()  # dedup builders cache signatures internally
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     try:

@@ -1,0 +1,111 @@
+"""spark-submit entrypoint for building and probing ANN indexes over an
+embedding table.
+
+    spark-submit --py-files logshipper_spark.zip jobs/run_ann_index.py \
+        build --emb /path/to/embeddings.parquet --index /path/to/index \
+        [--cells 256] [--trained] [--max-iter 5] [--sample-mod 16] \
+        [--quantize]
+
+    spark-submit --py-files logshipper_spark.zip jobs/run_ann_index.py \
+        probe --index /path/to/index --query-id 0 \
+        --emb /path/to/embeddings.parquet [--k 10] [--n-probe 8]
+
+``build`` writes the table partitioned by IVF cell (hyperplane cells by
+default; ``--trained`` fits deterministic Lloyd k-means first and writes
+the self-describing ``<index>_centroids`` table alongside).
+``--quantize`` adds int8 codes (``qvec``/``qscale``) to the index rows
+so probes can coarse-score on 4x fewer bytes. ``probe`` runs a top-k
+query (by row id from the embedding table) against the built index and
+prints the neighbors as JSON lines.
+
+At 100 TB: build is one pass (assignment is a narrow projection; the
+partitionBy shuffle is the only wide stage), probe reads only the
+probed cell directories (partition pruning, PLANS.md proof).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# plain-python fallback: under spark-submit the package arrives via
+# --py-files; standalone runs resolve it from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("--emb", required=True, help="embeddings parquet (vec_id, embedding)")
+    b.add_argument("--index", required=True)
+    b.add_argument("--cells", type=int, default=256)
+    b.add_argument("--trained", action="store_true",
+                   help="fit k-means centroids instead of hyperplane cells")
+    b.add_argument("--max-iter", type=int, default=5)
+    b.add_argument("--sample-mod", type=int, default=None,
+                   help="fit on the deterministic 1/m hash-slice (trained only)")
+    b.add_argument("--quantize", action="store_true",
+                   help="store int8 codes (qvec/qscale) alongside the floats")
+    p = sub.add_parser("probe")
+    p.add_argument("--index", required=True)
+    p.add_argument("--emb", required=True)
+    p.add_argument("--query-id", type=int, default=0)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-probe", type=int, default=8)
+    p.add_argument("--cells", type=int, default=256,
+                   help="must match the build --cells (hyperplane probes only)")
+    p.add_argument("--trained", action="store_true")
+    p.add_argument("--rerank", type=int, default=None,
+                   help="int8 coarse scan + exact rerank of the top k*r "
+                        "(uses stored codes when built with --quantize)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from logshipper_spark.datapipe import similarity
+    from logshipper_spark.session import get_spark
+
+    spark = get_spark(app_name="logshipper-ann-index")
+    emb = spark.read.parquet(args.emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    if args.cmd == "build":
+        df = emb
+        if args.quantize:
+            df = similarity.quantize_vectors(df)
+        dim = similarity._vec_dim(df, "embedding")
+        if args.trained:
+            cents = similarity.kmeans_fit(
+                emb, num_cells=args.cells, dim=dim,
+                max_iter=args.max_iter, sample_mod=args.sample_mod,
+            )
+            similarity.write_ivf_trained(df, args.index, cents)
+        else:
+            similarity.write_ivf_index(df, args.index, num_cells=args.cells, dim=dim)
+        print(json.dumps({"built": args.index, "cells": args.cells,
+                          "trained": args.trained, "quantized": args.quantize}))
+        return 0
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == args.query_id).head()["embedding"]]
+    if args.trained:
+        out = similarity.ivf_trained_topk(
+            spark, args.index, qv, k=args.k, n_probe=args.n_probe,
+            rerank=args.rerank,
+        )
+    else:
+        out = similarity.ivf_topk_indexed(
+            spark, args.index, qv, k=args.k,
+            num_cells=args.cells, n_probe=args.n_probe, rerank=args.rerank,
+        )
+    for r in out.collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

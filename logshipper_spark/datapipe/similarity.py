@@ -225,6 +225,91 @@ def ivf_knn_join(
     )
 
 
+def quantize_vectors(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization: adds ``qscale``
+    (double) and ``qvec`` (array<tinyint>) columns, where
+    ``qvec[i] = floor(v[i]/qscale + 0.5)`` and ``qscale`` maps the
+    vector's max |component| to the int8 range. At corpus scale the
+    quantized index is ~4x smaller than float32 (8x vs double) in
+    executor memory and shuffle bytes, and candidate scoring becomes
+    integer multiply-adds; exact floats are kept only for the final
+    rerank set. Deterministic: explicit floor(x+0.5) rounding (not the
+    engine's round()) so any independent reader — including the DuckDB
+    contract oracle — re-derives identical codes from the same floats.
+    One narrow projection, no shuffle, no UDF."""
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    scale = (
+        F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30)) / F.lit(qmax)
+    )
+    out = df.withColumn("qscale", scale)
+    return out.withColumn(
+        "qvec",
+        F.transform(
+            v,
+            lambda x: F.floor(x / F.col("qscale") + F.lit(0.5)).cast("tinyint"),
+        ),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    rerank: int = 4,
+    bits: int = 8,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized coarse scoring → exact cosine
+    rerank. Stage 1 scores every row with an integer dot product
+    against the (identically) quantized query and keeps the top
+    ``k*rerank`` via TakeOrderedAndProject (per-partition heaps, k·r
+    rows to the driver — never a full sort). Stage 2 computes exact
+    float cosine on just those candidates. Score is
+    ``qscale_doc * qscale_query * int_dot`` — the integer dot is exact
+    in any engine, so candidate selection is bit-reproducible.
+    Ties broken by id at both stages."""
+    import math
+
+    qmax = (1 << (bits - 1)) - 1
+    qs = max(max(abs(float(x)) for x in query), 1e-30) / qmax
+    qq = [int(math.floor(float(x) / qs + 0.5)) for x in query]
+    # reuse codes persisted at ingest (write-time quantize_vectors, e.g.
+    # jobs/run_ann_index.py --quantize) — the coarse stage then reads
+    # int8 columns instead of re-deriving them from the floats
+    if "qvec" in df.columns and "qscale" in df.columns:
+        qd = df
+    else:
+        qd = quantize_vectors(df, vec_col, bits=bits)
+    qarr = F.array(*[F.lit(int(x)) for x in qq])
+    # tinyint*tinyint would overflow-throw under ANSI — widen first;
+    # accumulate in long
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec").cast("array<int>"), qarr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    qscore = F.col("qscale") * F.lit(qs) * idot.cast("double")
+    cand = (
+        qd.select(F.col(id_col), F.col(vec_col), qscore.alias("qscore"))
+        .orderBy(F.col("qscore").desc(), F.col(id_col))
+        .limit(k * rerank)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(F.col("qscore") + F.lit(1e-9), 6).alias("qscore_r"),
+            F.round(cosine_similarity(F.col(vec_col), qlit), 4).alias("cosine_r"),
+        )
+        .orderBy(F.col("cosine_r").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _vec_key(v: Column) -> Column:
     """Deterministic 64-bit key for a vector (no rand()): hash of the
     comma-joined string form."""
@@ -263,14 +348,16 @@ def kmeans_fit(
     neighbors).
 
     Determinism: init is farthest-point (maximin) seeding with no
-    rand() — the first seed is the vector with the smallest content
-    hash, each further seed the vector maximizing distance to its
-    nearest chosen seed (distance rounded to 6 dp, ties broken by
-    hash). Hash-min-k init is NOT used: its k smallest hashes are
-    uniform over rows, so two seeds can land in one dense cluster and
-    Lloyd then sits in a local minimum that merges two true clusters.
-    Maximin costs ``num_cells`` scans of the fit slice (a bounded
-    TakeOrdered each); every Lloyd iteration is one scan with
+    rand() — one bounded TakeOrdered collects the
+    ``max(256, 32*num_cells)`` vectors with the smallest content hash
+    (hashes are uniform, so this is a uniform sample), then maximin
+    runs driver-side over the sample: first seed = smallest hash, each
+    next seed = sample point maximizing distance to its nearest chosen
+    seed (6-dp rounded, ties broken by hash order). Hash-min-k init is
+    NOT used directly as the seeds: two of the k smallest hashes can
+    land in one dense cluster and Lloyd then sits in a local minimum
+    that merges two true clusters. Init is ONE scan regardless of
+    ``num_cells``; every Lloyd iteration is one scan with
     map-side-combined per-cell dimension sums (``num_cells`` rows × dim
     doubles collected — bytes, not data volume). An empty cell keeps
     its previous centroid. ``sample_mod=m`` fits on the deterministic
@@ -286,36 +373,24 @@ def kmeans_fit(
         .withColumn("_k", _vec_key(F.col("_v")))
         .persist()
     )
-    first = base.orderBy("_k").limit(1).collect()
-    if not first:
+    sample = base.orderBy("_k").limit(max(256, 32 * num_cells)).collect()
+    if not sample:
         base.unpersist()
         return []
-    centroids = [[float(x) for x in first[0]["_v"]]]
+    pts = [[float(x) for x in r["_v"]] for r in sample]  # hash-ordered
+    centroids = [pts[0]]
+    dmin = [float("inf")] * len(pts)
     while len(centroids) < num_cells:
-        dmin = F.array_min(
-            F.array(
-                *[
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("_v"),
-                                F.array(*[F.lit(float(x)) for x in c]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0),
-                            lambda s, x: s + x,
-                        ),
-                        6,
-                    )
-                    for c in centroids
-                ]
-            )
-        )
-        far = base.orderBy(F.desc(dmin), F.col("_k")).limit(1).collect()
-        # distance 0 = every distinct vector already chosen (tiny
-        # corpus): the pick duplicates an existing centroid, which is
-        # harmless (its cell just stays empty)
-        centroids.append([float(x) for x in far[0]["_v"]])
+        c = centroids[-1]
+        for i, p in enumerate(pts):
+            d = round(sum((a - b) * (a - b) for a, b in zip(p, c)), 6)
+            if d < dmin[i]:
+                dmin[i] = d
+        # max() returns the FIRST maximal element and pts are hash-
+        # ordered, so ties resolve to the smallest hash. dmin 0 =
+        # every distinct sample vector already chosen (tiny corpus):
+        # the pick duplicates a centroid, whose cell just stays empty.
+        centroids.append(pts[max(range(len(pts)), key=dmin.__getitem__)])
     for _ in range(max_iter):
         assigned = base.select(
             _nearest_centroid(F.col("_v"), centroids).alias("cell"), "_v"
@@ -366,11 +441,16 @@ def ivf_trained_topk(
     id_col: str = "vec_id",
     k: int = 10,
     n_probe: int = 4,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Top-k against a ``write_ivf_trained`` index: the ``n_probe``
     centroids nearest the query are found on the driver (the centroid
     table is num_cells rows), and the scan carries a literal
-    ``cell IN`` partition filter — unprobed directories never read."""
+    ``cell IN`` partition filter — unprobed directories never read.
+    ``rerank=r`` coarse-scores the probed cells with int8 codes (stored
+    ones when the index was built with ``quantize_vectors``) and exact-
+    reranks the top k*r — the composed 100 TB serving path: directory
+    pruning × 4x-smaller coarse scan (output schema gains qscore_r)."""
     cent = {
         r["cell"]: list(r["centroid"])
         for r in spark.read.parquet(path + "_centroids").collect()
@@ -384,6 +464,8 @@ def ivf_trained_topk(
     )
     probes = by_dist[: max(1, n_probe)]
     pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if rerank:
+        return quantized_topk(pruned, query, vec_col, id_col, k, rerank=rerank)
     return cosine_topk(pruned, query, vec_col, id_col, k)
 
 
@@ -396,11 +478,15 @@ def ivf_topk_indexed(
     k: int = 10,
     num_cells: int = 16,
     n_probe: int = 4,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Top-k against a ``write_ivf_index`` table: the cell predicate is
     a partition filter (hive-style ``cell=N`` directories), so unprobed
     cells are never scanned — verify with .explain(): PartitionFilters
-    carries the cell IN list and PushedFilters stays empty."""
+    carries the cell IN list and PushedFilters stays empty. ``rerank``:
+    see ``ivf_trained_topk``."""
     probes = probe_cells(query, num_cells, n_probe)
     pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    if rerank:
+        return quantized_topk(pruned, query, vec_col, id_col, k, rerank=rerank)
     return cosine_topk(pruned, query, vec_col, id_col, k)

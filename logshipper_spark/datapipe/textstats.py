@@ -100,3 +100,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fp"),
     )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus accounting rollup by detected language — the numbers a
+    training-data pipeline reports per ingest batch: document and
+    distinct-document counts (exact, via the 128-bit content key — the
+    contract oracle counts DISTINCT text directly, an independent ground
+    truth), token/byte totals, and the summed 4-dp quality (kept as an
+    exact integer sum — ``quality_sum_4dp / 10000 / docs`` is the mean —
+    so the aggregate is order-independent and bit-reproducible; a double
+    AVG would be neither).
+
+    Scale: the stats projection is narrow; the groupBy is map-side
+    combined. Exact COUNT(DISTINCT) adds a partial-distinct expand (two
+    shuffles total); swap in ``approx_count_distinct`` when an HLL
+    estimate suffices at 100 TB."""
+    t = F.col(text_col)
+    st = text_stats(df, text_col)
+    q4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    return st.groupBy("lang_guess").agg(
+        F.count("*").alias("docs"),
+        F.count_distinct(
+            F.struct(F.xxhash64(t, F.lit(0)), F.xxhash64(t, F.lit(1)))
+        ).alias("distinct_texts"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+        F.sum(q4).alias("quality_sum_4dp"),
+    )

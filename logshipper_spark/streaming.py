@@ -163,6 +163,53 @@ def streaming_first_seen(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    ttl: str = "1 hour",
+    available_now: bool = True,
+):
+    """Streaming exact dedup for training-data ingestion: documents
+    arriving as parquet files are emitted once per distinct text within
+    the ``ttl`` event-time horizon, keyed by the same 128-bit composite
+    hash the batch ``datapipe.dedup.exact_dedup`` groups on (two-seed
+    xxhash64 — one 64-bit key silently merges ~n²/2^65 distinct docs at
+    corpus scale).
+
+    State posture at 100 TB: ``dropDuplicatesWithinWatermark`` holds one
+    state row per distinct key seen within the watermark window — 16
+    bytes of key, independent of document size, and the watermark evicts
+    keys older than ``ttl``, so state is bounded by (distinct docs per
+    TTL window), not stream lifetime. The key columns are computed in a
+    narrow projection; the stateful operator shuffles only
+    (key, event-time) pairs. ``schema`` is required: streaming parquet
+    sources cannot infer schemas (and an empty first listing would
+    throw — CLAUDE.md round-2 gotcha)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    keyed = stream.withColumn(
+        "_h0", F.xxhash64(F.col(text_col), F.lit(0))
+    ).withColumn("_h1", F.xxhash64(F.col(text_col), F.lit(1)))
+    deduped = (
+        keyed.withWatermark(ts_col, ttl)
+        .dropDuplicatesWithinWatermark(["_h0", "_h1"])
+        .drop("_h0", "_h1")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sink_counts(
     spark: SparkSession,
     input_dir: str,

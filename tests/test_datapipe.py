@@ -188,6 +188,27 @@ def test_embedding_near_dup(spark):
     assert (0, 2) not in ids and (1, 2) not in ids
 
 
+def test_corpus_stats_rollup(spark):
+    txt_en = "the cat sat of the mat and it is that for " * 5  # en, 55 tokens
+    rows = [(1, txt_en), (2, txt_en), (3, "the of and to in is it that for a"),
+            (4, "zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["lang_guess"]: r.asDict()
+           for r in textstats.corpus_stats(df).collect()}
+    assert got["en"]["docs"] == 3
+    assert got["en"]["distinct_texts"] == 2  # planted exact dup collapses
+    assert got["en"]["total_tokens"] == 55 * 2 + 10
+    assert got["unknown"]["docs"] == 1
+    assert got["unknown"]["distinct_texts"] == 1
+    per_doc = {
+        r["doc_id"]: r["quality"] for r in textstats.text_stats(df).collect()
+    }
+    want_en = sum(
+        int(math.floor(per_doc[i] * 10000 + 0.5)) for i in (1, 2, 3)
+    )
+    assert got["en"]["quality_sum_4dp"] == want_en  # integer-exact sum
+
+
 # ── similarity ──
 def test_cosine_topk_exact(spark, embs):
     query = embs.first()["embedding"]
@@ -197,6 +218,35 @@ def test_cosine_topk_exact(spark, embs):
     assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
     sims = [r["cosine"] for r in out]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_quantized_topk_matches_exact(spark, embs):
+    """Int8 coarse + exact rerank recovers the exact top-k on the test
+    corpus (rerank=4 headroom absorbs quantization rank noise), codes
+    stay in int8 range, and determinism holds across two evaluations."""
+    emb = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    query = [float(x) for x in emb.first()["v"]]
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb, query, vec_col="v", k=5).collect()
+    ]
+    got1 = similarity.quantized_topk(
+        emb, query, vec_col="v", k=5, rerank=4
+    ).collect()
+    got2 = similarity.quantized_topk(
+        emb, query, vec_col="v", k=5, rerank=4
+    ).collect()
+    assert [r.asDict() for r in got1] == [r.asDict() for r in got2]
+    assert [r["vec_id"] for r in got1][0] == exact[0]  # self is top-1
+    assert len(set(r["vec_id"] for r in got1) & set(exact)) >= 4
+    qd = similarity.quantize_vectors(emb, vec_col="v")
+    mx = qd.select(
+        F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x.cast("int")))))
+    ).first()[0]
+    assert mx <= 127
+    # stored-codes path (index built with quantize_vectors) ≡ on-the-fly
+    got3 = similarity.quantized_topk(qd, query, vec_col="v", k=5, rerank=4).collect()
+    assert [r.asDict() for r in got3] == [r.asDict() for r in got1]
 
 
 def test_ivf_topk_recall(spark, embs):

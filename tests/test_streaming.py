@@ -122,6 +122,51 @@ def test_streaming_first_seen_exactly_once(spark, tmp_path):
     assert set(keys) <= set(keys2)
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming document dedup: each distinct text emitted once within
+    the TTL horizon, across epochs and restarts (same 128-bit key as
+    the batch exact_dedup)."""
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ck")
+    schema = "doc_id long, text string, ts timestamp"
+    base = [
+        (1, "alpha beta gamma", "2024-03-01 00:00:00"),
+        (2, "alpha beta gamma", "2024-03-01 00:00:10"),  # dup of 1
+        (3, "delta epsilon", "2024-03-01 00:00:20"),
+    ]
+    spark.createDataFrame(
+        [(i, t, __import__("datetime").datetime.fromisoformat(ts)) for i, t, ts in base],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    q = streaming.streaming_exact_dedup(
+        spark, input_dir, out_dir, ckpt, schema=schema, ttl="1 hour"
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(schema).parquet(out_dir)
+    texts = [r["text"] for r in got.collect()]
+    assert sorted(texts) == ["alpha beta gamma", "delta epsilon"]
+
+    # restart with one dup of an already-seen text and one new text
+    more = [
+        (4, "alpha beta gamma", "2024-03-01 00:10:00"),  # still in TTL → dropped
+        (5, "zeta eta", "2024-03-01 00:10:05"),
+    ]
+    spark.createDataFrame(
+        [(i, t, __import__("datetime").datetime.fromisoformat(ts)) for i, t, ts in more],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    q2 = streaming.streaming_exact_dedup(
+        spark, input_dir, out_dir, ckpt, schema=schema, ttl="1 hour"
+    )
+    q2.awaitTermination(120)
+    texts2 = sorted(
+        r["text"] for r in spark.read.schema(schema).parquet(out_dir).collect()
+    )
+    assert texts2 == ["alpha beta gamma", "delta epsilon", "zeta eta"]
+
+
 def _edge_turns(spark, day, svc_pairs):
     """Transcript rows whose JSON text parses to the given (src, dst)
     edges with event time on the given day of 2024-03."""
