@@ -102,7 +102,9 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", approx_distinct: float | None = None
+) -> DataFrame:
     """Corpus accounting rollup by detected language — the numbers a
     training-data pipeline reports per ingest batch: document and
     distinct-document counts (exact, via the 128-bit content key — the
@@ -114,16 +116,25 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale: the stats projection is narrow; the groupBy is map-side
     combined. Exact COUNT(DISTINCT) adds a partial-distinct expand (two
-    shuffles total); swap in ``approx_count_distinct`` when an HLL
-    estimate suffices at 100 TB."""
+    shuffles total); ``approx_distinct=rsd`` (e.g. 0.01) swaps in an
+    HLL++ sketch over the 64-bit content hash — single shuffle, fixed
+    sketch bytes per (lang, partition) — for the 100 TB report where a
+    ±1% distinct estimate suffices. The contract oracle pins the exact
+    path; the approx path is bounds-tested in unit tests."""
     t = F.col(text_col)
     st = text_stats(df, text_col)
     q4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    if approx_distinct is not None:
+        distinct = F.approx_count_distinct(
+            F.xxhash64(t, F.lit(0)), rsd=approx_distinct
+        )
+    else:
+        distinct = F.count_distinct(
+            F.struct(F.xxhash64(t, F.lit(0)), F.xxhash64(t, F.lit(1)))
+        )
     return st.groupBy("lang_guess").agg(
         F.count("*").alias("docs"),
-        F.count_distinct(
-            F.struct(F.xxhash64(t, F.lit(0)), F.xxhash64(t, F.lit(1)))
-        ).alias("distinct_texts"),
+        distinct.alias("distinct_texts"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
         F.sum(F.length(t)).cast("long").alias("total_chars"),

@@ -207,6 +207,12 @@ def test_corpus_stats_rollup(spark):
         int(math.floor(per_doc[i] * 10000 + 0.5)) for i in (1, 2, 3)
     )
     assert got["en"]["quality_sum_4dp"] == want_en  # integer-exact sum
+    # HLL path: same shape, estimate within rsd bounds at this scale
+    approx = {r["lang_guess"]: r.asDict()
+              for r in textstats.corpus_stats(df, approx_distinct=0.01).collect()}
+    assert approx["en"]["docs"] == 3
+    assert abs(approx["en"]["distinct_texts"] - 2) <= 1
+    assert approx["en"]["total_tokens"] == got["en"]["total_tokens"]
 
 
 # ── similarity ──
