@@ -32,7 +32,14 @@ from logshipper_spark import (
     anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, sinks,
     skew, template, transform,
 )
-from logshipper_spark.datapipe import curate, dedup, multimodal, similarity, textstats
+from logshipper_spark.datapipe import (
+    curate,
+    dedup,
+    filters,
+    multimodal,
+    similarity,
+    textstats,
+)
 from logshipper_spark.schemas import DEFAULT_INGEST_TS
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -642,6 +649,46 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition + word-shape stats, all exact integers.
+    Spark computes them per-row (array_sort + linear fold, no shuffle);
+    the oracle recomputes relationally (unnest n-grams → GROUP BY) —
+    two independent formulations of the same multiset statistics."""
+    return filters.repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "word_chars",
+        "alpha_words",
+        "n_bigrams",
+        "top_bigram",
+        "dup_bigram",
+        "n_trigrams",
+        "top_trigram",
+        "dup_trigram",
+        F.col("rep_keep").cast("int").alias("rep_keep"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministically augmented documents (the
+    synthetic corpus carries no PII, so both engines append the same
+    doc_id-derived email/IP/SSN/phone spans before scrubbing)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return filters.pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "scrubbed"
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1065,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
         "corpus_stats": q_corpus_stats,
+        "repetition_filter": q_repetition_filter,
+        "pii_scrub": q_pii_scrub,
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -1911,6 +1960,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT)
                      AS quality_sum_4dp
             FROM st GROUP BY lang_guess
+        """,
+        "repetition_filter": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM documents),
+            ng2 AS (
+              SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+              FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM tok)),
+            c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ng2 GROUP BY 1, 2),
+            s2 AS (
+              SELECT doc_id, MAX(c) AS top2,
+                     CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2
+              FROM c2 GROUP BY 1),
+            ng3 AS (
+              SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+              FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i
+                    FROM tok)),
+            c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM ng3 GROUP BY 1, 2),
+            s3 AS (
+              SELECT doc_id, MAX(c) AS top3,
+                     CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+              FROM c3 GROUP BY 1),
+            w AS (
+              SELECT doc_id,
+                     CAST(len(a) AS BIGINT) AS n_tokens,
+                     CAST(COALESCE(list_sum(list_transform(a, t -> length(t))), 0)
+                          AS BIGINT) AS word_chars,
+                     CAST(len(list_filter(a, t -> regexp_matches(t, '[A-Za-z]')))
+                          AS BIGINT) AS alpha_words,
+                     CAST(greatest(len(a) - 1, 0) AS BIGINT) AS n_bigrams,
+                     CAST(greatest(len(a) - 2, 0) AS BIGINT) AS n_trigrams
+              FROM tok)
+            SELECT w.doc_id, w.n_tokens, w.word_chars, w.alpha_words,
+                   w.n_bigrams,
+                   COALESCE(s2.top2, 0) AS top_bigram,
+                   COALESCE(s2.dup2, 0) AS dup_bigram,
+                   w.n_trigrams,
+                   COALESCE(s3.top3, 0) AS top_trigram,
+                   COALESCE(s3.dup3, 0) AS dup_trigram,
+                   CASE WHEN w.n_tokens BETWEEN 5 AND 100000
+                         AND w.word_chars >= 3 * w.n_tokens
+                         AND w.word_chars <= 10 * w.n_tokens
+                         AND w.alpha_words * 100 >= 80 * w.n_tokens
+                         AND COALESCE(s2.top2, 0) * 100 <= 20 * w.n_bigrams
+                         AND COALESCE(s3.top3, 0) * 100 <= 18 * w.n_trigrams
+                         AND COALESCE(s3.dup3, 0) * 100 <= 30 * w.n_trigrams
+                        THEN 1 ELSE 0 END AS rep_keep
+            FROM w
+            LEFT JOIN s2 USING (doc_id)
+            LEFT JOIN s3 USING (doc_id)
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ip 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 ssn 123-45-6789 tel 555-123-4567' AS text
+              FROM documents),
+            s0 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug),
+            s1 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                       '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+                     regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b',
+                       '<SSN>', 'g') AS t2
+              FROM s0),
+            s2 AS (
+              SELECT doc_id, n_email, n_ssn,
+                     CAST(len(regexp_extract_all(t2,
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+                     regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                       '<PHONE>', 'g') AS t3
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_ssn, n_phone,
+                     CAST(len(regexp_extract_all(t3,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                       AS n_ipv4,
+                     regexp_replace(t3,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS scrubbed
+              FROM s2)
+            SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, scrubbed FROM s3
         """,
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,164 @@
+"""Gopher/C4-style repetition + quality filter rules and PII scrubbing.
+
+The LogShipper reference has no document-curation layer; these are the
+standard public heuristics a training-data pipeline runs before dedup
+(Rae et al. 2021 "Gopher" §A.1.1 repetition filters; Raffel et al. 2020
+"C4" cleaning rules), re-expressed as native Spark column expressions.
+
+Scale posture: every statistic here is computed per-row — n-gram
+multiset stats via array_sort + a linear F.aggregate fold (O(m log m)
+per document, no explode, no shuffle), PII scrubbing via a fixed chain
+of regexp_replace. The whole module is embarrassingly parallel: at
+100 TB it is a map-only stage fused into the scan, with predicate
+`rep_keep` eligible for pushdown into later curation joins.
+
+Repetition statistics are kept as exact integers (counts, not float
+fractions) so contract hashing is bit-stable; thresholds compare via
+integer cross-multiplication (top * 100 <= frac_pct * n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import textstats
+
+# thresholds: token-fraction variants of the Gopher §A.1.1 rules
+TOP_BIGRAM_PCT = 20  # most-frequent 2-gram ≤ 20% of all 2-grams
+TOP_TRIGRAM_PCT = 18  # most-frequent 3-gram ≤ 18% of all 3-grams
+DUP_TRIGRAM_PCT = 30  # 3-grams occurring ≥2× ≤ 30% of all 3-grams
+MIN_WORDS = 5
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3  # mean word length in [3, 10]
+MAX_MEAN_WORD_LEN = 10
+MIN_ALPHA_WORD_PCT = 80  # ≥80% of words contain an alphabetic char
+
+# (name, pattern, replacement) — applied IN ORDER, each replace runs on
+# the output of the previous one, and each count is taken just before
+# its own replace. Patterns are deliberately RE2-compatible (no
+# lookaround/backrefs) so the DuckDB oracle runs them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; fewer than n tokens → empty
+    array (the guard also keeps F.sequence from going descending)."""
+    m = F.size(toks)
+    return F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _rep_fold(ngrams: Column) -> Column:
+    """struct(top, dup) over an n-gram array: `top` = multiset count of
+    the most frequent n-gram, `dup` = total n-grams whose multiset count
+    is ≥ 2. Computed by sorting the array and folding runs — per-row
+    O(m log m), no explode/groupBy. Equivalent to the relational
+    `GROUP BY ngram → max(c), sum(c) FILTER (c > 1)` the oracle runs."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast("long")
+        )
+        # run hits 2 → the run's first element retroactively counts too
+        dup_add = (
+            F.when(run == 2, F.lit(2))
+            .when(run > 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run).alias("top"),
+            (acc["dup"] + dup_add).alias("dup"),
+        )
+
+    return F.aggregate(
+        ngrams,
+        zero,
+        step,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition + word-shape statistics (all exact
+    integers) and the boolean `rep_keep` Gopher-style verdict.
+
+    Columns added: n_tokens, word_chars, alpha_words, n_bigrams,
+    top_bigram, dup_bigram, n_trigrams, top_trigram, dup_trigram,
+    rep_keep.
+    """
+    toks = textstats.tokens(F.lower(F.col(text_col)))
+    big = word_ngrams(toks, 2)
+    tri = word_ngrams(toks, 3)
+    big_st = _rep_fold(F.array_sort(big))
+    tri_st = _rep_fold(F.array_sort(tri))
+
+    n_tokens = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+
+    out = df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        word_chars.alias("word_chars"),
+        alpha_words.alias("alpha_words"),
+        F.size(big).cast("long").alias("n_bigrams"),
+        big_st["top"].alias("top_bigram"),
+        big_st["dup"].alias("dup_bigram"),
+        F.size(tri).cast("long").alias("n_trigrams"),
+        tri_st["top"].alias("top_trigram"),
+        tri_st["dup"].alias("dup_trigram"),
+    )
+    keep = (
+        (F.col("n_tokens") >= MIN_WORDS)
+        & (F.col("n_tokens") <= MAX_WORDS)
+        & (F.col("word_chars") >= MIN_MEAN_WORD_LEN * F.col("n_tokens"))
+        & (F.col("word_chars") <= MAX_MEAN_WORD_LEN * F.col("n_tokens"))
+        & (F.col("alpha_words") * 100 >= MIN_ALPHA_WORD_PCT * F.col("n_tokens"))
+        & (F.col("top_bigram") * 100 <= TOP_BIGRAM_PCT * F.col("n_bigrams"))
+        & (F.col("top_trigram") * 100 <= TOP_TRIGRAM_PCT * F.col("n_trigrams"))
+        & (F.col("dup_trigram") * 100 <= DUP_TRIGRAM_PCT * F.col("n_trigrams"))
+    )
+    return out.withColumn("rep_keep", keep)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII spans (email / SSN / phone / IPv4) with typed
+    placeholder tokens and count each class.
+
+    Replaces run sequentially in PII_PATTERNS order (email first so an
+    address's digits can't be half-eaten by the number patterns); each
+    `n_<class>` column counts matches on the text as it stood just
+    before that class's replace, so counts + scrubbed text are a
+    consistent record of what was removed. Pure regexp_count /
+    regexp_replace chain — map-only at scale.
+    """
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias("scrubbed"))

@@ -441,3 +441,77 @@ def test_kmeans_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.kmeans_fit(df, num_cells=4, dim=3) == []
+
+
+# ── Gopher/C4 repetition filters + PII scrubbing (filters.py) ──
+
+
+def test_repetition_stats_hand_computed(spark):
+    from logshipper_spark.datapipe import filters
+
+    rows = [
+        # "a b a b a b": bigrams [a b, b a, a b, b a, a b] → top=3 (a b),
+        # dup=5 (both bigrams repeat); trigrams [a b a, b a b, a b a,
+        # b a b] → top=2, dup=4
+        (0, "a b a b a b"),
+        # all-distinct bigrams/trigrams, long enough that a top
+        # fraction of 1/n clears the percentage gates
+        (1, "the quick brown fox jumps over one lazy dog tonight"),
+        # too short for trigrams, single bigram
+        (2, "hi there"),
+        # empty text
+        (3, "   "),
+        # numeric words → alpha_words = 0
+        (4, "12 34 56 78 90 11"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in filters.repetition_stats(df).collect()
+    }
+
+    r0 = got[0]
+    assert (r0["n_tokens"], r0["n_bigrams"], r0["top_bigram"], r0["dup_bigram"]) == (
+        6, 5, 3, 5,
+    )
+    assert (r0["n_trigrams"], r0["top_trigram"], r0["dup_trigram"]) == (4, 2, 4)
+    assert not r0["rep_keep"]  # top bigram 3/5 = 60% > 20%
+
+    r1 = got[1]
+    assert (r1["n_bigrams"], r1["top_bigram"], r1["dup_bigram"]) == (9, 1, 0)
+    assert r1["rep_keep"]  # 10 tokens, mean len ~4, all alpha, no repeats
+
+    r2 = got[2]
+    assert (r2["n_tokens"], r2["n_bigrams"], r2["n_trigrams"]) == (2, 1, 0)
+    assert not r2["rep_keep"]  # below MIN_WORDS
+
+    r3 = got[3]
+    assert (r3["n_tokens"], r3["n_bigrams"], r3["top_bigram"]) == (0, 0, 0)
+    assert not r3["rep_keep"]
+
+    r4 = got[4]
+    assert r4["alpha_words"] == 0 and not r4["rep_keep"]
+
+
+def test_pii_scrub(spark):
+    from logshipper_spark.datapipe import filters
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org now"),
+        (1, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.255.7"),
+        (2, "two mails a@b.io c@d.co and 192.168.0.1"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in filters.pii_scrub(df).collect()}
+
+    assert got[0]["n_email"] == 1
+    assert got[0]["scrubbed"] == "mail <EMAIL> now"
+    assert (got[1]["n_ssn"], got[1]["n_phone"], got[1]["n_ipv4"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "ssn <SSN> phone <PHONE> ip <IP>"
+    assert got[2]["n_email"] == 2 and got[2]["n_ipv4"] == 1
+    assert got[2]["scrubbed"] == "two mails <EMAIL> <EMAIL> and <IP>"
+    assert got[3]["scrubbed"] == rows[3][1]
+    assert (
+        got[3]["n_email"], got[3]["n_ssn"], got[3]["n_phone"], got[3]["n_ipv4"]
+    ) == (0, 0, 0, 0)
