@@ -276,6 +276,12 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         _force(curate_mod.curate(docs, min_quality=0.3, near_dup=True))
 
     times["curate"] = _timed(_cold_curate, "curate")
+    from logshipper_spark.datapipe import filters as filters_mod
+
+    times["repetition_pii"] = _timed(
+        lambda: _force(filters_mod.pii_scrub(filters_mod.repetition_stats(docs))),
+        "repetition_pii",
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
