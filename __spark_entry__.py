@@ -37,6 +37,7 @@ from logshipper_spark.datapipe import (
     dedup,
     filters,
     multimodal,
+    sampling,
     similarity,
     textstats,
 )
@@ -689,6 +690,68 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget head sampling with a fully independent
+    SQL oracle (running SUM window) — verifies the block-offset
+    two-phase running sum end-to-end."""
+    return sampling.token_budget_head(
+        _t(spark, sf_dir, "documents"), budget=700, block_size=8
+    ).select("doc_id", "source", "cum_tokens")
+
+
+SAMPLE_BUCKETS_PATH = "/tmp/spark_graft_contract/sample_buckets.parquet"
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling + train/val/test splitting.
+    The xxhash64 bucket has no DuckDB twin, so the bucket column is
+    materialized (simhash_pairs precedent) and the oracle re-derives
+    the keep flag and the cumulative-threshold split label from the
+    same bucket bytes — verifying the thresholding logic exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs.select(
+        "doc_id", sampling.hash_bucket(F.col("doc_id"), seed=7).alias("bucket")
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        SAMPLE_BUCKETS_PATH
+    )
+    back = spark.read.schema("doc_id long, bucket long").parquet(
+        SAMPLE_BUCKETS_PATH
+    )
+    split = sampling.train_val_test_split(
+        back, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    keep = sampling.bernoulli_sample(back, 0.1, seed=7).select(
+        "doc_id", F.lit(1).alias("kept_10pct")
+    )
+    return split.join(keep, "doc_id", "left").select(
+        "doc_id", "bucket", "split", F.coalesce("kept_10pct", F.lit(0)).alias(
+            "kept_10pct"
+        )
+    )
+
+
+STRAT_RANK_PATH = "/tmp/spark_graft_contract/strat_rank.parquet"
+
+
+def q_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact uniform k-per-source sample. Spark runs the salted
+    TWO-PHASE top-k; the oracle runs the plain single-window
+    row_number over the materialized rank hashes — proving the
+    decomposition returns exactly the single-window answer."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.select(
+        "doc_id", "source", F.xxhash64(F.col("doc_id"), F.lit(0)).alias("h")
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        STRAT_RANK_PATH
+    )
+    back = spark.read.schema("doc_id long, source string, h long").parquet(
+        STRAT_RANK_PATH
+    )
+    return sampling.topk_per_group(
+        back.select("doc_id", "source"), ["source"], k=5, salt_buckets=8
+    ).select("doc_id", "source")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1114,6 +1177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "repetition_filter": q_repetition_filter,
         "pii_scrub": q_pii_scrub,
+        "token_budget": q_token_budget,
+        "sample_split": q_sample_split,
+        "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -2055,6 +2121,38 @@ def oracle_sql() -> dict[str, str]:
                        '<IP>', 'g') AS scrubbed
               FROM s2)
             SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, scrubbed FROM s3
+        """,
+        "token_budget": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tok
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     CAST(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+              FROM t)
+            SELECT doc_id, source, cum_tokens FROM r WHERE cum_tokens <= 700
+        """,
+        "sample_split": f"""
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CASE WHEN bucket < 100000 THEN 1 ELSE 0 END AS kept_10pct
+            FROM read_parquet('{SAMPLE_BUCKETS_PATH}/*.parquet')
+        """,
+        "stratified_k": f"""
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY h, doc_id) AS rn
+              FROM read_parquet('{STRAT_RANK_PATH}/*.parquet'))
+            SELECT doc_id, source FROM r WHERE rn <= 5
         """,
         "cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,165 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+No rand(): every decision derives from xxhash64 of a stable row key,
+so samples are reproducible run-to-run, independent of partitioning,
+and stable under re-reads — the property a 100 TB curation pipeline
+needs for resumable, auditable sampling (CLAUDE.md determinism rule).
+
+Scale posture per op:
+- bernoulli_sample / train_val_test_split: pure projections/filters —
+  map-only, fuse into the scan, zero shuffle.
+- topk_per_group: exact uniform-k-per-group via TWO-PHASE top-k — a
+  salted local window bounds every task at its salt-bucket's rows,
+  then the global window sees at most salt_buckets*k rows per group,
+  so a group holding half the corpus never sorts in one task.
+- token_budget_head: running token sum per group with the same
+  block-offset decomposition as skew.turn_rank_salted — per-task work
+  is bounded by block_size regardless of group size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import textstats
+
+BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, seed: int = 0, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from a stable row key."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(buckets))
+
+
+def bernoulli_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep each row iff hash_bucket(key) < rate * BUCKETS — a
+    reproducible Bernoulli(rate) sample, map-only."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = int(round(rate * BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col), seed) < thresh)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name by cumulative hash-bucket
+    thresholds (insertion order of `weights`). Weights must sum to 1
+    (±1e-9); the final split absorbs integer-rounding residue so the
+    labeling is exhaustive and disjoint by construction. Map-only."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col), seed)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, last)
+
+
+def rank_key(key: Column, seed: int = 0) -> Column:
+    """The deterministic pseudo-random total order used by
+    topk_per_group: (xxhash64(key, seed), key) — the trailing key
+    breaks 64-bit hash ties so the order is total and stable."""
+    return F.struct(
+        F.xxhash64(key, F.lit(seed)).alias("h"), key.alias("k")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Exact uniform sample of k rows per group, ordered by the hash
+    rank key — equivalent to `row_number() OVER (PARTITION BY group
+    ORDER BY xxhash64(key), key) <= k` but computed in two phases:
+
+    phase 1 ranks within (group, salt) — salt is itself hash-derived
+    from the key, so the decomposition is deterministic — and keeps
+    each bucket's local top-k; phase 2 ranks the ≤ salt_buckets*k
+    survivors per group. Any global top-k row is necessarily in its
+    bucket's local top-k, so the result is EXACTLY the single-window
+    answer (the contract oracle re-derives it that way) while no task
+    ever sorts more than one salt-bucket of a hot group."""
+    key = F.col(key_col)
+    d = df.withColumn("_rk", rank_key(key, seed)).withColumn(
+        "_salt", F.pmod(F.xxhash64(key, F.lit(seed + 1)), F.lit(salt_buckets))
+    )
+    local_w = Window.partitionBy(*group_cols, "_salt").orderBy("_rk")
+    survivors = (
+        d.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    global_w = Window.partitionBy(*group_cols).orderBy("_rk")
+    return (
+        survivors.withColumn("_gr", F.row_number().over(global_w))
+        .filter(F.col("_gr") <= k)
+        .drop("_gr", "_rk")
+    )
+
+
+def token_budget_head(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    block_size: int = 4096,
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep each group's head (by order_col, which must be unique
+    within the group) while the running token total stays ≤ budget;
+    adds the inclusive running total as `out_col`.
+
+    The running sum uses the block-offset pattern (skew.py:33): blocks
+    are ranges of the ordering key, so a local rowsBetween cumsum per
+    (group, block) plus a per-block offset table (~rows/block_size
+    rows) reproduces the unbounded window exactly without any task
+    scanning a group's full history."""
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else textstats.token_count(F.col(text_col))
+    ).cast("long")
+    d = df.withColumn("_tok", toks).withColumn(
+        "_blk", F.floor(F.col(order_col) / block_size)
+    )
+    local_w = (
+        Window.partitionBy(group_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = d.withColumn("_run", F.sum("_tok").over(local_w))
+    sums = d.groupBy(group_col, "_blk").agg(F.sum("_tok").alias("_s"))
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
+    ).drop("_s")
+    return (
+        with_local.join(offsets, [group_col, "_blk"])
+        .withColumn(out_col, F.col("_off") + F.col("_run"))
+        .filter(F.col(out_col) <= budget)
+        .drop("_tok", "_blk", "_run", "_off")
+    )

@@ -515,3 +515,92 @@ def test_pii_scrub(spark):
     assert (
         got[3]["n_email"], got[3]["n_ssn"], got[3]["n_phone"], got[3]["n_ipv4"]
     ) == (0, 0, 0, 0)
+
+
+# ── deterministic sampling / splitting (sampling.py) ──
+
+
+def test_bernoulli_sample_deterministic_and_banded(spark):
+    from logshipper_spark.datapipe import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    assert sampling.bernoulli_sample(df, 0.0).count() == 0
+    assert sampling.bernoulli_sample(df, 1.0).count() == 1000
+    a = sampling.bernoulli_sample(df, 0.5).collect()
+    b = sampling.bernoulli_sample(df, 0.5).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert 400 <= len(a) <= 600  # hash uniformity at n=1000
+    # different seed → different (still banded) sample
+    c = sampling.bernoulli_sample(df, 0.5, seed=9).collect()
+    assert sorted(r["doc_id"] for r in c) != sorted(r["doc_id"] for r in a)
+    with pytest.raises(ValueError):
+        sampling.bernoulli_sample(df, 1.5)
+
+
+def test_train_val_test_split_exhaustive_disjoint(spark):
+    from logshipper_spark.datapipe import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = sampling.train_val_test_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive
+    assert set(counts) == {"train", "val", "test"}  # all splits hit
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert 1400 <= counts["train"] <= 1800
+    with pytest.raises(ValueError):
+        sampling.train_val_test_split(df, {"a": 0.5, "b": 0.4})
+
+
+def test_topk_per_group_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    from logshipper_spark.datapipe import sampling
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "'s' || CAST(id % 7 AS STRING) AS source"
+    )
+    got = sampling.topk_per_group(
+        df, ["source"], k=5, salt_buckets=8
+    ).collect()
+    # ground truth: the plain single-window formulation
+    w = Window.partitionBy("source").orderBy(
+        sampling.rank_key(F.col("doc_id"))
+    )
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    )
+    assert sorted((r["source"], r["doc_id"]) for r in got) == sorted(
+        (r["source"], r["doc_id"]) for r in want
+    )
+    per = {}
+    for r in got:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(v == 5 for v in per.values())
+    # group smaller than k → whole group kept
+    small = df.filter("doc_id < 3")
+    assert sampling.topk_per_group(small, ["source"], k=5).count() == 3
+
+
+def test_token_budget_head_hand_case_and_blocks(spark):
+    from logshipper_spark.datapipe import sampling
+
+    rows = [
+        (1, "g1", "a b c"),        # 3 tokens, cum 3
+        (2, "g1", "a b c d"),      # 4 tokens, cum 7
+        (3, "g1", "a b c d e"),    # 5 tokens, cum 12
+        (10, "g2", "x"),           # 1 token, cum 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sampling.token_budget_head(df, budget=8, block_size=2)
+    res = {(r["source"], r["doc_id"]): r["cum_tokens"] for r in got.collect()}
+    assert res == {("g1", 1): 3, ("g1", 2): 7, ("g2", 10): 1}
+    # budget below the first doc → group contributes nothing
+    assert sampling.token_budget_head(df, budget=0).count() == 0
+    # block decomposition invariant: any block_size gives the same rows
+    big = sampling.token_budget_head(df, budget=8, block_size=4096)
+    assert sorted(r["doc_id"] for r in big.collect()) == [1, 2, 10]
