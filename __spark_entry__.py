@@ -846,6 +846,26 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.95)
 
 
+def q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation composition: PII scrub → quality gate → Gopher
+    repetition gate → exact dedup. The planted copies differ ONLY in
+    their PII span (different emails on identical base text), so
+    scrub-before-dedup must collapse each pair to one survivor with
+    exact_dup_count = 2 — the property that makes scrubbing first the
+    correct stage order. Oracle re-runs the whole chain in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.selectExpr(
+        "doc_id", "text || ' mail a' || CAST(doc_id AS STRING) || '@b.co' AS text"
+    )
+    dup = docs.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "text || ' mail u' || CAST(doc_id AS STRING) || '@x.io' AS text",
+    )
+    return curate.curate(
+        base.unionByName(dup), min_quality=0.4, repetition=True, scrub_pii=True
+    )
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the planted near-dup pairs: every
     (i, i+100000) pair is its own 2-component labeled i — an exactly
@@ -1171,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_counts": q_sink_counts,
         "dedup_exact": q_dedup_exact,
         "curate": q_curate,
+        "curate_full": q_curate_full,
         "dup_components": q_dup_components,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
@@ -1995,6 +2016,79 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "curate_full": r"""
+            WITH all_docs AS (
+              SELECT doc_id,
+                     text || ' mail a' || CAST(doc_id AS VARCHAR) || '@b.co'
+                       AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     text || ' mail u' || CAST(doc_id AS VARCHAR) || '@x.io'
+              FROM documents),
+            scrubbed AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                  AS text
+              FROM all_docs),
+            feat AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','for'], t)))
+                       AS h_en,
+                     len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+              FROM scrubbed),
+            q AS (
+              SELECT doc_id, text,
+                     round(((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
+                                  THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+              FROM feat),
+            qk AS (
+              SELECT doc_id, text, quality,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM q WHERE quality >= 0.4),
+            ng2 AS (
+              SELECT doc_id, a[i] || ' ' || a[i + 1] AS g
+              FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM qk)),
+            s2 AS (
+              SELECT doc_id, MAX(c) AS top2, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM ng2 GROUP BY 1, 2) GROUP BY 1),
+            ng3 AS (
+              SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+              FROM (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS i FROM qk)),
+            s3 AS (
+              SELECT doc_id, MAX(c) AS top3, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM ng3 GROUP BY 1, 2) GROUP BY 1),
+            rep AS (
+              SELECT qk.doc_id, qk.text, qk.quality
+              FROM qk LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+              WHERE len(a) BETWEEN 5 AND 100000
+                AND COALESCE(list_sum(list_transform(a, t -> length(t))), 0) >= 3 * len(a)
+                AND COALESCE(list_sum(list_transform(a, t -> length(t))), 0) <= 10 * len(a)
+                AND len(list_filter(a, t -> regexp_matches(t, '[A-Za-z]'))) * 100 >= 80 * len(a)
+                AND COALESCE(s2.top2, 0) * 100 <= 20 * greatest(len(a) - 1, 0)
+                AND COALESCE(s3.top3, 0) * 100 <= 18 * greatest(len(a) - 2, 0)
+                AND COALESCE(s3.dup3, 0) * 100 <= 30 * greatest(len(a) - 2, 0))
+            SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality,
+                   COUNT(*) AS exact_dup_count
+            FROM rep GROUP BY text
         """,
         "jaccard_pairs": r"""
             WITH d AS (

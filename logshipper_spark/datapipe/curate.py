@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_key, minhash_lsh_pairs
+from .filters import pii_scrub, repetition_stats
 from .textstats import quality_score
 
 
@@ -32,15 +33,38 @@ def curate(
     near_dup: bool = False,
     minhash_threshold: float = 0.9,
     minhash_k: int = 3,
+    repetition: bool = False,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """Keep-list ``(doc_id, quality, exact_dup_count)`` of documents that
     survive curation. ``exact_dup_count`` is how many identical copies
-    (including the survivor) the quality-passing corpus contained."""
-    scored = df.select(
+    (including the survivor) the quality-passing corpus contained.
+
+    ``repetition=True`` inserts the Gopher/C4 ``rep_keep`` gate
+    (filters.repetition_stats) after the quality score — still a pure
+    per-row projection, so the combined cheap-filter stage remains
+    map-only and prunes before the dedup shuffle. ``scrub_pii=True``
+    scrubs PII spans BEFORE anything else, so quality/repetition
+    scoring, the exact-dedup key, and near-dup signatures all see the
+    scrubbed text (two documents differing only in PII spans dedup
+    together), and downstream consumers never touch raw PII."""
+    src = df
+    if scrub_pii:
+        src = (
+            pii_scrub(df.select(F.col(id_col), F.col(text_col)), text_col)
+            .select(F.col(id_col), F.col("scrubbed").alias(text_col))
+        )
+    scored = src.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
         quality_score(F.col(text_col)).alias("quality"),
     ).filter(F.col("quality") >= min_quality)
+    if repetition:
+        scored = (
+            repetition_stats(scored, text_col="_text")
+            .filter("rep_keep")
+            .select("doc_id", "_text", "quality")
+        )
 
     # exact dedup: one row per distinct text, min-id representative;
     # 128-bit composite key (see dedup.dedup_key collision math)

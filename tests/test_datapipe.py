@@ -357,6 +357,45 @@ def test_curate_quality_and_exact_dedup(spark):
     assert kept[3]["exact_dup_count"] == 1
 
 
+def test_curate_scrub_before_dedup_collapses_pii_variants(spark):
+    """Two copies that differ ONLY in their PII span must dedup together
+    when scrub_pii=True (the scrub runs before the dedup key), and must
+    NOT dedup without scrubbing — the property that fixes the stage
+    order scrub → quality → repetition → dedup."""
+    from logshipper_spark.datapipe import curate as cur
+
+    base = "the quick brown fox jumps over the lazy dog and naps " * 2
+    df = spark.createDataFrame(
+        [
+            (0, base + "mail alice@example.com"),
+            (1, base + "mail bob@other.org"),   # differs only in the email
+            (2, base + "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    scrubbed = {r["doc_id"]: r["exact_dup_count"]
+                for r in cur.curate(df, min_quality=0.3, scrub_pii=True).collect()}
+    assert scrubbed == {0: 2, 2: 1}
+    raw = {r["doc_id"]: r["exact_dup_count"]
+           for r in cur.curate(df, min_quality=0.3).collect()}
+    assert raw == {0: 1, 1: 1, 2: 1}
+
+
+def test_curate_repetition_gate_drops_spam(spark):
+    """repetition=True inserts the Gopher rep_keep gate: a one-bigram
+    spam document passes the cheap quality score but fails top_bigram."""
+    from logshipper_spark.datapipe import curate as cur
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    spam = "buy now " * 40  # top bigram 'buy now' ≈ 50% of all bigrams
+    df = spark.createDataFrame([(0, good), (1, spam)], ["doc_id", "text"])
+    base_kept = {r["doc_id"] for r in cur.curate(df, min_quality=0.3).collect()}
+    assert base_kept == {0, 1}
+    rep_kept = {r["doc_id"]
+                for r in cur.curate(df, min_quality=0.3, repetition=True).collect()}
+    assert rep_kept == {0}
+
+
 def test_curate_near_dup_drops_higher_id(spark):
     from logshipper_spark.datapipe import curate as cur
 
