@@ -37,6 +37,7 @@ from logshipper_spark.datapipe import (
     dedup,
     filters,
     multimodal,
+    packing,
     sampling,
     similarity,
     textstats,
@@ -699,6 +700,17 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "cum_tokens")
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: every (document, chunk)
+    overlap with exact slice positions. Fully independent SQL oracle —
+    DuckDB re-derives the layout from a plain running-SUM window +
+    generate_series explode, verifying both the block-offset running
+    sum and the interval/chunk overlap arithmetic."""
+    return packing.pack_chunks(
+        _t(spark, sf_dir, "documents"), budget=64, block_size=16
+    ).select("source", "chunk_id", "doc_id", "doc_begin", "doc_end", "chunk_pos")
+
+
 SAMPLE_BUCKETS_PATH = "/tmp/spark_graft_contract/sample_buckets.parquet"
 
 
@@ -1199,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "pii_scrub": q_pii_scrub,
         "token_budget": q_token_budget,
+        "pack_chunks": q_pack_chunks,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -2231,6 +2244,35 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS cum_tokens
               FROM t)
             SELECT doc_id, source, cum_tokens FROM r WHERE cum_tokens <= 700
+        """,
+        "pack_chunks": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tok
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS e
+              FROM t),
+            s AS (
+              SELECT doc_id, source, n_tok, e, e - n_tok AS st
+              FROM r WHERE n_tok > 0),
+            x AS (
+              SELECT source, doc_id, n_tok, st,
+                     unnest(generate_series(st // 64, (e - 1) // 64))
+                       AS chunk_id
+              FROM s)
+            SELECT source, chunk_id, doc_id,
+                   greatest(0, chunk_id * 64 - st) AS doc_begin,
+                   least(n_tok, chunk_id * 64 + 64 - st) AS doc_end,
+                   st + greatest(0, chunk_id * 64 - st) - chunk_id * 64
+                     AS chunk_pos
+            FROM x
         """,
         "sample_split": f"""
             SELECT doc_id, bucket,

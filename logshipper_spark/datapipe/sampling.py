@@ -115,6 +115,45 @@ def topk_per_group(
     )
 
 
+def block_running_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    val_col: str,
+    block_size: int = 4096,
+    out_col: str = "_cum",
+) -> DataFrame:
+    """Inclusive running sum of `val_col` per group ordered by
+    `order_col` (which must be unique within the group), added as
+    `out_col` — exactly `SUM(val) OVER (PARTITION BY group ORDER BY
+    ord ROWS UNBOUNDED PRECEDING)` but computed with the block-offset
+    pattern (skew.py:33): blocks are ranges of the ordering key, so a
+    local rowsBetween cumsum per (group, block) plus a per-block offset
+    table (~rows/block_size rows) reproduces the unbounded window
+    without any task scanning a group's full history."""
+    d = df.withColumn("_blk", F.floor(F.col(order_col) / block_size))
+    local_w = (
+        Window.partitionBy(group_col, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_local = d.withColumn("_run", F.sum(val_col).over(local_w))
+    sums = d.groupBy(group_col, "_blk").agg(F.sum(val_col).alias("_s"))
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
+    ).drop("_s")
+    return (
+        with_local.join(offsets, [group_col, "_blk"])
+        .withColumn(out_col, F.col("_off") + F.col("_run"))
+        .drop("_blk", "_run", "_off")
+    )
+
+
 def token_budget_head(
     df: DataFrame,
     budget: int,
@@ -127,39 +166,22 @@ def token_budget_head(
 ) -> DataFrame:
     """Keep each group's head (by order_col, which must be unique
     within the group) while the running token total stays ≤ budget;
-    adds the inclusive running total as `out_col`.
-
-    The running sum uses the block-offset pattern (skew.py:33): blocks
-    are ranges of the ordering key, so a local rowsBetween cumsum per
-    (group, block) plus a per-block offset table (~rows/block_size
-    rows) reproduces the unbounded window exactly without any task
-    scanning a group's full history."""
+    adds the inclusive running total as `out_col` (block-offset
+    running sum — see block_running_sum)."""
     toks = (
         F.col(tokens_col)
         if tokens_col
         else textstats.token_count(F.col(text_col))
     ).cast("long")
-    d = df.withColumn("_tok", toks).withColumn(
-        "_blk", F.floor(F.col(order_col) / block_size)
-    )
-    local_w = (
-        Window.partitionBy(group_col, "_blk")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    with_local = d.withColumn("_run", F.sum("_tok").over(local_w))
-    sums = d.groupBy(group_col, "_blk").agg(F.sum("_tok").alias("_s"))
-    off_w = (
-        Window.partitionBy(group_col)
-        .orderBy("_blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = sums.withColumn(
-        "_off", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
-    ).drop("_s")
     return (
-        with_local.join(offsets, [group_col, "_blk"])
-        .withColumn(out_col, F.col("_off") + F.col("_run"))
+        block_running_sum(
+            df.withColumn("_tok", toks),
+            group_col,
+            order_col,
+            "_tok",
+            block_size,
+            out_col,
+        )
         .filter(F.col(out_col) <= budget)
-        .drop("_tok", "_blk", "_run", "_off")
+        .drop("_tok")
     )

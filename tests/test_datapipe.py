@@ -643,3 +643,76 @@ def test_token_budget_head_hand_case_and_blocks(spark):
     # block decomposition invariant: any block_size gives the same rows
     big = sampling.token_budget_head(df, budget=8, block_size=4096)
     assert sorted(r["doc_id"] for r in big.collect()) == [1, 2, 10]
+
+
+# ── sequence packing (packing.py) ──
+
+
+def test_pack_chunks_hand_layout(spark):
+    """Exact chunk layout for a hand-worked stream: group g packs
+    4+5+8 tokens into budget-10 chunks; doc 2 spans the boundary."""
+    from logshipper_spark.datapipe import packing
+
+    df = spark.createDataFrame(
+        [
+            ("g", 0, "a b c d"),
+            ("g", 1, "a b c d e"),
+            ("g", 2, "a b c d e f g h"),
+            ("g", 3, "   "),  # zero tokens → no rows
+            ("h", 7, "x y z"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = {
+        (r["source"], r["chunk_id"], r["doc_id"]): (
+            r["doc_begin"], r["doc_end"], r["chunk_pos"]
+        )
+        for r in packing.pack_chunks(df, budget=10, block_size=2).collect()
+    }
+    assert rows == {
+        ("g", 0, 0): (0, 4, 0),
+        ("g", 0, 1): (0, 5, 4),
+        ("g", 0, 2): (0, 1, 9),   # first token fills chunk 0
+        ("g", 1, 2): (1, 8, 0),   # remaining 7 tokens open chunk 1
+        ("h", 0, 7): (0, 3, 0),
+    }
+    with pytest.raises(ValueError):
+        packing.pack_chunks(df, budget=0)
+
+
+def test_pack_chunks_fill_and_partition_properties(spark):
+    """Every chunk except each group's last is exactly full; the chunk
+    slices of each doc partition its token range [0, n_tokens); the
+    block decomposition is invariant to block_size."""
+    from logshipper_spark.datapipe import packing
+
+    docs = spark.range(200).selectExpr(
+        "concat('s', id % 3) AS source",
+        "id AS doc_id",
+        "trim(repeat('w ', CAST(id % 13 AS INT))) AS text",
+    )
+    packed = packing.pack_chunks(docs, budget=17, block_size=16).cache()
+    stats = packing.chunk_stats(packed).collect()
+    last = {}
+    for r in stats:
+        last[r["source"]] = max(last.get(r["source"], 0), r["chunk_id"])
+    for r in stats:
+        if r["chunk_id"] < last[r["source"]]:
+            assert r["fill_tokens"] == 17, r
+        else:
+            assert 0 < r["fill_tokens"] <= 17, r
+    per_doc = packed.groupBy("doc_id").agg(
+        F.min("doc_begin").alias("b"),
+        F.max("doc_end").alias("e"),
+        F.sum(F.col("doc_end") - F.col("doc_begin")).alias("s"),
+    ).collect()
+    for r in per_doc:
+        n = r["doc_id"] % 13
+        assert (r["b"], r["e"], r["s"]) == (0, n, n), r
+    # zero-token docs (id % 13 == 0) emit nothing
+    assert packed.filter("doc_id % 13 = 0").count() == 0
+    alt = packing.pack_chunks(docs, budget=17, block_size=4096)
+    assert sorted(map(tuple, alt.collect())) == sorted(
+        map(tuple, packed.collect())
+    )
+    packed.unpersist()
