@@ -34,6 +34,7 @@ from logshipper_spark import (
 )
 from logshipper_spark.datapipe import (
     curate,
+    decontam,
     dedup,
     filters,
     multimodal,
@@ -700,6 +701,17 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "cum_tokens")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document's text forms the
+    'benchmark' corpus, so those documents are contaminated by
+    construction (plus any chance 5-gram collisions in the synthetic
+    vocabulary — the oracle computes the identical exact overlap).
+    Exact string-gram broadcast join — no hashes in the match path."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 97 = 0")
+    return decontam.decontaminate(docs, bench, n=5, min_overlap=1)
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: every (document, chunk)
     overlap with exact slice positions. Fully independent SQL oracle —
@@ -1212,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_budget": q_token_budget,
         "pack_chunks": q_pack_chunks,
+        "decontaminate": q_decontaminate,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -2244,6 +2257,34 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS cum_tokens
               FROM t)
             SELECT doc_id, source, cum_tokens FROM r WHERE cum_tokens <= 700
+        """,
+        "decontaminate": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS a
+              FROM documents),
+            dg AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(a) >= 5 THEN
+                       list_transform(range(1, len(a) - 3),
+                         i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]
+                              || ' ' || a[i+3] || ' ' || a[i+4])
+                       ELSE CAST([] AS VARCHAR[]) END) AS grams
+              FROM g),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram
+              FROM dg WHERE doc_id % 97 = 0),
+            hits AS (
+              SELECT dg.doc_id, COUNT(*) AS n_overlap
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM dg) dg
+              JOIN bench USING (gram)
+              GROUP BY dg.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "pack_chunks": r"""
             WITH t AS (

@@ -645,6 +645,51 @@ def test_token_budget_head_hand_case_and_blocks(spark):
     assert sorted(r["doc_id"] for r in big.collect()) == [1, 2, 10]
 
 
+# ── benchmark decontamination (decontam.py) ──
+
+
+def test_decontaminate_exact_overlap(spark):
+    """Overlap = count of DISTINCT benchmark n-grams in the doc; docs
+    below n tokens can never be contaminated; repeats in either the
+    doc or the benchmark don't inflate the count."""
+    from logshipper_spark.datapipe import decontam
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )  # 5-grams: {a b g d e, b g d e z}
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta"),  # both grams
+            (1, "x alpha beta gamma delta epsilon y"),       # first gram only
+            (2, "totally different words here now okay"),    # none
+            (3, "alpha beta gamma delta"),                   # < 5 tokens
+            (4, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in decontam.decontaminate(docs, bench, n=5).collect()}
+    assert got == {
+        0: (2, True),
+        1: (1, True),
+        2: (0, False),
+        3: (0, False),
+        4: (1, True),  # repeated gram counted once (distinct per doc)
+    }
+    # min_overlap raises the bar
+    strict = {r["doc_id"] for r in
+              decontam.decontaminate(docs, bench, n=5, min_overlap=2)
+              .filter("contaminated").collect()}
+    assert strict == {0}
+    # case-insensitive match
+    up = spark.createDataFrame(
+        [(9, "ALPHA BETA GAMMA DELTA EPSILON")], ["doc_id", "text"]
+    )
+    assert decontam.decontaminate(up, bench, n=5).filter(
+        "contaminated").count() == 1
+
+
 # ── sequence packing (packing.py) ──
 
 
