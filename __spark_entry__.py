@@ -754,6 +754,31 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIXTURE_BUCKETS_PATH = "/tmp/spark_graft_contract/mixture_buckets.parquet"
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: fixed per-source keep rates (other
+    sources dropped entirely). The hash bucket is materialized
+    (sample_split precedent) and the oracle re-derives every keep
+    decision from the same bucket bytes with literal thresholds."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.select(
+        "doc_id",
+        "source",
+        sampling.hash_bucket(F.col("doc_id"), seed=11).alias("bucket"),
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        MIXTURE_BUCKETS_PATH
+    )
+    back = spark.read.schema("doc_id long, source string, bucket long").parquet(
+        MIXTURE_BUCKETS_PATH
+    )
+    return sampling.mixture_sample(back, MIXTURE_RATES, seed=11).select(
+        "doc_id", "source", "bucket"
+    )
+
+
 STRAT_RANK_PATH = "/tmp/spark_graft_contract/strat_rank.parquet"
 
 
@@ -1225,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
+        "mixture": q_mixture_sample,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -2314,6 +2340,14 @@ def oracle_sql() -> dict[str, str]:
                    st + greatest(0, chunk_id * 64 - st) - chunk_id * 64
                      AS chunk_pos
             FROM x
+        """,
+        "mixture": f"""
+            SELECT doc_id, source, bucket
+            FROM read_parquet('{MIXTURE_BUCKETS_PATH}/*.parquet')
+            WHERE (source = 'src0' AND bucket < 1000000)
+               OR (source = 'src1' AND bucket <  500000)
+               OR (source = 'src2' AND bucket <  250000)
+               OR (source = 'src3' AND bucket <  100000)
         """,
         "sample_split": f"""
             SELECT doc_id, bucket,

@@ -69,6 +69,63 @@ def train_val_test_split(
     return df.withColumn(out_col, last)
 
 
+def mixture_rates(
+    counts: dict[str, int], target: dict[str, float]
+) -> dict[str, float]:
+    """Per-domain keep rates that turn observed domain `counts` into
+    the `target` mixture by downsampling only, retaining the maximum
+    possible data: the binding domain (largest target-relative
+    deficit) keeps 100% and every other domain downsamples to match.
+    Pure driver-side arithmetic over the (tiny) domain histogram."""
+    if set(counts) != set(target):
+        raise ValueError(
+            f"counts/target domain mismatch: {sorted(counts)} vs {sorted(target)}"
+        )
+    tot = sum(target.values())
+    if tot <= 0 or any(v < 0 for v in target.values()):
+        raise ValueError("target weights must be nonnegative with a positive sum")
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError("every domain must have a positive count")
+    # output total T is limited per domain by counts[d] / share[d];
+    # the binding domain's limit is the achievable T
+    shares = {d: target[d] / tot for d in target}
+    t_out = min(
+        counts[d] / shares[d] for d in counts if shares[d] > 0
+    )
+    return {
+        d: min(1.0, (shares[d] * t_out) / counts[d]) if shares[d] > 0 else 0.0
+        for d in counts
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-domain Bernoulli sampling (domain-mixture
+    reweighting by downsampling): keep a row iff
+    hash_bucket(key) < rate[its domain] * BUCKETS. Domains absent from
+    `rates` are dropped. The rate table is a literal when-chain over
+    the handful of domains — map-only, fuses into the scan, zero
+    shuffle; same hash stream as bernoulli_sample, so a domain at
+    rate 0.5 keeps exactly the rows a global 0.5 sample would."""
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    bucket = hash_bucket(F.col(key_col), seed)
+    thresh: Column | None = None
+    for d, r in rates.items():
+        cond = F.col(group_col) == d
+        t = F.lit(int(round(r * BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    if thresh is None:
+        raise ValueError("rates must not be empty")
+    return df.filter(bucket < thresh.otherwise(F.lit(0)))
+
+
 def rank_key(key: Column, seed: int = 0) -> Column:
     """The deterministic pseudo-random total order used by
     topk_per_group: (xxhash64(key, seed), key) — the trailing key

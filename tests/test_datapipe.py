@@ -645,6 +645,56 @@ def test_token_budget_head_hand_case_and_blocks(spark):
     assert sorted(r["doc_id"] for r in big.collect()) == [1, 2, 10]
 
 
+def test_mixture_rates_binding_domain_keeps_all():
+    from logshipper_spark.datapipe import sampling
+
+    # web-heavy corpus, target 50/25/25: code is the binding domain
+    # (25% share from only 100 docs → T=400), so code keeps 100%
+    rates = sampling.mixture_rates(
+        {"web": 1000, "code": 100, "wiki": 300},
+        {"web": 0.5, "code": 0.25, "wiki": 0.25},
+    )
+    assert rates["code"] == 1.0
+    assert abs(rates["web"] - 0.2) < 1e-12    # 200 of 1000
+    assert abs(rates["wiki"] - 1 / 3) < 1e-12  # 100 of 300
+    # already at target → keep everything
+    rates = sampling.mixture_rates(
+        {"a": 300, "b": 100}, {"a": 0.75, "b": 0.25}
+    )
+    assert rates == {"a": 1.0, "b": 1.0}
+    # zero-target domain dropped entirely
+    rates = sampling.mixture_rates({"a": 10, "b": 10}, {"a": 1.0, "b": 0.0})
+    assert rates["a"] == 1.0 and rates["b"] == 0.0
+    with pytest.raises(ValueError):
+        sampling.mixture_rates({"a": 10}, {"b": 1.0})
+
+
+def test_mixture_sample_deterministic_per_domain(spark):
+    from logshipper_spark.datapipe import sampling
+
+    df = spark.range(2000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'code' END AS source"
+    )
+    out = sampling.mixture_sample(df, {"web": 0.2, "code": 1.0}).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per["code"] == 1000          # rate 1.0 keeps everything
+    assert 130 <= per["web"] <= 270     # ~200 at hash uniformity
+    # absent domain → dropped
+    only = sampling.mixture_sample(df, {"code": 1.0}).collect()
+    assert all(r["source"] == "code" for r in only) and len(only) == 1000
+    # same hash stream as bernoulli_sample at the same seed
+    bern = {r["doc_id"] for r in
+            sampling.bernoulli_sample(df, 0.2).collect()}
+    mixw = {r["doc_id"] for r in out if r["source"] == "web"}
+    assert mixw == {i for i in bern if i % 2 == 0}
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(df, {"web": 1.5})
+    with pytest.raises(ValueError):
+        sampling.mixture_sample(df, {})
+
+
 # ── benchmark decontamination (decontam.py) ──
 
 
