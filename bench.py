@@ -282,6 +282,21 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(filters_mod.pii_scrub(filters_mod.repetition_stats(docs))),
         "repetition_pii",
     )
+    from logshipper_spark.datapipe import decontam as decontam_mod
+    from logshipper_spark.datapipe import packing as packing_mod
+
+    times["pack_chunks"] = _timed(
+        lambda: _force(packing_mod.pack_chunks(docs, budget=2048)),
+        "pack_chunks",
+    )
+    times["decontaminate"] = _timed(
+        lambda: _force(
+            decontam_mod.decontaminate(
+                docs, docs.filter("doc_id % 97 = 0"), n=5
+            )
+        ),
+        "decontaminate",
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

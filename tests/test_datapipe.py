@@ -740,6 +740,52 @@ def test_decontaminate_exact_overlap(spark):
         "contaminated").count() == 1
 
 
+def test_decontaminate_streaming_foreachbatch(spark, tmp_path):
+    """decontaminate() composes with Structured Streaming the way a
+    continuous-ingest curation pipeline runs it: per micro-batch via
+    foreachBatch (the per-doc overlap count is a batch-local verdict,
+    so no streaming-state aggregation is wanted), joining each batch
+    against the static benchmark gram set."""
+    from logshipper_spark.datapipe import decontam
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta"),
+            (1, "nothing shared with the benchmark here"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def _sink(batch, batch_id):
+        decontam.decontaminate(batch, bench, n=5).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in spark.read.schema(
+            "doc_id long, n_overlap long, contaminated boolean"
+        ).parquet(out_dir).collect()
+    }
+    assert got == {0: (2, True), 1: (0, False)}
+
+
 # ── sequence packing (packing.py) ──
 
 
