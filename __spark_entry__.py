@@ -701,6 +701,23 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "cum_tokens")
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning over planted multi-line documents: each
+    doc gains a kept line (terminal punctuation, ≥3 words), a
+    too-short line, a boilerplate line ('uses cookies'), and a second
+    kept line. Oracle re-runs the line filter with DuckDB list ops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    multi = docs.selectExpr(
+        "doc_id",
+        "concat(text, '.', '\n', 'tiny.', '\n', "
+        "'this page uses cookies so beware.', '\n', "
+        "'A good second sentence stands here!') AS text",
+    )
+    return filters.c4_line_clean(multi).select(
+        "doc_id", "clean_text", "n_lines", "n_kept_lines", "c4_keep"
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 97th document's text forms the
     'benchmark' corpus, so those documents are contaminated by
@@ -1251,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
+        "c4_clean": q_c4_clean,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -2283,6 +2301,42 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS cum_tokens
               FROM t)
             SELECT doc_id, source, cum_tokens FROM r WHERE cum_tokens <= 700
+        """,
+        "c4_clean": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     text || '.' || chr(10) || 'tiny.' || chr(10)
+                       || 'this page uses cookies so beware.' || chr(10)
+                       || 'A good second sentence stands here!' AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS lines
+              FROM m),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, s ->
+                       right(trim(s), 1) IN ('.', '!', '?', '"', '''')
+                       AND (CASE WHEN trim(s) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(s), '\s+'))
+                            END) >= 3
+                       AND NOT (
+                         contains(lower(trim(s)), 'javascript')
+                         OR contains(lower(trim(s)), 'cookie policy')
+                         OR contains(lower(trim(s)), 'terms of use')
+                         OR contains(lower(trim(s)), 'privacy policy')
+                         OR contains(lower(trim(s)), 'uses cookies')))
+                       AS kept
+              FROM l)
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   len(kept) > 0
+                     AND NOT contains(lower(text), '{')
+                     AND NOT contains(lower(text), '}')
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AS c4_keep
+            FROM k
         """,
         "decontaminate": r"""
             WITH g AS (

@@ -145,6 +145,62 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("rep_keep", keep)
 
 
+# C4 line-level cleaning rules (Raffel et al. 2020 §2.2): a line is
+# kept iff it ends in terminal punctuation, has ≥ C4_MIN_LINE_WORDS
+# words, and contains none of the boilerplate markers; a document is
+# dropped outright if any line mentions a curly brace (code) or the
+# lorem-ipsum placeholder appears anywhere.
+C4_MIN_LINE_WORDS = 3
+C4_TERMINAL = ('.', '!', '?', '"', "'")
+C4_BAD_LINE_MARKERS = ["javascript", "cookie policy", "terms of use",
+                       "privacy policy", "uses cookies"]
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 line-level cleaning as pure per-row array ops: split the
+    document into lines, keep lines that end in terminal punctuation,
+    have at least C4_MIN_LINE_WORDS words, and carry no boilerplate
+    marker; re-join survivors. Adds
+
+    - `clean_text`  — the re-joined kept lines,
+    - `n_lines` / `n_kept_lines` — exact integers,
+    - `c4_keep`     — document verdict: at least one line survived,
+      no `{`/`}` anywhere (code page), no 'lorem ipsum'.
+
+    split → filter → array_join is a single projection: zero shuffle,
+    map-only at 100 TB, fuses with the repetition/PII stage into one
+    scan. Thresholds are module constants so the DuckDB oracle can
+    mirror them literally."""
+    lines = F.split(F.col(text_col), r"\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        low = F.lower(t)
+        ends_ok = F.substring(t, -1, 1).isin(*C4_TERMINAL)
+        words_ok = F.size(textstats.tokens(t)) >= C4_MIN_LINE_WORDS
+        marker_hit = None
+        for m in C4_BAD_LINE_MARKERS:
+            hit = low.contains(m)
+            marker_hit = hit if marker_hit is None else (marker_hit | hit)
+        return ends_ok & words_ok & ~marker_hit
+
+    kept = F.filter(lines, _keep)
+    low_doc = F.lower(F.col(text_col))
+    doc_ok = (
+        (F.size(kept) > 0)
+        & ~low_doc.contains("{")
+        & ~low_doc.contains("}")
+        & ~low_doc.contains("lorem ipsum")
+    )
+    return df.select(
+        "*",
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        doc_ok.alias("c4_keep"),
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub PII spans (email / SSN / phone / IPv4) with typed
     placeholder tokens and count each class.

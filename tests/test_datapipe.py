@@ -740,6 +740,39 @@ def test_decontaminate_exact_overlap(spark):
         "contaminated").count() == 1
 
 
+def test_c4_line_clean(spark):
+    """Line verdicts: terminal punctuation + ≥3 words + no boilerplate
+    marker; doc verdicts: ≥1 kept line, no braces, no lorem ipsum."""
+    from logshipper_spark.datapipe import filters
+
+    docs = spark.createDataFrame(
+        [
+            (0, "A fine first sentence.\ntiny.\nJavaScript must be enabled.\n"
+                "Another keeper ends with a bang!"),
+            (1, "no terminal punctuation here at all\nalso not here"),
+            (2, "This mentions lorem ipsum dolor sit amet.\nGood line here."),
+            (3, "function f() { return 1; } is code.\nFine sentence here."),
+            (4, "We value your privacy policy greatly.\nShort.\nOk line here."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in filters.c4_line_clean(docs).collect()}
+    assert got[0]["clean_text"] == (
+        "A fine first sentence.\nAnother keeper ends with a bang!"
+    )
+    assert (got[0]["n_lines"], got[0]["n_kept_lines"], got[0]["c4_keep"]) == (
+        4, 2, True
+    )
+    assert got[1]["n_kept_lines"] == 0 and not got[1]["c4_keep"]
+    # lorem ipsum anywhere kills the doc even with kept lines
+    assert got[2]["n_kept_lines"] == 2 and not got[2]["c4_keep"]
+    # braces (code) kill the doc
+    assert not got[3]["c4_keep"] and got[3]["n_kept_lines"] == 2
+    # 'privacy policy' marker drops its line; 'Short.' fails word count
+    assert got[4]["clean_text"] == "Ok line here." and got[4]["c4_keep"]
+
+
 def test_decontaminate_streaming_foreachbatch(spark, tmp_path):
     """decontaminate() composes with Structured Streaming the way a
     continuous-ingest curation pipeline runs it: per micro-batch via
