@@ -771,6 +771,22 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KEY_INDEX_PATH = "/tmp/spark_graft_contract/key_index.parquet"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: every 5th document's key is
+    persisted as the 'prior crawl' index; the anti-join keeps exactly
+    the documents whose text is new. Oracle: NOT EXISTS on raw text
+    (the 128-bit key is injective at any feasible corpus size)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup.write_key_index(
+        docs.filter("doc_id % 5 = 0"), KEY_INDEX_PATH, mode="overwrite"
+    )
+    idx = spark.read.schema("h0 long, h1 long").parquet(KEY_INDEX_PATH)
+    return dedup.dedup_against(docs, idx).select("doc_id")
+
+
 MIXTURE_BUCKETS_PATH = "/tmp/spark_graft_contract/mixture_buckets.parquet"
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
@@ -1269,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
+        "dedup_incremental": q_dedup_incremental,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -2394,6 +2411,12 @@ def oracle_sql() -> dict[str, str]:
                    st + greatest(0, chunk_id * 64 - st) - chunk_id * 64
                      AS chunk_pos
             FROM x
+        """,
+        "dedup_incremental": r"""
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM documents i
+              WHERE i.doc_id % 5 = 0 AND i.text = d.text)
         """,
         "mixture": f"""
             SELECT doc_id, source, bucket

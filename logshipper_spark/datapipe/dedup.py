@@ -45,6 +45,55 @@ def dedup_key(text: Column) -> Column:
     )
 
 
+def write_key_index(
+    df: DataFrame, path: str, text_col: str = "text", mode: str = "append"
+) -> None:
+    """Persist the distinct 128-bit dedup keys of a corpus snapshot as
+    a compact parquet key index (two BIGINT columns, 16 bytes/doc):
+    the state a continuously-ingesting pipeline carries between crawls
+    so each new batch dedups against everything already kept. Append
+    mode accumulates snapshots; dedup_against() tolerates the
+    resulting cross-snapshot repeats."""
+    (
+        df.select(dedup_key(F.col(text_col)).alias("k"))
+        .select("k.h0", "k.h1")
+        .distinct()
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def dedup_against(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: keep only rows whose
+    text does NOT appear in the persisted key index — a left-anti join
+    on the 128-bit key. Batch-internal duplicates are NOT collapsed
+    here (compose with exact_dedup for that); this operator answers
+    'is it new vs. everything kept so far'.
+
+    Scale posture: both sides shuffle on a 16-byte key — the index
+    side carries nothing but the two hash columns, so at 10^12 indexed
+    documents the anti-join moves ~16 TB of keys worst-case and
+    AQE/bucketing the index on (h0, h1) makes re-use shuffle-free.
+    Collision math as dedup_key: false-drop probability ≈ n²/2^129."""
+    keyed = df.withColumn("_k", dedup_key(F.col(text_col)))
+    idx = index.select(
+        F.col("h0").alias("_ih0"), F.col("h1").alias("_ih1")
+    )
+    return (
+        keyed.join(
+            idx,
+            (F.col("_k.h0") == F.col("_ih0"))
+            & (F.col("_k.h1") == F.col("_ih1")),
+            "left_anti",
+        )
+        .drop("_k")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash groupBy on the 128-bit composite key: one
     row per distinct text, keeping the minimal id and the duplicate

@@ -338,6 +338,33 @@ def test_near_dup_components_transitive(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_dedup_against_key_index(spark, tmp_path):
+    """Incremental dedup: rows whose text was indexed in a prior
+    snapshot are dropped; append mode accumulates snapshots; batch-
+    internal duplicates pass through (exact_dedup's job, not this)."""
+    idx_path = str(tmp_path / "keys")
+    snap1 = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")], ["doc_id", "text"]
+    )
+    dedup.write_key_index(snap1, idx_path, mode="overwrite")
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # indexed → dropped
+            (11, "brand new"),
+            (12, "brand new"),     # internal dup → both kept
+            (13, "newer still"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = spark.read.schema("h0 long, h1 long").parquet(idx_path)
+    kept = {r["doc_id"] for r in dedup.dedup_against(batch, idx).collect()}
+    assert kept == {11, 12, 13}
+    # append the new batch's keys; a rerun of the same batch drops all
+    dedup.write_key_index(batch, idx_path, mode="append")
+    idx2 = spark.read.schema("h0 long, h1 long").parquet(idx_path)
+    assert dedup.dedup_against(batch, idx2).count() == 0
+
+
 def test_curate_quality_and_exact_dedup(spark):
     from logshipper_spark.datapipe import curate as cur
 
