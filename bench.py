@@ -88,7 +88,17 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     n_turns = int(
         os.environ.get("SPARK_GRAFT_BENCH_TURNS", max(10_000, int(TURNS_PER_SF * sf)))
     )
-    spark = get_spark(app_name="logshipper-bench")
+    # shuffle partitions are work-targeted by the bench's input size
+    # (session.work_targeted_partitions): ~100k turns/task clamped to
+    # [1x, 3x] cores — 600k/32c -> 32, scaling legs 9.6M/16c -> 48.
+    # A fixed 3/core regressed the 600k chain 20-30% (interleaved A/B;
+    # AQE coalesces shuffles but tiny map tasks still pay scheduling).
+    from logshipper_spark.session import work_targeted_partitions
+
+    spark = get_spark(
+        app_name="logshipper-bench",
+        shuffle_partitions=work_targeted_partitions(n_turns),
+    )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     times: dict[str, float] = {}
 

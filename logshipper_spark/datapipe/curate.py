@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_key, minhash_lsh_pairs
-from .filters import pii_scrub, repetition_stats
+from .filters import c4_line_clean, pii_scrub, repetition_stats
 from .textstats import quality_score
 
 
@@ -35,6 +35,7 @@ def curate(
     minhash_k: int = 3,
     repetition: bool = False,
     scrub_pii: bool = False,
+    line_clean: bool = False,
 ) -> DataFrame:
     """Keep-list ``(doc_id, quality, exact_dup_count)`` of documents that
     survive curation. ``exact_dup_count`` is how many identical copies
@@ -47,12 +48,24 @@ def curate(
     scrubs PII spans BEFORE anything else, so quality/repetition
     scoring, the exact-dedup key, and near-dup signatures all see the
     scrubbed text (two documents differing only in PII spans dedup
-    together), and downstream consumers never touch raw PII."""
+    together), and downstream consumers never touch raw PII.
+    ``line_clean=True`` applies C4 line-level cleaning after the scrub:
+    documents failing the C4 doc verdict drop, survivors continue with
+    their boilerplate lines removed — so dedup keys see the CLEANED
+    text and two pages identical up to boilerplate collapse together.
+    All three pre-stages compose into the same single map-only
+    projection ahead of the dedup shuffle."""
     src = df
     if scrub_pii:
         src = (
-            pii_scrub(df.select(F.col(id_col), F.col(text_col)), text_col)
+            pii_scrub(src.select(F.col(id_col), F.col(text_col)), text_col)
             .select(F.col(id_col), F.col("scrubbed").alias(text_col))
+        )
+    if line_clean:
+        src = (
+            c4_line_clean(src.select(F.col(id_col), F.col(text_col)), text_col)
+            .filter("c4_keep")
+            .select(F.col(id_col), F.col("clean_text").alias(text_col))
         )
     scored = src.select(
         F.col(id_col).alias("doc_id"),

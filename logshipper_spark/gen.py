@@ -101,14 +101,15 @@ def transcripts(
     partitioning — every column derives from (conv_id, turn_idx) hashes.
     """
     if parallelism is None:
-        # match the session's tasks-per-core posture (see session.py):
-        # spark.range defaults to exactly defaultParallelism partitions
-        # = 1 task/core, which leaves no straggler slack on the narrow
-        # generate→parse→enrich stage.
-        import os
+        # work-targeted, not a fixed tasks/core multiple: ~100k turns
+        # per task clamped to [1x, 3x] cores (session.py
+        # work_targeted_partitions — measured A/Bs both ways: fine
+        # tasks win at 9.6M turns, 1/core wins at 600k where 3x tiny
+        # tasks are scheduling-floor-bound).
+        from .session import work_targeted_partitions
 
-        parallelism = spark.sparkContext.defaultParallelism * int(
-            os.environ.get("SPARK_GRAFT_TASKS_PER_CORE", "3")
+        parallelism = work_targeted_partitions(
+            n_turns, cores=spark.sparkContext.defaultParallelism
         )
     n_hot = max(1, int(round(HOT_SHARE * n_turns / HOT_TURNS)))
     hot_turns = min(n_hot * HOT_TURNS, n_turns)

@@ -7,6 +7,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROWS_PER_TASK = 100_000  # generator rows; proxy for ~tens of MB per task
+
+
+def work_targeted_partitions(
+    n_rows: int, cores: int | None = None, rows_per_task: int = ROWS_PER_TASK
+) -> int:
+    """Partition count targeting ~rows_per_task per task, clamped to
+    [1x, tasks_per_core x] cores.
+
+    Tasks-per-core is WORK-DEPENDENT, not a constant (measured,
+    interleaved fresh-JVM A/Bs): at 16 cores / 9.6M turns, 3 tasks/core
+    beat 1 by 27% (straggler slack absorbs noise bursts when tasks
+    carry real work), but at 32 cores / 600k turns the same 3/core
+    LOST 20-30% (96 tiny tasks are scheduling-floor-bound; AQE can
+    coalesce shuffles but not the map-side input partitioning). The
+    clamp reproduces the measured optimum at both points:
+    600k/32c -> 32 (1/core), 9.6M/16c -> 48 (3/core), 9.6M/4c -> 12.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    tasks_per_core = int(os.environ.get("SPARK_GRAFT_TASKS_PER_CORE", "3"))
+    by_work = max(1, n_rows // rows_per_task)
+    return max(cores, min(cores * tasks_per_core, by_work))
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "logshipper-spark",
@@ -34,6 +59,9 @@ def get_spark(
         # 23-48 s to 17-19 s; 4-core leg 68.0 s vs 84.3 s. 6/core was
         # within noise of 3 and not adopted. On a real cluster the same
         # setting gives dynamic-allocation slack and skew headroom.
+        # Size-aware callers (bench.py, gen.transcripts) should use
+        # work_targeted_partitions instead — 3/core hurts when tasks
+        # are tiny (measured -20-30% at 600k turns / 32 cores).
         tasks_per_core = int(os.environ.get("SPARK_GRAFT_TASKS_PER_CORE", "3"))
         shuffle_partitions = (
             int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * tasks_per_core

@@ -408,6 +408,29 @@ def test_curate_scrub_before_dedup_collapses_pii_variants(spark):
     assert raw == {0: 1, 1: 1, 2: 1}
 
 
+def test_curate_line_clean_collapses_boilerplate_variants(spark):
+    """line_clean=True: two pages identical up to boilerplate lines
+    dedup together on the cleaned text; a doc failing the C4 verdict
+    (no surviving line) drops outright."""
+    from logshipper_spark.datapipe import curate as cur
+
+    body = "the quick brown fox jumps over the lazy dog and sleeps."
+    df = spark.createDataFrame(
+        [
+            (0, body + "\nthis site uses cookies to function."),
+            (1, body + "\nplease accept our privacy policy now."),
+            (2, "no terminal punctuation so nothing survives"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"]: r["exact_dup_count"]
+            for r in cur.curate(df, min_quality=0.3, line_clean=True).collect()}
+    assert kept == {0: 2}
+    # without line_clean the boilerplate variants stay distinct
+    raw = {r["doc_id"] for r in cur.curate(df, min_quality=0.3).collect()}
+    assert raw == {0, 1, 2}
+
+
 def test_curate_repetition_gate_drops_spam(spark):
     """repetition=True inserts the Gopher rep_keep gate: a one-bigram
     spam document passes the cheap quality score but fails top_bigram."""

@@ -7,6 +7,18 @@ import json
 from logshipper_spark import gen
 
 
+def test_work_targeted_partitions():
+    """Reproduces the measured optima at both A/B calibration points
+    and clamps to [1x, 3x] cores (see session.py docstring)."""
+    from logshipper_spark.session import work_targeted_partitions as wtp
+
+    assert wtp(600_000, cores=32) == 32     # 1/core: tiny tasks
+    assert wtp(9_600_000, cores=16) == 48   # 3/core: real per-task work
+    assert wtp(9_600_000, cores=4) == 12
+    assert wtp(100, cores=8) == 8           # never below 1/core
+    assert wtp(10**9, cores=8) == 24        # never above 3/core
+
+
 def test_schema_and_determinism(spark):
     df1 = gen.transcripts(spark, 2000)
     df2 = gen.transcripts(spark, 2000)
