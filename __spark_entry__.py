@@ -37,9 +37,11 @@ from logshipper_spark.datapipe import (
     decontam,
     dedup,
     filters,
+    lm,
     multimodal,
     packing,
     sampling,
+    semdedup,
     similarity,
     textstats,
 )
@@ -787,6 +789,100 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_against(docs, idx).select("doc_id")
 
 
+MH_INDEX_PATH = "/tmp/spark_graft_contract/mh_index"
+MH_BATCH_SIGS_PATH = "/tmp/spark_graft_contract/mh_batch_sigs.parquet"
+
+
+def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup against a persisted MinHash index:
+    every 5th document is the 'prior crawl' (signatures + band buckets
+    persisted via write_minhash_index); the batch (all documents) drops
+    everything whose estimated Jaccard vs ANY indexed doc ≥ 0.5 — the
+    indexed docs themselves plus any natural near-dups. The batch's
+    signatures are materialized too, and the oracle re-derives the
+    banding (slice equality — band-hash equality minus xxhash
+    collisions), the candidate join, the signature-agreement estimate,
+    and the anti-join entirely in SQL from the same signature bytes
+    (simhash_pairs trust model)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup.write_minhash_index(
+        docs.filter("doc_id % 5 = 0"), MH_INDEX_PATH, mode="overwrite"
+    )
+    docs.select(
+        "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        MH_BATCH_SIGS_PATH
+    )
+    idx_sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
+        MH_INDEX_PATH + "/sigs"
+    )
+    idx_bands = spark.read.schema("doc_id long, band int, bucket long").parquet(
+        MH_INDEX_PATH + "/bands"
+    )
+    batch_sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
+        MH_BATCH_SIGS_PATH
+    )
+    return dedup.near_dedup_against(
+        docs, idx_sigs, idx_bands, threshold=0.5, sigs_df=batch_sigs
+    ).select("doc_id")
+
+
+UNIGRAM_LM_PATH = "/tmp/spark_graft_contract/unigram_lm.parquet"
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM cross-entropy per document. The fitted
+    model (token, cnt, nlp_micro) is materialized; the oracle
+    re-tokenizes every document, RECOUNTS the corpus unigrams, joins
+    the model on (token AND cnt) — so a count error breaks the join —
+    and re-derives every per-document sum (exact longs) and the final
+    bits/token division independently. The only Spark-trusted bytes are
+    the once-per-distinct-token log2 quantizations."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    model, oov = lm.fit_unigram_lm(docs)
+    lm.write_unigram_lm(model, UNIGRAM_LM_PATH)
+    back = spark.read.schema("token string, cnt long, nlp_micro long").parquet(
+        UNIGRAM_LM_PATH
+    )
+    return lm.lm_score(docs, back, oov)
+
+
+SEMDEDUP_CENT_PATH = "/tmp/spark_graft_contract/semdedup_centroids.parquet"
+SEMDEDUP_CELLS, SEMDEDUP_TAU = 8, 0.95
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over embeddings with planted duplicates (vec_id +
+    100000): trained k-means cells → within-cell cosine pairs ≥ τ →
+    connected components → one keeper per component. The oracle
+    re-derives cell assignment from the materialized centroid bytes
+    (ann_ivf_trained pattern), the within-cell pair search, and the
+    transitive closure (recursive CTE) — the full keep-list logic,
+    independent of ground-truth assumptions about which pairs exist."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    union = emb.unionByName(dup)
+    cents = similarity.kmeans_fit(
+        emb, num_cells=SEMDEDUP_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        SEMDEDUP_CENT_PATH
+    )
+    return semdedup.semantic_dedup(union, cents, threshold=SEMDEDUP_TAU)
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced output sharding: running byte total in doc_id
+    order (block-offset two-phase) cut every 25 kB. Fully independent
+    SQL oracle (plain window running sum + integer division)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing.shard_plan(docs, target_bytes=25_000, block_size=64)
+
+
 MIXTURE_BUCKETS_PATH = "/tmp/spark_graft_contract/mixture_buckets.parquet"
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
@@ -1286,6 +1382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
         "dedup_incremental": q_dedup_incremental,
+        "near_dedup_incremental": q_near_dedup_incremental,
+        "lm_score": q_lm_score,
+        "semantic_dedup": q_semantic_dedup,
+        "shard_plan": q_shard_plan,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -2411,6 +2511,121 @@ def oracle_sql() -> dict[str, str]:
                    st + greatest(0, chunk_id * 64 - st) - chunk_id * 64
                      AS chunk_pos
             FROM x
+        """,
+        "near_dedup_incremental": f"""
+            WITH isig AS (
+              SELECT doc_id, sig
+              FROM read_parquet('{MH_INDEX_PATH}/sigs/*.parquet')),
+            bsig AS (
+              SELECT doc_id, sig
+              FROM read_parquet('{MH_BATCH_SIGS_PATH}/*.parquet')),
+            -- banding re-derived as SLICE EQUALITY (band-hash equality
+            -- minus xxhash collisions, which the est filter absorbs):
+            -- 32 hashes / 8 bands = 4-wide slices, 1-based inclusive
+            bb AS (
+              SELECT doc_id, band, sig[band * 4 + 1 : band * 4 + 4] AS chunk, sig
+              FROM bsig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+            ib AS (
+              SELECT doc_id, band, sig[band * 4 + 1 : band * 4 + 4] AS chunk, sig
+              FROM isig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+            cand AS (
+              SELECT DISTINCT b.doc_id AS nid, i.doc_id AS iid,
+                     b.sig AS ns, i.sig AS isg
+              FROM bb b JOIN ib i USING (band, chunk)),
+            est AS (
+              SELECT nid,
+                     list_sum(list_transform(range(1, 33),
+                       j -> CASE WHEN ns[j] = isg[j] THEN 1 ELSE 0 END)) / 32.0
+                       AS e
+              FROM cand),
+            drops AS (SELECT DISTINCT nid FROM est WHERE e >= 0.5)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT nid FROM drops)
+        """,
+        "lm_score": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+            model AS (
+              SELECT m.token, m.cnt, m.nlp_micro
+              FROM read_parquet('{UNIGRAM_LM_PATH}/*.parquet') m
+              JOIN cnts c ON m.token = c.token AND m.cnt = c.cnt),
+            scored AS (
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(m.nlp_micro) AS BIGINT) AS nlp_sum_micro
+              FROM tok t JOIN model m USING (token)
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.nlp_sum_micro, 0) AS nlp_sum_micro,
+                   CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                        THEN round(s.nlp_sum_micro / 1000000.0 / s.n_tokens
+                                   + 1e-9, 4)
+                   END AS bits_per_token
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE cent AS (
+              SELECT cell, centroid
+              FROM read_parquet('{SEMDEDUP_CENT_PATH}/*.parquet')),
+            s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+            d AS (
+              SELECT s.vec_id, s.v, cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (s.v[i] - cent.centroid[i])
+                                * (s.v[i] - cent.centroid[i]))), 6) AS dist
+              FROM s CROSS JOIN cent),
+            a AS (
+              SELECT vec_id, v, cell FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) = 1),
+            pairs AS (
+              SELECT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE round(
+                      list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                              i -> x.v[i] * y.v[i]))
+                      / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                         * sqrt(list_sum(list_transform(y.v, e -> e * e)))), 6)
+                    >= {SEMDEDUP_TAU}),
+            sym AS (
+              SELECT DISTINCT * FROM (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs)),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a)
+            SELECT v.vec_id,
+                   least(v.vec_id,
+                         COALESCE((SELECT min(b) FROM reach WHERE a = v.vec_id),
+                                  v.vec_id)) AS component,
+                   CAST(least(v.vec_id,
+                              COALESCE((SELECT min(b) FROM reach
+                                        WHERE a = v.vec_id), v.vec_id))
+                        = v.vec_id AS INT) AS keep
+            FROM a v
+        """,
+        "shard_plan": r"""
+            WITH b AS (
+              SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_bytes,
+                     CAST(SUM(n_bytes) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_bytes
+              FROM b)
+            SELECT doc_id, n_bytes, cum_bytes,
+                   (cum_bytes - n_bytes) // 25000 AS shard
+            FROM r
         """,
         "dedup_incremental": r"""
             SELECT d.doc_id FROM documents d

@@ -307,6 +307,37 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "decontaminate",
     )
+    from logshipper_spark.datapipe import lm as lm_mod
+
+    def _lm_fit_score() -> None:
+        model, oov = lm_mod.fit_unigram_lm(docs)
+        _force(lm_mod.lm_score(docs, model, oov))
+
+    times["lm_fit_score"] = _timed(_lm_fit_score, "lm_fit_score")
+    times["shard_plan"] = _timed(
+        lambda: _force(packing_mod.shard_plan(docs, target_bytes=1 << 20)),
+        "shard_plan",
+    )
+    mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
+    try:
+        t0 = time.time()
+        dedup.write_minhash_index(
+            docs.filter("doc_id % 5 = 0"), mh_dir, mode="overwrite"
+        )
+        times["minhash_index_build"] = round(time.time() - t0, 3)
+        mh_sigs = spark.read.parquet(mh_dir + "/sigs")
+        mh_bands = spark.read.parquet(mh_dir + "/bands")
+
+        def _cold_near_dedup() -> None:
+            spark.catalog.clearCache()
+            dedup.release_cached_signatures()
+            _force(dedup.near_dedup_against(docs, mh_sigs, mh_bands))
+
+        times["near_dedup_incremental"] = _timed(
+            _cold_near_dedup, "near_dedup_incremental"
+        )
+    finally:
+        shutil.rmtree(mh_dir, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -320,6 +351,17 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             similarity.quantized_topk(emb, qv, vec_col="embedding", k=10, rerank=4)
         ),
         "quantized_topk",
+    )
+    from logshipper_spark.datapipe import semdedup as semdedup_mod
+
+    t0 = time.time()
+    sd_cents = similarity.kmeans_fit(emb, num_cells=16, dim=len(qv), max_iter=3)
+    times["semdedup_kmeans_fit"] = round(time.time() - t0, 3)
+    times["semantic_pairs"] = _timed(
+        lambda: _force(
+            semdedup_mod.semantic_pairs(emb, sd_cents, threshold=0.9)
+        ),
+        "semantic_pairs",
     )
     spark.catalog.clearCache()  # dedup builders cache signatures internally
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")

@@ -94,6 +94,141 @@ def dedup_against(
     )
 
 
+def banded_buckets(
+    sigs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH band buckets ``(doc_id, band, bucket)`` from a
+    ``(doc_id, sig)`` signature frame — the banding stage of
+    ``minhash_lsh_pairs`` factored out so it can run over PERSISTED
+    signatures (the incremental-dedup index) as well as fresh ones.
+    Ships only (id, band, bucket) — the signature arrays never ride
+    the explode."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows + r + 1)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    mode: str = "append",
+    codec: str = "zstd",
+) -> None:
+    """Persist a kept corpus snapshot's MinHash state as the carry
+    index for incremental NEAR-dup dedup across crawls (the near-dup
+    analog of ``write_key_index``): ``<path>/sigs`` holds
+    ``(doc_id, sig)`` (num_hashes longs/doc) and ``<path>/bands`` the
+    banded LSH buckets (bands rows/doc, 3 small columns). Append mode
+    accumulates snapshots. At 10^12 docs the sigs table is
+    ~256 B/doc — the index stays a small constant fraction of the
+    corpus and is the only state a continuous-crawl pipeline needs to
+    answer 'is this new page a near-copy of ANYTHING ever kept'."""
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+    )
+    sigs.persist()
+    sigs.write.mode(mode).option("compression", codec).parquet(path + "/sigs")
+    banded_buckets(sigs, num_hashes, bands).write.mode(mode).option(
+        "compression", codec
+    ).parquet(path + "/bands")
+    sigs.unpersist()
+
+
+def near_dedup_against(
+    df: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    sigs_df: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental cross-snapshot NEAR-dup dedup: drop every row whose
+    estimated Jaccard against ANY indexed document reaches
+    ``threshold``; batch-internal near-dups are not collapsed (compose
+    with minhash_lsh_pairs for that). The batch's signatures band-join
+    the index's bucket table — an equi-join on (band, bucket), same
+    shape as the self-join inside ``minhash_lsh_pairs``, so candidate
+    count stays bounded by bucket population, never index size.
+    Signatures join in only for candidate pairs; verified hits reduce
+    to a distinct drop-list and a broadcast-able left-anti join.
+
+    Parameters must match the ones the index was written with
+    (``write_minhash_index``) — banding is positional. Pass ``sigs_df``
+    (``(doc_id, sig)``, e.g. a persisted batch-signature table) to skip
+    the in-op signature computation+cache entirely — the pattern a
+    continuous pipeline uses anyway, since the surviving batch's sigs
+    get appended to the index next."""
+    if sigs_df is not None:
+        sigs = sigs_df.select(
+            F.col(id_col).alias("doc_id"), F.col("sig")
+        )
+    else:
+        sigs = df.select(
+            F.col(id_col).alias("doc_id"),
+            minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+        ).cache()
+        _SIG_CACHE.append(sigs)
+    new_b = banded_buckets(sigs, num_hashes, bands).select(
+        F.col("doc_id").alias("_nid"), "band", "bucket"
+    )
+    idx_b = index_bands.select(
+        F.col("doc_id").alias("_iid"), "band", "bucket"
+    )
+    cands = (
+        new_b.join(idx_b, ["band", "bucket"])
+        .select("_nid", "_iid")
+        .dropDuplicates(["_nid", "_iid"])
+    )
+    new_s = sigs.select(F.col("doc_id").alias("_nid"), F.col("sig").alias("_ns"))
+    idx_s = index_sigs.select(
+        F.col("doc_id").alias("_iid"), F.col("sig").alias("_is")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_ns", "_is", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    drops = (
+        cands.join(new_s, "_nid")
+        .join(idx_s, "_iid")
+        .filter(est >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash groupBy on the 128-bit composite key: one
     row per distinct text, keeping the minimal id and the duplicate
@@ -200,7 +335,6 @@ def minhash_lsh_pairs(
     Jaccard (signature agreement rate). Candidate generation is an
     equi-join on (band index, band hash) — a shuffle on small keys, no
     cross product."""
-    rows = num_hashes // bands
     # cache the signatures: the LSH self-join references them from both
     # sides, and without the cache Spark recomputes the whole
     # shingle+hash subtree twice (the dominant cost of this operator).
@@ -217,24 +351,7 @@ def minhash_lsh_pairs(
     # band join ships only (doc_id, band, bucket) — the 32-long
     # signature arrays do NOT ride the explode/shuffle; they re-join
     # onto the (small) candidate pair set afterwards
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = banded_buckets(sigs, num_hashes, bands)
     a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cands = (

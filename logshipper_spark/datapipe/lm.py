@@ -1,0 +1,168 @@
+"""Unigram language-model quality scoring (the KenLM-perplexity-filter
+analog, self-trained): fit a unigram model over the corpus itself, then
+score every document by its per-token cross-entropy under that model.
+Low bits/token = repetitive, stopword-heavy, in-distribution text; high
+bits/token = rare-token gibberish — the classic cheap LM-quality signal
+(CCNet / Wenzek et al. 2020 filter on LM perplexity; a unigram model is
+the degenerate order-1 case and needs no external model artifact, so it
+is exactly reproducible from the corpus bytes alone).
+
+The LogShipper reference has no LM layer — this extends the datapipe's
+quality-filter family (filters.py, textstats.quality_score) with a
+corpus-statistics-driven score.
+
+Determinism / oracle posture: every per-token negative log-probability
+is quantized ONCE, model-side, to integer micro-bits
+(``nlp_micro = floor(-log2(p) * 1e6 + 0.5)``), so document scores are
+SUMS OF LONGS — order-independent, partition-independent, and exactly
+reproducible by any engine that reads the same model table. The only
+float transcendental (log2) is evaluated once per DISTINCT token at fit
+time and materialized; the contract oracle re-derives every count,
+join, weight, sum, and the final division independently and joins the
+model on (token, cnt) so a count mismatch breaks the hash check.
+
+Scale posture (100 TB):
+- fit = one explode + one map-side-combined groupBy on token (Zipf
+  skew on the shuffle key is absorbed by partial aggregation — the hot
+  token arrives pre-combined per map task, ~one row per task).
+- score = one explode, one join against the model, one groupBy doc.
+  Vocabulary tables are small relative to any corpus (10⁷ distinct
+  tokens ≈ a few hundred MB) — broadcast by default so the hot-token
+  join-key skew never shuffles; set ``broadcast_model=False`` to
+  shuffle-join a vocabulary too large to ship (AQE skew-join then
+  handles 'the').
+- ``min_count`` prunes the rare-token tail out of the broadcast model;
+  pruned tokens score at the OOV probability mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+MICRO = 1_000_000
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram table ``(token, cnt)`` over lowercased whitespace
+    tokens (textstats.tokens — the shared tokenizer, so LM scores align
+    with every other token statistic in the datapipe)."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _nlp_micro(cnt_col, denom: int):
+    """floor(-log2((cnt+1)/denom) * 1e6 + 0.5) as long — the quantized
+    add-one-smoothed negative log-probability."""
+    p = (cnt_col + F.lit(1)).cast("double") / F.lit(float(denom))
+    return F.floor(-F.log2(p) * MICRO + F.lit(0.5)).cast("long")
+
+
+def fit_unigram_lm(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> tuple[DataFrame, int]:
+    """Fit the add-one-smoothed unigram model: returns
+    ``(model, oov_nlp_micro)`` where model is ``(token, cnt,
+    nlp_micro)`` and ``p(token) = (cnt + 1) / (T + V)`` with T = total
+    token occurrences and V = vocabulary size, both measured BEFORE
+    ``min_count`` pruning (so pruning changes coverage, not the
+    probability of retained tokens). Unseen/pruned tokens carry the
+    smoothed unit mass ``1 / (T + V)``.
+
+    T and V are two scalars from one aggregation job; the per-token
+    log2 is evaluated once per distinct token and quantized to integer
+    micro-bits (module docstring) — the model is the ONLY place a
+    transcendental runs."""
+    import math
+
+    counts = unigram_counts(df, text_col)
+    tot = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
+    ).head()
+    denom = int(tot["t"]) + int(tot["v"])
+    if denom == 0:
+        denom = 1  # empty corpus: degenerate model, every token OOV at p=1
+    model = counts.filter(F.col("cnt") >= min_count).select(
+        "token", "cnt", _nlp_micro(F.col("cnt"), denom).alias("nlp_micro")
+    )
+    oov = int(math.floor(-math.log2(1.0 / denom) * MICRO + 0.5))
+    return model, oov
+
+
+def write_unigram_lm(
+    model: DataFrame, path: str, mode: str = "overwrite", codec: str = "zstd"
+) -> None:
+    """Persist the fitted model — the reusable artifact a 100 TB run
+    fits once (or on a deterministic hash-slice) and every scoring
+    pass reads back. zstd so independent readers (the DuckDB contract
+    oracle) can decode it."""
+    model.write.mode(mode).option("compression", codec).parquet(path)
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    oov_nlp_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document unigram cross-entropy: ``(id, n_tokens,
+    nlp_sum_micro, bits_per_token)`` where ``bits_per_token =
+    nlp_sum_micro / 1e6 / n_tokens`` (4 dp). Zero-token documents keep
+    a row with n_tokens = 0 and NULL bits_per_token — the never-drop
+    posture of the parse layer applies to scoring too.
+
+    One explode, one (broadcast by default) join, one map-side-combined
+    groupBy on the document id. All sums are longs — see module
+    docstring for why that makes the score engine-independent."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    m = model.select("token", F.col("nlp_micro").alias("_nlp"))
+    if broadcast_model:
+        m = F.broadcast(m)
+    scored = (
+        toks.join(m, "token", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_nlp"), F.lit(oov_nlp_micro)))
+            .cast("long")
+            .alias("nlp_sum_micro"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    out = base.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("nlp_sum_micro"), F.lit(0).cast("long")).alias(
+            "nlp_sum_micro"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("nlp_sum_micro") / F.lit(float(MICRO)) / F.col("n_tokens")
+                + F.lit(1e-9),
+                4,
+            ),
+        ).alias("bits_per_token"),
+    )
+    return out
+
+
+def lm_quality_filter(
+    scored: DataFrame, min_bits: float = 2.0, max_bits: float = 16.0
+) -> DataFrame:
+    """Keep documents inside the bits/token band — below it is
+    degenerate repetition (near-zero entropy), above it is rare-token
+    noise. Map-only over lm_score output; thresholds are corpus-tuned
+    literals (CCNet keeps the middle perplexity band)."""
+    b = F.col("bits_per_token")
+    return scored.filter(b.isNotNull() & (b >= min_bits) & (b <= max_bits))

@@ -92,6 +92,68 @@ def pack_chunks(
     )
 
 
+def shard_plan(
+    df: DataFrame,
+    target_bytes: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    bytes_col: str | None = None,
+    group_col: str | None = None,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Size-balanced output sharding: assign every document the shard
+    it falls into when documents are laid out in ``order_col`` order
+    and a new shard starts each time the running byte total crosses a
+    ``target_bytes`` boundary — the 'write ~N-GB training shards' step
+    at the end of a curation pipeline, where downstream loaders want
+    uniformly sized files, not Spark's partition-shaped ones. Adds
+    ``n_bytes``, ``cum_bytes`` (inclusive running total) and ``shard``
+    (= bytes_before_this_doc DIV target — exact integer arithmetic).
+    Every non-final shard's last document reaches or crosses the next
+    target boundary, so shard sizes are target ± one document (a
+    document much larger than the target spans several boundaries and
+    the skipped shard ids stay empty — ids are stream offsets, not a
+    dense sequence).
+
+    Deterministic and partition-independent: the layout depends only on
+    the ordering key. The running sum is the block-offset two-phase
+    decomposition (sampling.block_running_sum) — one corpus-sized group
+    never funnels through one task; the subsequent physical write is
+    ``.repartition(shard)`` + partitionBy, one shuffle sized by the
+    data. Per-group sharding (``group_col``) keys shard streams by
+    source/language for mixture-stratified output."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    nbytes = (
+        F.col(bytes_col) if bytes_col else F.octet_length(F.col(text_col))
+    ).cast("long")
+    g = group_col or "_g"
+    d = df.withColumn("_nb", nbytes)
+    if group_col is None:
+        d = d.withColumn("_g", F.lit(0))
+    d = block_running_sum(d, g, order_col, "_nb", block_size, "cum_bytes")
+    out = d.select(
+        *([group_col] if group_col else []),
+        F.col(order_col),
+        F.col("_nb").alias("n_bytes"),
+        "cum_bytes",
+        F.expr(f"(cum_bytes - _nb) DIV {target_bytes}").alias("shard"),
+    )
+    return out
+
+
+def shard_stats(
+    plan: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """Per-shard fill accounting over shard_plan output — the balance
+    evidence (docs, bytes) per shard. One map-side-combined groupBy."""
+    keys = ([group_col] if group_col else []) + ["shard"]
+    return plan.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("shard_bytes"),
+    )
+
+
 def chunk_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
     """Per-chunk fill accounting over pack_chunks output: document
     count and filled token count (== budget everywhere except each

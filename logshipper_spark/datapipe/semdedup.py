@@ -1,0 +1,104 @@
+"""Semantic deduplication over embeddings (the SemDeDup recipe,
+Abbas et al. 2023, arXiv:2303.09540): cluster the embedding space with
+k-means, then inside each cluster find pairs above a cosine threshold
+and keep ONE representative per connected near-dup group. Unlike the
+hyperplane-LSH near-dup path (dedup.embedding_near_dup_pairs), the
+clusters are TRAINED — they sit where the data actually lives, so a
+semantic-duplicate pair (paraphrases, template variants with the same
+meaning) lands in one cell even when no random hyperplane cut would
+bucket it.
+
+The LogShipper reference has no embedding layer — this is the standard
+public technique, composed entirely from operators this repo already
+oracle-checks: trained centroids (similarity.kmeans_fit), literal-
+centroid cell assignment (similarity._nearest_centroid — the
+ann_ivf_trained oracle re-derives it in SQL), and min-label connected
+components (dedup.near_dup_components).
+
+Scale posture (100 TB): cell assignment is map-only against
+driver-literal centroids (fit on a hash-slice — kmeans_fit
+``sample_mod``); the pair search is a self-equi-join ON THE CELL ID, so
+candidate count per task is bounded by the largest cell, never the
+corpus (SemDeDup's own complexity argument — §3 of the paper: clusters
+make the O(n²) pairwise search O(Σ|cell|²)); components run in
+O(log diameter) rounds. Nothing is all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import near_dup_components
+from .similarity import _nearest_centroid, cosine_similarity
+
+
+def assign_trained_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``cell`` = nearest trained centroid (argmin squared L2,
+    6-dp rounded with index tie-break — the exact rule the
+    ann_ivf_trained contract oracle re-derives from centroid bytes)."""
+    return df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids))
+
+
+def semantic_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Within-cluster cosine pairs ≥ threshold: ``(id_a, id_b, cosine)``
+    with id_a < id_b. Column-renamed self-join on the cell id (never
+    alias-qualified — the renamed form survives checkpointing in
+    iterative callers)."""
+    cells = assign_trained_cells(df, centroids, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "cell"
+    )
+    a = cells.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
+    )
+    b = cells.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+    )
+    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup keep-list: ``(id, component, keep)`` for EVERY input
+    row — near-dup groups are the connected components of the
+    within-cluster pair graph (transitive: a~b~c collapses even when
+    cos(a,c) < threshold), the component label is its minimum member
+    id, and ``keep`` marks exactly one representative per group
+    (the minimum id — deterministic; the paper keeps a random/centroid-
+    distant member, any single-representative rule preserves the
+    coverage argument). Singletons keep themselves."""
+    pairs = semantic_pairs(df, centroids, threshold, vec_col, id_col)
+    labels = near_dup_components(pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias("_id"), "component"
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(labels, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("component"), F.col("_id")).alias("component"),
+        (F.coalesce(F.col("component"), F.col("_id")) == F.col("_id"))
+        .cast("int")
+        .alias("keep"),
+    )
