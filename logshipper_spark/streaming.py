@@ -210,6 +210,146 @@ def streaming_exact_dedup(
     return writer.start()
 
 
+def near_dedup_committed(spark: SparkSession, index_dir: str) -> set[int]:
+    """Batch ids whose near-dedup commit marker landed — the index
+    partitions a replayed batch may trust (its OWN half-written
+    partition must never count, or every replayed doc would look like
+    a near-dup of itself)."""
+    import os
+
+    try:
+        df = spark.read.schema("batch_id long").parquet(
+            os.path.join(index_dir, "_commits")
+        )
+        return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
+    except Exception:
+        return set()
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    available_now: bool = True,
+    chaos=None,
+):
+    """Streaming NEAR-dup dedup for continuous-crawl ingestion: each
+    micro-batch drops documents whose estimated Jaccard reaches
+    ``threshold`` against (a) anything already kept by prior batches —
+    via the persisted MinHash signature/band index, the streaming twin
+    of ``datapipe.dedup.near_dedup_against`` — or (b) a LOWER-id
+    near-dup inside the same batch (the curate() loser rule). Survivors
+    land under ``out_dir/batch_id=N`` and their signatures+bands are
+    appended to the index as ``batch_id=N`` partitions, so the index is
+    exactly the kept corpus's near-dup state.
+
+    Exactly-once: every per-batch write is an idempotent overwrite of
+    its own ``batch_id=N`` directory, the commit marker appends LAST,
+    and a replayed batch reads the index restricted to COMMITTED batch
+    ids — a crash between the index write and the marker replays
+    cleanly because the half-written partition is invisible to the
+    dedup join and gets overwritten. ``chaos`` (tests): called with the
+    batch id after commit but before Spark's checkpoint records the
+    epoch — the crash-in-the-commit-gap drill.
+
+    State posture at 100 TB: the index carries ~(num_hashes × 8 +
+    bands × ~20) bytes per KEPT document — a small constant fraction of
+    the corpus, growing only with what survives; per-batch work is the
+    bounded band equi-join, never index × batch."""
+    import os
+
+    from .datapipe import dedup as ddp
+
+    sig_schema = f"{id_col} long, sig array<long>"
+    band_schema = f"{id_col} long, band int, bucket long"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = near_dedup_committed(spark, index_dir)
+        if batch_id in committed:
+            return
+        sigs = batch_df.select(
+            F.col(id_col),
+            ddp.minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+        ).persist()
+        sigs.count()
+        # (a) cross-snapshot drops vs committed index partitions
+        survivors = batch_df
+        if committed:
+            idx_sigs = (
+                spark.read.schema(sig_schema)
+                .parquet(os.path.join(index_dir, "sigs"))
+                .filter(F.col("batch_id").isin(sorted(committed)))
+                .select(F.col(id_col).alias("doc_id"), "sig")
+            )
+            idx_bands = (
+                spark.read.schema(band_schema)
+                .parquet(os.path.join(index_dir, "bands"))
+                .filter(F.col("batch_id").isin(sorted(committed)))
+                .select(F.col(id_col).alias("doc_id"), "band", "bucket")
+            )
+            survivors = ddp.near_dedup_against(
+                survivors,
+                idx_sigs,
+                idx_bands,
+                text_col=text_col,
+                id_col=id_col,
+                k=k,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                sigs_df=sigs.withColumnRenamed(id_col, "doc_id"),
+            )
+        # (b) batch-internal losers: any doc with a lower-id near-dup
+        pairs = ddp.minhash_lsh_pairs(
+            batch_df, text_col, id_col, k, num_hashes, bands, threshold
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = survivors.join(losers, id_col, "left_anti").persist()
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        kept_sigs = sigs.join(
+            survivors.select(id_col), id_col
+        ).persist()
+        kept_sigs.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(index_dir, "sigs", f"batch_id={batch_id}")
+        )
+        ddp.banded_buckets(
+            kept_sigs.withColumnRenamed(id_col, "doc_id"), num_hashes, bands
+        ).withColumnRenamed("doc_id", id_col).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(os.path.join(index_dir, "bands", f"batch_id={batch_id}"))
+        # marker LAST — the restart point
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "_commits"))
+        kept_sigs.unpersist()
+        survivors.unpersist()
+        sigs.unpersist()
+        ddp.release_cached_signatures()
+        if chaos is not None:
+            chaos(batch_id)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sink_counts(
     spark: SparkSession,
     input_dir: str,

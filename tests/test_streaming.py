@@ -167,6 +167,98 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert texts2 == ["alpha beta gamma", "delta epsilon", "zeta eta"]
 
 
+def test_streaming_near_dedup(spark, tmp_path):
+    """Streaming NEAR-dup dedup against the growing MinHash index:
+    batch-internal lower-id losers drop, survivors' signatures become
+    index state, and a later epoch's near-copy of ANY kept document
+    drops — across a restart (new query, same checkpoint + index)."""
+    from logshipper_spark.datapipe import dedup as ddp
+
+    input_dir = str(tmp_path / "nd_in")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ck")
+    idx = str(tmp_path / "nd_idx")
+    schema = "doc_id long, text string"
+    long_a = " ".join(f"alpha{i} tok{i} word{i}" for i in range(12))
+    long_b = " ".join(f"beta{i} item{i} unit{i}" for i in range(12))
+    spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, long_b)], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    q = streaming.streaming_near_dedup(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.schema(schema).parquet(out_dir).collect()
+    )
+    assert kept == [1, 3]  # 2 is the batch-internal higher-id loser
+    assert streaming.near_dedup_committed(spark, idx) == {0}
+
+    # epoch 2 after restart: exact copy of an indexed doc drops, a
+    # one-token edit of an indexed doc drops (NEAR dup), fresh survives
+    near_b = long_b.replace("item5", "CHANGED")
+    fresh = " ".join(f"gamma{i} new{i} page{i}" for i in range(12))
+    spark.createDataFrame(
+        [(10, long_a), (11, near_b), (12, fresh)], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    q2 = streaming.streaming_near_dedup(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema
+    )
+    q2.awaitTermination(180)
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.schema(schema).parquet(out_dir).collect()
+    )
+    assert kept2 == [1, 3, 12]
+    # index state = the kept corpus, one sig row per survivor
+    sig_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.schema("doc_id long, sig array<long>")
+        .parquet(idx + "/sigs")
+        .select("doc_id")
+        .collect()
+    )
+    assert sig_ids == [1, 3, 12]
+    ddp.release_cached_signatures()
+
+
+def test_streaming_near_dedup_crash_in_commit_gap(spark, tmp_path):
+    """Crash AFTER the batch committed (outputs + index + marker) but
+    BEFORE Spark's checkpoint records the epoch: the replay must skip
+    cleanly — in particular the replayed batch must NOT see its own
+    index partition and drop itself as a near-dup."""
+    input_dir = str(tmp_path / "cg_in")
+    out_dir = str(tmp_path / "cg_out")
+    ckpt = str(tmp_path / "cg_ck")
+    idx = str(tmp_path / "cg_idx")
+    schema = "doc_id long, text string"
+    long_a = " ".join(f"alpha{i} tok{i} word{i}" for i in range(12))
+    spark.createDataFrame([(1, long_a)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    def boom(batch_id: int) -> None:
+        raise RuntimeError(f"chaos: crash after commit of batch {batch_id}")
+
+    q = streaming.streaming_near_dedup(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema, chaos=boom
+    )
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash surfaces through the stream
+    assert streaming.near_dedup_committed(spark, idx) == {0}
+
+    # restart without chaos: epoch replays, batch skips (marker), and
+    # the output still holds the survivor exactly once
+    q2 = streaming.streaming_near_dedup(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema
+    )
+    q2.awaitTermination(180)
+    got = spark.read.schema(schema).parquet(out_dir).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
 def _edge_turns(spark, day, svc_pairs):
     """Transcript rows whose JSON text parses to the given (src, dst)
     edges with event time on the given day of 2024-03."""
