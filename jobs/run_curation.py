@@ -1,12 +1,37 @@
-"""spark-submit entrypoint for the training-data curation pipeline.
+"""spark-submit entrypoint for the training-data curation pipeline —
+crawl snapshot in, curated (optionally sharded) training corpus out.
 
     spark-submit --py-files logshipper_spark.zip jobs/run_curation.py \
         --docs /path/to/documents.parquet --out /path/to/out \
-        [--min-quality 0.3] [--near-dup] [--minhash-threshold 0.9] \
-        [--components]
+        [--min-quality 0.3] [--scrub-pii] [--line-clean] [--repetition] \
+        [--near-dup] [--minhash-threshold 0.9] [--components] \
+        [--lm-band LO:HI] \
+        [--key-index PATH] [--minhash-index PATH] [--update-index] \
+        [--shard-bytes N]
+
+Stage order (each optional stage drops out cleanly when not requested):
+
+1. incremental pre-filters — drop documents already kept by PRIOR
+   snapshots: exact (--key-index: 128-bit key anti-join,
+   dedup.dedup_against) then near-dup (--minhash-index: persisted
+   signature/band index, dedup.near_dedup_against). Both indexes key
+   the RAW input text, so the next crawl's raw pages compare directly.
+2. unigram-LM quality band (--lm-band, e.g. ``2.0:16.0``): fit the
+   add-one-smoothed unigram model on the surviving snapshot, score
+   every document, keep the bits/token band (lm.py — the
+   CCNet-perplexity-filter analog).
+3. curate() — optional PII scrub / C4 line clean / Gopher repetition
+   gate (one fused map-only pre-stage), quality gate, exact dedup,
+   optional in-snapshot MinHash near-dup removal.
+4. --shard-bytes: join survivors back to their text and write the
+   corpus under ``out/corpus/shard=N`` in size-balanced shards
+   (packing.shard_plan); one repartition(shard) sizes the write.
+5. --update-index: append the survivors' raw-text keys/signatures to
+   the given index paths — the carry state for the next snapshot.
 
 Writes:
   out/keep_list/      — (doc_id, quality, exact_dup_count) survivors
+  out/corpus/         — sharded survivor texts (--shard-bytes)
   out/components/     — (doc_id, component) near-dup clusters (--components)
   out/summary.json    — row counts per stage (printed to stdout too)
 """
@@ -24,50 +49,123 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="scrub PII spans before any scoring/dedup")
+    ap.add_argument("--line-clean", action="store_true",
+                    help="C4 line-level cleaning before scoring/dedup")
+    ap.add_argument("--repetition", action="store_true",
+                    help="Gopher/C4 repetition gate after the quality score")
     ap.add_argument("--near-dup", action="store_true",
                     help="MinHash-LSH near-dup removal after exact dedup")
     ap.add_argument("--minhash-threshold", type=float, default=0.9)
     ap.add_argument("--components", action="store_true",
                     help="also write near-dup connected components")
+    ap.add_argument("--lm-band", default=None, metavar="LO:HI",
+                    help="keep only docs inside this unigram-LM bits/token band")
+    ap.add_argument("--key-index", default=None,
+                    help="128-bit exact-key index of prior snapshots (pre-filter)")
+    ap.add_argument("--minhash-index", default=None,
+                    help="MinHash signature/band index of prior snapshots (pre-filter)")
+    ap.add_argument("--update-index", action="store_true",
+                    help="append survivors' keys/signatures to the given indexes")
+    ap.add_argument("--shard-bytes", type=int, default=None,
+                    help="write the survivor corpus in size-balanced shards")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
-    from logshipper_spark.datapipe import curate, dedup
+    from logshipper_spark.datapipe import curate, dedup, lm, packing
     from logshipper_spark.session import get_spark
 
     spark = get_spark(app_name="logshipper-curation")
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
+    summary: dict = {"docs_in": n_in}
 
+    # 1. incremental pre-filters vs prior snapshots (raw-text keys)
+    if args.key_index and os.path.exists(args.key_index):
+        idx = spark.read.schema("h0 long, h1 long").parquet(args.key_index)
+        docs = dedup.dedup_against(docs, idx)
+        summary["after_key_index"] = docs.count()
+    if args.minhash_index and os.path.exists(args.minhash_index + "/sigs"):
+        sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
+            args.minhash_index + "/sigs"
+        )
+        bands = spark.read.schema("doc_id long, band int, bucket long").parquet(
+            args.minhash_index + "/bands"
+        )
+        docs = dedup.near_dedup_against(
+            docs, sigs, bands, threshold=args.minhash_threshold
+        )
+        dedup.release_cached_signatures()
+        summary["after_minhash_index"] = docs.count()
+
+    # 2. unigram-LM quality band (fit on the surviving snapshot)
+    if args.lm_band:
+        lo, hi = (float(x) for x in args.lm_band.split(":"))
+        model, oov = lm.fit_unigram_lm(docs)
+        band_ids = lm.lm_quality_filter(
+            lm.lm_score(docs, model, oov), lo, hi
+        ).select("doc_id")
+        docs = docs.join(band_ids, "doc_id")
+        summary["after_lm_band"] = docs.count()
+
+    # 3. curation keep-list
     keep = curate.curate(
         docs,
         min_quality=args.min_quality,
         near_dup=args.near_dup,
         minhash_threshold=args.minhash_threshold,
+        repetition=args.repetition,
+        scrub_pii=args.scrub_pii,
+        line_clean=args.line_clean,
     )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_list"))
     dedup.release_cached_signatures()  # minhash sig cache, post-action
-    kept = spark.read.parquet(os.path.join(args.out, "keep_list"))
+    # pin the schema: an all-dropped snapshot writes an EMPTY parquet
+    # dir, and schema inference on one throws (CLAUDE.md gotcha)
+    kept = spark.read.schema(keep.schema).parquet(
+        os.path.join(args.out, "keep_list")
+    )
     n_keep = kept.count()
     n_exact_dups = int(
         kept.agg(F.sum(F.col("exact_dup_count") - 1)).first()[0] or 0
     )
+    summary.update(
+        kept=n_keep,
+        dropped=n_in - n_keep,
+        exact_dup_copies_collapsed=n_exact_dups,
+    )
+    survivors = docs.join(kept.select("doc_id"), "doc_id")
 
-    summary = {
-        "docs_in": n_in,
-        "kept": n_keep,
-        "dropped": n_in - n_keep,
-        "exact_dup_copies_collapsed": n_exact_dups,
-    }
+    # 4. size-balanced sharded corpus write
+    if args.shard_bytes:
+        plan = packing.shard_plan(survivors, args.shard_bytes).select(
+            "doc_id", "shard"
+        )
+        (
+            survivors.join(plan, "doc_id")
+            .repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(args.out, "corpus"))
+        )
+        summary["shards"] = plan.select("shard").distinct().count()
+
+    # 5. carry state for the next snapshot (raw survivor text)
+    if args.update_index and args.key_index:
+        dedup.write_key_index(survivors, args.key_index, mode="append")
+    if args.update_index and args.minhash_index:
+        dedup.write_minhash_index(survivors, args.minhash_index, mode="append")
+
     if args.components:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=args.minhash_threshold)
         comps = dedup.near_dup_components(pairs)
         comps.write.mode("overwrite").parquet(os.path.join(args.out, "components"))
         dedup.release_cached_signatures()
-        summary["near_dup_docs_in_components"] = spark.read.parquet(
-            os.path.join(args.out, "components")
-        ).count()
+        summary["near_dup_docs_in_components"] = spark.read.schema(
+            comps.schema
+        ).parquet(os.path.join(args.out, "components")).count()
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f)
