@@ -841,6 +841,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     model, oov = lm.fit_unigram_lm(docs)
     lm.write_unigram_lm(model, UNIGRAM_LM_PATH)
+    lm.release_cached_counts()  # scoring reads the parquet back, not the fit
     back = spark.read.schema("token string, cnt long, nlp_micro long").parquet(
         UNIGRAM_LM_PATH
     )

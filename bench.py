@@ -310,10 +310,12 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     from logshipper_spark.datapipe import lm as lm_mod
 
     def _lm_fit_score() -> None:
+        lm_mod.release_cached_counts()  # keep each run a COLD fit
         model, oov = lm_mod.fit_unigram_lm(docs)
         _force(lm_mod.lm_score(docs, model, oov))
 
     times["lm_fit_score"] = _timed(_lm_fit_score, "lm_fit_score")
+    lm_mod.release_cached_counts()
     times["shard_plan"] = _timed(
         lambda: _force(packing_mod.shard_plan(docs, target_bytes=1 << 20)),
         "shard_plan",

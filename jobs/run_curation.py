@@ -11,23 +11,30 @@ crawl snapshot in, curated (optionally sharded) training corpus out.
 
 Stage order (each optional stage drops out cleanly when not requested):
 
+0. text normalization — --scrub-pii (PII placeholder scrubbing) and
+   --line-clean (C4 line filter + doc verdict) run ONCE at entry, so
+   EVERY later stage — the incremental index filters, the LM model,
+   curation scoring/dedup, the sharded corpus, and the index updates —
+   sees the same normalized text. In particular the written corpus can
+   never leak spans the flags promised to remove, and cross-snapshot
+   index keys compare like-for-like (the next snapshot normalizes the
+   same way before probing).
 1. incremental pre-filters — drop documents already kept by PRIOR
    snapshots: exact (--key-index: 128-bit key anti-join,
    dedup.dedup_against) then near-dup (--minhash-index: persisted
-   signature/band index, dedup.near_dedup_against). Both indexes key
-   the RAW input text, so the next crawl's raw pages compare directly.
+   signature/band index, dedup.near_dedup_against).
 2. unigram-LM quality band (--lm-band, e.g. ``2.0:16.0``): fit the
    add-one-smoothed unigram model on the surviving snapshot, score
    every document, keep the bits/token band (lm.py — the
    CCNet-perplexity-filter analog).
-3. curate() — optional PII scrub / C4 line clean / Gopher repetition
-   gate (one fused map-only pre-stage), quality gate, exact dedup,
-   optional in-snapshot MinHash near-dup removal.
+3. curate() — quality gate, optional Gopher repetition gate, exact
+   dedup, optional in-snapshot MinHash near-dup removal (PII/line
+   stages already applied in stage 0).
 4. --shard-bytes: join survivors back to their text and write the
    corpus under ``out/corpus/shard=N`` in size-balanced shards
    (packing.shard_plan); one repartition(shard) sizes the write.
-5. --update-index: append the survivors' raw-text keys/signatures to
-   the given index paths — the carry state for the next snapshot.
+5. --update-index: append the survivors' keys/signatures to the given
+   index paths — the carry state for the next snapshot.
 
 Writes:
   out/keep_list/      — (doc_id, quality, exact_dup_count) survivors
@@ -75,14 +82,29 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from logshipper_spark.datapipe import curate, dedup, lm, packing
+    from logshipper_spark.datapipe.filters import c4_line_clean, pii_scrub
     from logshipper_spark.session import get_spark
 
     spark = get_spark(app_name="logshipper-curation")
-    docs = spark.read.parquet(args.docs)
+    docs = spark.read.parquet(args.docs).select("doc_id", "text")
     n_in = docs.count()
     summary: dict = {"docs_in": n_in}
+    pinned = []  # persisted frames, unpersisted before exit
 
-    # 1. incremental pre-filters vs prior snapshots (raw-text keys)
+    # 0. one-shot text normalization — every later stage shares it
+    if args.scrub_pii:
+        docs = pii_scrub(docs).select(
+            "doc_id", F.col("scrubbed").alias("text")
+        )
+    if args.line_clean:
+        docs = (
+            c4_line_clean(docs)
+            .filter("c4_keep")
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
+        summary["after_line_clean"] = docs.count()
+
+    # 1. incremental pre-filters vs prior snapshots (same text domain)
     if args.key_index and os.path.exists(args.key_index):
         idx = spark.read.schema("h0 long, h1 long").parquet(args.key_index)
         docs = dedup.dedup_against(docs, idx)
@@ -96,9 +118,13 @@ def main(argv: list[str] | None = None) -> int:
         )
         docs = dedup.near_dedup_against(
             docs, sigs, bands, threshold=args.minhash_threshold
-        )
-        dedup.release_cached_signatures()
+        ).persist()
+        pinned.append(docs)
+        # materialize the filtered frame, THEN drop the signature
+        # cache — downstream stages reuse the persisted rows, not the
+        # anti-join lineage
         summary["after_minhash_index"] = docs.count()
+        dedup.release_cached_signatures()
 
     # 2. unigram-LM quality band (fit on the surviving snapshot)
     if args.lm_band:
@@ -107,18 +133,17 @@ def main(argv: list[str] | None = None) -> int:
         band_ids = lm.lm_quality_filter(
             lm.lm_score(docs, model, oov), lo, hi
         ).select("doc_id")
-        docs = docs.join(band_ids, "doc_id")
+        docs = docs.join(band_ids, "doc_id").persist()
+        pinned.append(docs)
         summary["after_lm_band"] = docs.count()
 
-    # 3. curation keep-list
+    # 3. curation keep-list (scrub/line-clean already applied above)
     keep = curate.curate(
         docs,
         min_quality=args.min_quality,
         near_dup=args.near_dup,
         minhash_threshold=args.minhash_threshold,
         repetition=args.repetition,
-        scrub_pii=args.scrub_pii,
-        line_clean=args.line_clean,
     )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_list"))
     dedup.release_cached_signatures()  # minhash sig cache, post-action
@@ -136,9 +161,13 @@ def main(argv: list[str] | None = None) -> int:
         dropped=n_in - n_keep,
         exact_dup_copies_collapsed=n_exact_dups,
     )
-    survivors = docs.join(kept.select("doc_id"), "doc_id")
+    # survivors (normalized text) feed the corpus write AND both index
+    # updates — persist once instead of re-running the whole chain per
+    # action (CLAUDE.md: cache the shared frame)
+    survivors = docs.join(kept.select("doc_id"), "doc_id").persist()
+    pinned.append(survivors)
 
-    # 4. size-balanced sharded corpus write
+    # 4. size-balanced sharded corpus write (normalized text)
     if args.shard_bytes:
         plan = packing.shard_plan(survivors, args.shard_bytes).select(
             "doc_id", "shard"
@@ -152,7 +181,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["shards"] = plan.select("shard").distinct().count()
 
-    # 5. carry state for the next snapshot (raw survivor text)
+    # 5. carry state for the next snapshot (same normalized domain)
     if args.update_index and args.key_index:
         dedup.write_key_index(survivors, args.key_index, mode="append")
     if args.update_index and args.minhash_index:
@@ -166,6 +195,10 @@ def main(argv: list[str] | None = None) -> int:
         summary["near_dup_docs_in_components"] = spark.read.schema(
             comps.schema
         ).parquet(os.path.join(args.out, "components")).count()
+
+    for frame in pinned:
+        frame.unpersist()
+    lm.release_cached_counts()
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f)

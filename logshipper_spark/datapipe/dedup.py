@@ -184,10 +184,11 @@ def near_dedup_against(
 
     Parameters must match the ones the index was written with
     (``write_minhash_index``) — banding is positional. Pass ``sigs_df``
-    (``(doc_id, sig)``, e.g. a persisted batch-signature table) to skip
-    the in-op signature computation+cache entirely — the pattern a
-    continuous pipeline uses anyway, since the surviving batch's sigs
-    get appended to the index next."""
+    (``(id_col, sig)`` — keyed by the SAME id column as ``df``, e.g. a
+    persisted batch-signature table) to skip the in-op signature
+    computation+cache entirely — the pattern a continuous pipeline uses
+    anyway, since the surviving batch's sigs get appended to the index
+    next."""
     if sigs_df is not None:
         sigs = sigs_df.select(
             F.col(id_col).alias("doc_id"), F.col("sig")
@@ -322,6 +323,45 @@ def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
     )
 
 
+def minhash_pairs_from_sigs(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The LSH self-join + estimated-Jaccard verify of
+    ``minhash_lsh_pairs`` over a precomputed ``(doc_id, sig)`` frame —
+    factored out so persisted/cached signatures (streaming epochs, the
+    incremental index, a signatures table at 100 TB) are banded once
+    instead of re-shingling the corpus. The band join ships only
+    (doc_id, band, bucket); full signatures re-join onto the (small)
+    candidate pair set afterwards."""
+    banded = banded_buckets(sigs, num_hashes, bands)
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -348,33 +388,7 @@ def minhash_lsh_pairs(
         minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
     ).cache()
     _SIG_CACHE.append(sigs)
-    # band join ships only (doc_id, band, bucket) — the 32-long
-    # signature arrays do NOT ride the explode/shuffle; they re-join
-    # onto the (small) candidate pair set afterwards
-    banded = banded_buckets(sigs, num_hashes, bands)
-    a = banded.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    ) / F.lit(float(num_hashes))
-    return (
-        cands.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    return minhash_pairs_from_sigs(sigs, num_hashes, bands, threshold)
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

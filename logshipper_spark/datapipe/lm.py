@@ -44,6 +44,20 @@ from .textstats import tokens
 
 MICRO = 1_000_000
 
+# count frames cached by fit_unigram_lm (a lazy builder cannot
+# unpersist its own intermediate — same pattern as dedup._SIG_CACHE)
+_COUNT_CACHE: list[DataFrame] = []
+
+
+def release_cached_counts() -> None:
+    """Unpersist every unigram-count frame cached by
+    ``fit_unigram_lm``. Call after the terminal action of an eager
+    pipeline (curation job, bench) — or skip the in-memory path
+    entirely by persisting the model with ``write_unigram_lm`` and
+    scoring from the read-back (what the contract query does)."""
+    while _COUNT_CACHE:
+        _COUNT_CACHE.pop().unpersist()
+
 
 def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus unigram table ``(token, cnt)`` over lowercased whitespace
@@ -80,7 +94,12 @@ def fit_unigram_lm(
     transcendental runs."""
     import math
 
-    counts = unigram_counts(df, text_col)
+    # cache: the T/V aggregate below materializes the counts anyway,
+    # and the returned model re-reads them for every downstream action
+    # (without the cache each action re-runs the corpus-wide explode +
+    # groupBy). Registered in _COUNT_CACHE — see release_cached_counts.
+    counts = unigram_counts(df, text_col).cache()
+    _COUNT_CACHE.append(counts)
     tot = counts.agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
     ).head()

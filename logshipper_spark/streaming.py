@@ -214,16 +214,22 @@ def near_dedup_committed(spark: SparkSession, index_dir: str) -> set[int]:
     """Batch ids whose near-dedup commit marker landed — the index
     partitions a replayed batch may trust (its OWN half-written
     partition must never count, or every replayed doc would look like
-    a near-dup of itself)."""
+    a near-dup of itself). Only the path-missing case (no marker yet)
+    yields the empty set; a transient read error PROPAGATES and fails
+    the batch — failing open here would silently disable the dedup
+    filter and pollute the index with duplicates."""
     import os
 
-    try:
-        df = spark.read.schema("batch_id long").parquet(
-            os.path.join(index_dir, "_commits")
-        )
-        return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
-    except Exception:
+    path = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(index_dir, "_commits")
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
         return set()
+    df = spark.read.schema("batch_id long").parquet(
+        os.path.join(index_dir, "_commits")
+    )
+    return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
 
 
 def streaming_near_dedup(
@@ -276,6 +282,9 @@ def streaming_near_dedup(
         committed = near_dedup_committed(spark, index_dir)
         if batch_id in committed:
             return
+        # ONE signature computation per batch: the persisted frame
+        # serves the index join, the batch-internal pair search, and
+        # the index append
         sigs = batch_df.select(
             F.col(id_col),
             ddp.minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
@@ -306,11 +315,16 @@ def streaming_near_dedup(
                 num_hashes=num_hashes,
                 bands=bands,
                 threshold=threshold,
-                sigs_df=sigs.withColumnRenamed(id_col, "doc_id"),
+                sigs_df=sigs,
             )
-        # (b) batch-internal losers: any doc with a lower-id near-dup
-        pairs = ddp.minhash_lsh_pairs(
-            batch_df, text_col, id_col, k, num_hashes, bands, threshold
+        # (b) batch-internal losers: any doc with a lower-id near-dup —
+        # pairs come from the ALREADY-persisted signatures, not a
+        # second shingle+hash pass over the batch
+        pairs = ddp.minhash_pairs_from_sigs(
+            sigs.select(F.col(id_col).alias("doc_id"), "sig"),
+            num_hashes,
+            bands,
+            threshold,
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = survivors.join(losers, id_col, "left_anti").persist()

@@ -258,6 +258,27 @@ def test_near_dedup_against_catches_near_copy(spark, tmp_path):
     dedup.release_cached_signatures()
 
 
+def test_near_dedup_against_custom_id_col_and_sigs_df(spark, tmp_path):
+    """A non-default id column with a precomputed (id_col, sig) frame —
+    the exact shape streaming_near_dedup passes — must work end to end
+    (regression: the sigs_df select used to assume doc_id)."""
+    path = str(tmp_path / "mh_uid")
+    long_a = " ".join(f"alpha{i} tok{i} word{i}" for i in range(12))
+    fresh = " ".join(f"gamma{i} new{i} page{i}" for i in range(12))
+    snap = spark.createDataFrame([(0, long_a)], ["uid", "text"])
+    dedup.write_minhash_index(snap, path, id_col="uid", mode="overwrite")
+    sigs = spark.read.parquet(path + "/sigs")
+    bands = spark.read.parquet(path + "/bands")
+    batch = spark.createDataFrame([(7, long_a), (8, fresh)], ["uid", "text"])
+    batch_sigs = batch.select(
+        F.col("uid"), dedup.minhash_signature(F.col("text")).alias("sig")
+    )
+    kept = dedup.near_dedup_against(
+        batch, sigs, bands, id_col="uid", sigs_df=batch_sigs
+    )
+    assert [r["uid"] for r in kept.collect()] == [8]
+
+
 def test_banded_buckets_matches_lsh_pairs_path(spark):
     """banded_buckets over persisted-style signatures reproduces the
     pair set minhash_lsh_pairs finds on the same frame."""
