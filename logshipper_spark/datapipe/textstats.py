@@ -37,37 +37,51 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(_BPE_ISH_RE))
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    """Number of tokens (with repeats) found in the language's stopword
-    list — higher-order filter, no UDF."""
+def stopword_hits_arr(toks_lower: Column, lang: str) -> Column:
+    """Number of tokens (with repeats) from a LOWERCASED token array
+    found in the language's stopword list — higher-order filter, no
+    UDF. The array-based form so callers computing several statistics
+    share ONE token array (Spark does not CSE interpreted higher-order
+    expressions across projection columns — see repetition_stats)."""
     stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(stop, t)))
+    return F.size(F.filter(toks_lower, lambda t: F.array_contains(stop, t)))
 
 
-def quality_score(text: Column) -> Column:
-    """Heuristic quality in [0,1]: length band + punctuation ratio band +
-    English stopword ratio band (the classic Gopher-style cheap filters)."""
+def stopword_hits(text: Column, lang: str) -> Column:
+    """stopword_hits_arr over tokens(lower(text))."""
+    return stopword_hits_arr(tokens(F.lower(text)), lang)
+
+
+def quality_score_arr(text: Column, toks_lower: Column) -> Column:
+    """quality_score with a shared lowercased token array (token COUNT
+    is case-insensitive, so counts off ``toks_lower`` equal the
+    original formulation exactly)."""
     n_chars = F.length(text)
-    n_tokens = token_count(text)
+    n_tokens = F.size(toks_lower)
     punct = F.regexp_count(text, F.lit(_PUNCT_RE))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, stopword_hits(text, "en") / n_tokens).otherwise(
-        F.lit(0.0)
-    )
+    stop_ratio = F.when(
+        n_tokens > 0, stopword_hits_arr(toks_lower, "en") / n_tokens
+    ).otherwise(F.lit(0.0))
     length_ok = ((n_chars >= 50) & (n_chars <= 20_000)).cast("double")
     punct_ok = (punct_ratio <= 0.2).cast("double")
     stop_ok = (stop_ratio >= 0.01).cast("double")
     return F.round((length_ok + punct_ok + stop_ok) / 3.0, 4)
 
 
-def lang_id(text: Column) -> Column:
-    """Stopword-hit language ID: argmax of per-language hit counts via an
-    array-of-structs max (deterministic tie-break on language code);
-    'unknown' when nothing hits."""
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + punctuation ratio band +
+    English stopword ratio band (the classic Gopher-style cheap filters)."""
+    return quality_score_arr(text, tokens(F.lower(text)))
+
+
+def lang_id_arr(toks_lower: Column) -> Column:
+    """lang_id over a shared lowercased token array."""
     scored = F.array(
         *[
             F.struct(
-                stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang")
+                stopword_hits_arr(toks_lower, lang).alias("hits"),
+                F.lit(lang).alias("lang"),
             )
             for lang in sorted(STOPWORDS)
         ]
@@ -76,30 +90,47 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
 
 
-def fingerprint(text: Column) -> Column:
-    """Order-sensitive document fingerprint: rolling hash over normalized
-    tokens, folded with F.aggregate as a hash chain
-    (acc' = xxhash64(acc, token)) — wrap-around-safe under ANSI mode,
-    distributed, no UDF."""
-    toks = tokens(F.lower(text))
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language ID: argmax of per-language hit counts via an
+    array-of-structs max (deterministic tie-break on language code);
+    'unknown' when nothing hits."""
+    return lang_id_arr(tokens(F.lower(text)))
+
+
+def fingerprint_arr(toks_lower: Column) -> Column:
+    """fingerprint over a shared lowercased token array."""
     return F.aggregate(
-        toks,
+        toks_lower,
         F.lit(0).cast("long"),
         lambda acc, t: F.xxhash64(acc, t),
     )
 
 
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: rolling hash over normalized
+    tokens, folded with F.aggregate as a hash chain
+    (acc' = xxhash64(acc, token)) — wrap-around-safe under ANSI mode,
+    distributed, no UDF."""
+    return fingerprint_arr(tokens(F.lower(text)))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass projection with all text statistics."""
+    """One-pass projection with all text statistics. The lowercased
+    token array is STAGED as an intermediate column so the six
+    statistics share one build (quality + 4-language lang_id +
+    fingerprint would otherwise each re-tokenize per row — measured 2x
+    the whole projection at sf0.1; same CSE story as
+    filters.repetition_stats)."""
     t = F.col(text_col)
-    return df.select(
+    d1 = df.withColumn("_tl", tokens(F.lower(t)))
+    return d1.select(
         "*",
-        token_count(t).alias("n_tokens"),
+        F.size(F.col("_tl")).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_guess"),
-        fingerprint(t).alias("fp"),
-    )
+        quality_score_arr(t, F.col("_tl")).alias("quality"),
+        lang_id_arr(F.col("_tl")).alias("lang_guess"),
+        fingerprint_arr(F.col("_tl")).alias("fp"),
+    ).drop("_tl")
 
 
 def corpus_stats(
