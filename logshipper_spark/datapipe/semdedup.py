@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import near_dup_components
-from .similarity import _nearest_centroid, cosine_similarity
+from .similarity import _nearest_centroid
 
 
 def assign_trained_cells(
@@ -55,16 +55,32 @@ def semantic_pairs(
     with id_a < id_b. Column-renamed self-join on the cell id (never
     alias-qualified — the renamed form survives checkpointing in
     iterative callers)."""
+    # norms are staged PER ROW before the self-join: computing them
+    # inside the pair expression would redo 2x dim multiply-adds per
+    # CANDIDATE PAIR instead of per row (~3x the pair-stage cost —
+    # same lesson as embedding_near_dup_pairs)
+    nrm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
+    )
     cells = assign_trained_cells(df, centroids, vec_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "cell"
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        nrm.alias("nrm"), "cell",
     )
     a = cells.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "cell"
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"), "cell",
     )
     b = cells.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "cell"
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"), "cell",
     )
-    cos = cosine_similarity(F.col("vec_a"), F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    n2 = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0))
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
