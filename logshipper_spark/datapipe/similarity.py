@@ -202,20 +202,33 @@ def ivf_knn_join(
     qx = q.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_arr).alias("cell"),
     )
     probed = sorted(
         r["cell"] for r in qx.select("cell").distinct().collect()
     )  # ≤ num_cells values — bounded by construction, not by data volume
+    # norms staged per ROW on both sides — recomputing them inside the
+    # scored expression would cost 2x dim multiply-adds per CANDIDATE
+    # (cells x queries), not per row (see semdedup.semantic_pairs)
     idx = (
         spark.read.parquet(index_path)
         .where(F.col("cell").isin(probed) if probed else F.lit(False))
-        .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+        .select(
+            id_col,
+            vec_col,
+            _norm(F.col(vec_col)).alias("_in"),
+            F.col("cell").cast("int").alias("cell"),
+        )
     )
+    n2 = F.col("_in") * F.col("_qn")
+    cos = F.when(
+        n2 > 0, _dot(F.col(vec_col), F.col("_qv")) / n2
+    ).otherwise(F.lit(0.0))
     scored = idx.join(qx, "cell").select(
         query_id_col,
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        F.round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
