@@ -245,15 +245,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as strings; shorter docs yield their
-    whole token string as the single shingle."""
+    whole token string as the single shingle. Built with the shifted
+    zip_with construction (filters.word_ngrams) — the old per-index
+    sequence+slice transform cost ~6x more in interpreted lambda work
+    and dominated the MinHash signature stage."""
+    from .filters import word_ngrams
+
     toks = tokens(F.lower(text))
     n = F.size(toks)
     full = F.array(F.concat_ws(" ", toks))
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    return F.array_distinct(
+        F.when(n >= k, word_ngrams(toks, k)).otherwise(full)
     )
-    return F.array_distinct(F.when(n >= k, sh).otherwise(full))
 
 
 def ngram_jaccard_pairs(
