@@ -1,0 +1,146 @@
+"""Corpus quality report — the per-snapshot "data card" a training
+pipeline publishes: per-language accounting, length/quality/LM score
+distributions, filter incidence (Gopher repetition, C4 line cleaning,
+PII), and a sampled near-duplication rate. Everything derives from
+operators this package already oracle-checks; the report is their
+composition into one driver-side dict.
+
+Scale posture: three bounded passes over the corpus — (1) the fused
+per-row stats projection + aggregates (map-only + map-side-combined
+groupBys), (2) the unigram-LM fit + score (one explode/groupBy + one
+broadcast-join/groupBy), (3) MinHash near-dup pairs over a
+deterministic hash SAMPLE (the full-corpus pair search is the curation
+pipeline's job; the report only estimates the rate). Driver memory
+holds per-language rows and scalar aggregates — bytes, not data."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, filters, lm, sampling, textstats
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx_distinct: float | None = None,
+    lm_band: tuple[float, float] = (2.0, 16.0),
+    near_dup_sample: float = 0.2,
+    near_dup_threshold: float = 0.8,
+    seed: int = 0,
+) -> dict:
+    """Build the corpus data card as a plain dict (JSON-serializable).
+
+    ``approx_distinct``: rsd for the HLL++ distinct-count path (exact
+    when None — see corpus_stats). ``near_dup_sample``: deterministic
+    Bernoulli fraction the near-dup rate is estimated on (pair rates
+    scale ~quadratically with sampling, so the reported value is the
+    SAMPLE's rate, labeled as such)."""
+    docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    docs.persist()
+    n_docs = docs.count()
+    report: dict = {"docs": n_docs}
+    if n_docs == 0:
+        docs.unpersist()
+        return report
+
+    # per-language accounting (oracled op: corpus_stats)
+    per_lang = [
+        r.asDict()
+        for r in textstats.corpus_stats(docs, approx_distinct=approx_distinct)
+        .orderBy("lang_guess")
+        .collect()
+    ]
+    for row in per_lang:
+        row["mean_quality"] = (
+            round(row.pop("quality_sum_4dp") / 10000.0 / row["docs"], 4)
+            if row["docs"]
+            else None
+        )
+    report["per_language"] = per_lang
+    total_docs = sum(r["docs"] for r in per_lang)
+    total_distinct = sum(r["distinct_texts"] for r in per_lang)
+    report["exact_dup_rate"] = round(1.0 - total_distinct / total_docs, 6)
+    report["total_tokens"] = int(sum(r["total_tokens"] for r in per_lang))
+    report["total_chars"] = int(sum(r["total_chars"] for r in per_lang))
+
+    # filter incidence + length quantiles in one fused map-only pass
+    st = filters.pii_scrub(filters.c4_line_clean(filters.repetition_stats(docs)))
+    inc = st.agg(
+        F.sum((~F.col("rep_keep")).cast("long")).alias("rep_fail"),
+        F.sum((~F.col("c4_keep")).cast("long")).alias("c4_fail"),
+        F.sum(
+            (
+                (F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4"))
+                > 0
+            ).cast("long")
+        ).alias("pii_docs"),
+        F.sum("n_email").alias("pii_emails"),
+        F.sum("n_ssn").alias("pii_ssns"),
+        F.sum("n_phone").alias("pii_phones"),
+        F.sum("n_ipv4").alias("pii_ipv4s"),
+        F.percentile(F.col("n_tokens"), F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)]))
+        .alias("tok_q"),
+    ).head()
+    report["filter_incidence"] = {
+        "repetition_fail_rate": round(inc["rep_fail"] / n_docs, 6),
+        "c4_fail_rate": round(inc["c4_fail"] / n_docs, 6),
+        "pii_doc_rate": round(inc["pii_docs"] / n_docs, 6),
+        "pii_spans": {
+            "email": int(inc["pii_emails"]),
+            "ssn": int(inc["pii_ssns"]),
+            "phone": int(inc["pii_phones"]),
+            "ipv4": int(inc["pii_ipv4s"]),
+        },
+    }
+    report["token_quantiles_p50_p90_p99"] = [float(x) for x in inc["tok_q"]]
+
+    # unigram-LM score distribution (oracled op: lm_score)
+    model, oov = lm.fit_unigram_lm(docs)
+    scored = lm.lm_score(docs, model, oov)
+    lo, hi = lm_band
+    lmrow = scored.agg(
+        F.percentile(
+            F.col("bits_per_token"), F.array(*[F.lit(q) for q in (0.1, 0.5, 0.9)])
+        ).alias("q"),
+        F.sum(
+            (
+                F.col("bits_per_token").isNotNull()
+                & (F.col("bits_per_token") >= lo)
+                & (F.col("bits_per_token") <= hi)
+            ).cast("long")
+        ).alias("in_band"),
+    ).head()
+    report["lm_bits_quantiles_p10_p50_p90"] = [
+        round(float(x), 4) for x in lmrow["q"]
+    ]
+    report["lm_band"] = {"lo": lo, "hi": hi, "in_band_rate": round(lmrow["in_band"] / n_docs, 6)}
+    lm.release_cached_counts()
+
+    # sampled near-dup rate (oracled machinery: minhash_lsh)
+    if near_dup_sample > 0:
+        sample = sampling.bernoulli_sample(docs, near_dup_sample, "doc_id", seed)
+        sample.persist()
+        n_sample = sample.count()
+        if n_sample:
+            pairs = dedup.minhash_lsh_pairs(sample, threshold=near_dup_threshold)
+            in_pairs = (
+                pairs.select(F.col("id_a").alias("id"))
+                .unionByName(pairs.select(F.col("id_b").alias("id")))
+                .distinct()
+                .count()
+            )
+            report["near_dup_sample"] = {
+                "sample_rate": near_dup_sample,
+                "sample_docs": n_sample,
+                "threshold": near_dup_threshold,
+                "docs_in_near_dup_pairs": in_pairs,
+                "near_dup_doc_rate_in_sample": round(in_pairs / n_sample, 6),
+            }
+            dedup.release_cached_signatures()
+        sample.unpersist()
+
+    docs.unpersist()
+    return report

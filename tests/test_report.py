@@ -1,0 +1,48 @@
+"""Corpus quality report (datapipe.report.corpus_report)."""
+
+from __future__ import annotations
+
+from logshipper_spark.datapipe.report import corpus_report
+
+
+def test_corpus_report_hand_values(spark):
+    base = (
+        "The quick brown fox jumps over the lazy dog and runs far away. "
+        "It is a fine day for the animals of the forest to play in the sun."
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " Extra closing thought for it."),
+        (3, "word " * 60 + "mail a@b.co ssn 123-45-6789."),  # repetitive + PII
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rep = corpus_report(df, near_dup_sample=1.0, near_dup_threshold=0.5)
+    assert rep["docs"] == 4
+    assert rep["exact_dup_rate"] == 0.25  # 4 docs, 3 distinct
+    inc = rep["filter_incidence"]
+    assert inc["pii_spans"]["email"] == 1 and inc["pii_spans"]["ssn"] == 1
+    assert inc["pii_doc_rate"] == 0.25
+    assert inc["repetition_fail_rate"] >= 0.25  # the "word word ..." doc
+    # near-dup sample at rate 1.0 must find the planted exact pair
+    nd = rep["near_dup_sample"]
+    assert nd["sample_docs"] == 4
+    assert nd["docs_in_near_dup_pairs"] >= 2
+    assert set(rep["lm_band"]) == {"lo", "hi", "in_band_rate"}
+    assert len(rep["lm_bits_quantiles_p10_p50_p90"]) == 3
+    langs = {r["lang_guess"] for r in rep["per_language"]}
+    assert "en" in langs
+
+
+def test_corpus_report_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert corpus_report(df) == {"docs": 0}
+
+
+def test_corpus_report_driver_docs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = corpus_report(docs, near_dup_sample=0.3)
+    assert rep["docs"] == 500
+    assert rep["exact_dup_rate"] == 0.0
+    assert rep["total_tokens"] > 0
+    assert rep["token_quantiles_p50_p90_p99"][0] > 0
