@@ -86,30 +86,71 @@ def main(argv: list[str] | None = None) -> int:
     from logshipper_spark.session import get_spark
 
     spark = get_spark(app_name="logshipper-curation")
-    docs = spark.read.parquet(args.docs).select("doc_id", "text")
+    docs = spark.read.parquet(args.docs)
     n_in = docs.count()
     summary: dict = {"docs_in": n_in}
     pinned = []  # persisted frames, unpersisted before exit
 
-    # 0. one-shot text normalization — every later stage shares it
+    # the indexes' keys only compare like-for-like if every snapshot
+    # normalized its text the same way — a `_domain` marker inside each
+    # index records (scrub_pii, line_clean) and a mismatching run FAILS
+    # instead of silently dropping nothing / corrupting the carry state
+    domain = (bool(args.scrub_pii), bool(args.line_clean))
+
+    def _check_domain(idx_path: str) -> None:
+        dpath = os.path.join(idx_path, "_domain")
+        if os.path.exists(dpath):
+            row = spark.read.schema(
+                "scrub_pii boolean, line_clean boolean"
+            ).parquet(dpath).head()
+            found = (bool(row["scrub_pii"]), bool(row["line_clean"]))
+            if found != domain:
+                raise ValueError(
+                    f"index {idx_path} holds keys of text domain "
+                    f"(scrub_pii={found[0]}, line_clean={found[1]}) but this "
+                    f"run normalizes with (scrub_pii={domain[0]}, "
+                    f"line_clean={domain[1]}) — keys would not match; rerun "
+                    "with matching flags or rebuild the index"
+                )
+
+    def _write_domain(idx_path: str) -> None:
+        dpath = os.path.join(idx_path, "_domain")
+        if not os.path.exists(dpath):
+            spark.createDataFrame(
+                [domain], "scrub_pii boolean, line_clean boolean"
+            ).coalesce(1).write.mode("overwrite").parquet(dpath)
+
+    # 0. one-shot text normalization — every later stage shares it.
+    # The text COLUMN is rewritten in place; every other input column
+    # (provenance: url, fetch_ts, ...) rides through to the corpus.
     if args.scrub_pii:
-        docs = pii_scrub(docs).select(
-            "doc_id", F.col("scrubbed").alias("text")
+        docs = (
+            pii_scrub(docs)
+            .withColumn("text", F.col("scrubbed"))
+            .drop("scrubbed", "n_email", "n_ssn", "n_phone", "n_ipv4")
         )
     if args.line_clean:
         docs = (
             c4_line_clean(docs)
             .filter("c4_keep")
-            .select("doc_id", F.col("clean_text").alias("text"))
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text", "n_lines", "n_kept_lines", "c4_keep")
         )
-        summary["after_line_clean"] = docs.count()
+    if args.scrub_pii or args.line_clean:
+        # the regex-heavy normalization feeds every later stage — one
+        # materialization instead of one per action
+        docs = docs.persist()
+        pinned.append(docs)
+        summary["after_normalize"] = docs.count()
 
     # 1. incremental pre-filters vs prior snapshots (same text domain)
     if args.key_index and os.path.exists(args.key_index):
+        _check_domain(args.key_index)
         idx = spark.read.schema("h0 long, h1 long").parquet(args.key_index)
         docs = dedup.dedup_against(docs, idx)
         summary["after_key_index"] = docs.count()
     if args.minhash_index and os.path.exists(args.minhash_index + "/sigs"):
+        _check_domain(args.minhash_index)
         sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
             args.minhash_index + "/sigs"
         )
@@ -181,11 +222,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         summary["shards"] = plan.select("shard").distinct().count()
 
-    # 5. carry state for the next snapshot (same normalized domain)
+    # 5. carry state for the next snapshot (same normalized domain —
+    # marker written on first update, checked on every later run)
     if args.update_index and args.key_index:
         dedup.write_key_index(survivors, args.key_index, mode="append")
+        _write_domain(args.key_index)
     if args.update_index and args.minhash_index:
         dedup.write_minhash_index(survivors, args.minhash_index, mode="append")
+        _write_domain(args.minhash_index)
 
     if args.components:
         pairs = dedup.minhash_lsh_pairs(docs, threshold=args.minhash_threshold)

@@ -63,11 +63,12 @@ def word_ngrams(toks: Column, n: int) -> Column:
         grams = F.zip_with(
             grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
         )
+    empty = F.array().cast("array<string>")
     if n == 1:
-        return grams
-    return F.when(m >= n, F.slice(grams, 1, m - (n - 1))).otherwise(
-        F.array().cast("array<string>")
-    )
+        # preserve the null-to-empty guarantee the when/otherwise form
+        # gives the n >= 2 paths (size(NULL) is NULL → otherwise-branch)
+        return F.coalesce(grams, empty)
+    return F.when(m >= n, F.slice(grams, 1, m - (n - 1))).otherwise(empty)
 
 
 def _rep_fold(ngrams: Column) -> Column:

@@ -62,7 +62,12 @@ def corpus_report(
     report["per_language"] = per_lang
     total_docs = sum(r["docs"] for r in per_lang)
     total_distinct = sum(r["distinct_texts"] for r in per_lang)
-    report["exact_dup_rate"] = round(1.0 - total_distinct / total_docs, 6)
+    # HLL++ can OVERestimate distinct (rate would go negative) — clamp,
+    # and label which method produced the number
+    report["distinct_method"] = "hll" if approx_distinct is not None else "exact"
+    report["exact_dup_rate"] = max(
+        0.0, round(1.0 - total_distinct / total_docs, 6)
+    )
     report["total_tokens"] = int(sum(r["total_tokens"] for r in per_lang))
     report["total_chars"] = int(sum(r["total_chars"] for r in per_lang))
 
@@ -84,18 +89,25 @@ def corpus_report(
         F.percentile(F.col("n_tokens"), F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)]))
         .alias("tok_q"),
     ).head()
+    # SUM over an all-null column is NULL (degenerate corpora: every
+    # text empty/null) — coalesce driver-side so the card stays valid
+    def _i(v) -> int:
+        return int(v) if v is not None else 0
+
     report["filter_incidence"] = {
-        "repetition_fail_rate": round(inc["rep_fail"] / n_docs, 6),
-        "c4_fail_rate": round(inc["c4_fail"] / n_docs, 6),
-        "pii_doc_rate": round(inc["pii_docs"] / n_docs, 6),
+        "repetition_fail_rate": round(_i(inc["rep_fail"]) / n_docs, 6),
+        "c4_fail_rate": round(_i(inc["c4_fail"]) / n_docs, 6),
+        "pii_doc_rate": round(_i(inc["pii_docs"]) / n_docs, 6),
         "pii_spans": {
-            "email": int(inc["pii_emails"]),
-            "ssn": int(inc["pii_ssns"]),
-            "phone": int(inc["pii_phones"]),
-            "ipv4": int(inc["pii_ipv4s"]),
+            "email": _i(inc["pii_emails"]),
+            "ssn": _i(inc["pii_ssns"]),
+            "phone": _i(inc["pii_phones"]),
+            "ipv4": _i(inc["pii_ipv4s"]),
         },
     }
-    report["token_quantiles_p50_p90_p99"] = [float(x) for x in inc["tok_q"]]
+    report["token_quantiles_p50_p90_p99"] = (
+        [float(x) for x in inc["tok_q"]] if inc["tok_q"] is not None else None
+    )
 
     # unigram-LM score distribution (oracled op: lm_score)
     model, oov = lm.fit_unigram_lm(docs)
@@ -113,10 +125,16 @@ def corpus_report(
             ).cast("long")
         ).alias("in_band"),
     ).head()
-    report["lm_bits_quantiles_p10_p50_p90"] = [
-        round(float(x), 4) for x in lmrow["q"]
-    ]
-    report["lm_band"] = {"lo": lo, "hi": hi, "in_band_rate": round(lmrow["in_band"] / n_docs, 6)}
+    report["lm_bits_quantiles_p10_p50_p90"] = (
+        [round(float(x), 4) for x in lmrow["q"]]
+        if lmrow["q"] is not None  # percentile over all-null bits → NULL
+        else None
+    )
+    report["lm_band"] = {
+        "lo": lo,
+        "hi": hi,
+        "in_band_rate": round(_i(lmrow["in_band"]) / n_docs, 6),
+    }
     lm.release_cached_counts()
 
     # sampled near-dup rate (oracled machinery: minhash_lsh)

@@ -349,7 +349,6 @@ def streaming_near_dedup(
         kept_sigs.unpersist()
         survivors.unpersist()
         sigs.unpersist()
-        ddp.release_cached_signatures()
         if chaos is not None:
             chaos(batch_id)
 

@@ -39,6 +39,34 @@ def test_corpus_report_empty(spark):
     assert corpus_report(df) == {"docs": 0}
 
 
+def test_corpus_report_degenerate_all_blank(spark):
+    """Every text empty/whitespace/null: all-null aggregates must not
+    crash the card (percentile over all-null returns NULL)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    rep = corpus_report(df, near_dup_sample=1.0)
+    assert rep["docs"] == 3
+    assert rep["lm_bits_quantiles_p10_p50_p90"] is None
+    assert rep["lm_band"]["in_band_rate"] == 0.0
+    assert rep["filter_incidence"]["pii_spans"]["email"] == 0
+
+
+def test_word_ngrams_n1_null_guard(spark):
+    """word_ngrams(toks, 1) must keep the null-to-empty-array contract
+    the n >= 2 paths get from their when/otherwise guard."""
+    from pyspark.sql import functions as F
+
+    from logshipper_spark.datapipe.filters import word_ngrams
+    from logshipper_spark.datapipe.textstats import tokens
+
+    df = spark.createDataFrame([(None,), ("a b",)], "text string")
+    out = df.select(
+        F.size(word_ngrams(tokens(F.lower(F.col("text"))), 1)).alias("n")
+    ).collect()
+    assert sorted(r["n"] for r in out) == [0, 2]
+
+
 def test_corpus_report_driver_docs(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     rep = corpus_report(docs, near_dup_sample=0.3)
