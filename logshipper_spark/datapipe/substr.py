@@ -1,0 +1,205 @@
+"""Substring-level duplicate detection via winnowed k-gram
+fingerprints — the ExactSubstr analog of Lee et al., "Deduplicating
+Training Data Makes Language Models Better" (2022), with the
+fingerprint-selection scheme of Schleimer/Wilkerson/Aiken, "Winnowing:
+Local Algorithms for Document Fingerprinting" (SIGMOD 2003, the MOSS
+algorithm). Document-level dedup (exact keys, MinHash, SimHash) misses
+the common corpus pathology where DIFFERENT documents share a long
+boilerplate passage (license headers, templated paragraphs, quoted
+chain mail); this family finds the shared spans themselves.
+
+Why winnowing and not explode-every-gram: a 100 TB corpus has ~one
+w-gram per token, so fingerprinting every position shuffles the entire
+corpus again through the dup-detection groupBy. Winnowing selects
+~2/(W+1) of positions with a hard GUARANTEE: any shared run of at
+least w+W-1 tokens shares at least one SELECTED fingerprint in both
+documents (the window minimum inside the shared region is a function
+of the shared hashes alone). So the shuffle shrinks by ~(W+1)/2 while
+detection of spans ≥ w+W-1 tokens stays exact, and spans in [w, w+W-2]
+degrade gracefully (caught iff one of their grams wins a window).
+
+Scale posture: gram hashing + winnowing are per-row higher-order
+functions — map-only, no shuffle, no Python. Only the selected
+fingerprints (~2n/(W+1) rows per n-token doc) hit the groupBy, and a
+document-frequency cutoff (stop-gram guard, same design as
+ngram_jaccard_pairs' max_shingle_df) removes ubiquitous boilerplate
+grams before any self-join, keeping the pair candidate count
+near-linear. Defaults here (w=8, window=4) suit the small synthetic
+test corpora; real-corpus posture is w≈50, window≈16 (Lee et al.'s
+50-token threshold with guarantee ≥ w+W-1 = 65).
+
+Reference parity: the reference has no substring-dedup operator (its
+dedup surface is the key-based first-seen set, internal/graph/
+types.go); this module is part of the training-data pipeline layer the
+graft brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .filters import word_ngrams
+from .textstats import tokens
+
+
+def gram_hashes(text: Column, w: int = 8) -> Column:
+    """array<long>: xxhash64 of the w-token gram starting at each
+    position of the lowercased whitespace tokenization. Fewer than w
+    tokens → empty array (a doc shorter than the match threshold can
+    never hold a qualifying span)."""
+    return F.transform(word_ngrams(tokens(F.lower(text)), w), lambda g: F.xxhash64(g))
+
+
+def _window_min_chain(arr: Column, window: int, m: Column) -> Column:
+    """winmin[j] = min(arr[j .. j+window-1]) for j = 1 .. m-window+1,
+    as window-1 shifted zip_with/least passes (each a linear scan —
+    the same construction as filters.word_ngrams, with `least` for
+    `concat`). zip_with null-pads the shorter shifted side and
+    least() skips nulls, so trailing entries would hold partial-window
+    minima; the final slice drops them to keep only full windows."""
+    acc = arr
+    for k in range(1, window):
+        acc = F.zip_with(acc, F.slice(arr, k + 1, m - k), lambda a, b: F.least(a, b))
+    return F.when(m >= window, F.slice(acc, 1, m - (window - 1))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_positions(hashes: Column, window: int = 4) -> Column:
+    """array<int> of 1-based selected positions under winnowing.
+
+    Selection rule: position i is selected iff h[i] equals the minimum
+    of at least one covering window of `window` consecutive hashes.
+    Since winmin[j] ≤ h[i] for every window j covering i, that is
+    h[i] == max(winmin[j] for covering j) — one sliding-min chain over
+    h, one sliding-max chain over winmin, both per-row linear HOFs.
+
+    Tie handling: every position achieving a covering-window minimum is
+    selected (classic winnowing keeps only the rightmost). This is a
+    deterministic SUPERSET of the classic fingerprint set with the same
+    guarantee and the same expected density 2/(window+1) (64-bit hash
+    ties are negligible), and unlike rightmost-tie selection it needs
+    no positional tiebreak state — selection stays a pure function of
+    the local hash neighborhood, so identical shared regions in
+    different documents select identical grams.
+
+    Docs with fewer than `window` grams fall back to selecting every
+    position (their whole fingerprint set is already tiny)."""
+    m = F.size(hashes)
+    winmin = _window_min_chain(hashes, window, m)
+    # covermax[i] = max(winmin[j]) over windows j covering position i,
+    # i.e. j in [i-window+1, i] clipped to [1, m-window+1]. Build by the
+    # mirrored construction: pad winmin with window-1 sentinels on BOTH
+    # ends (long MIN — always ≤ any real hash, and xxhash64 hitting it
+    # is a 2^-64 non-event; leading pad clips the covering range for
+    # small i, trailing pad for the last window-1 positions), then a
+    # sliding max of width `window` over the padded array (length
+    # m+window-1) yields exactly m full windows, aligned to covermax.
+    pad = F.array_repeat(F.lit(-0x8000000000000000).cast("bigint"), window - 1)
+    padded = F.concat(pad, winmin, pad)
+    pm = F.size(padded)
+    acc = padded
+    for k in range(1, window):
+        acc = F.zip_with(acc, F.slice(padded, k + 1, pm - k), lambda a, b: F.greatest(a, b))
+    covermax = F.slice(acc, 1, pm - (window - 1))  # length m (when m ≥ window)
+    # flag positions achieving a covering-window minimum, then convert
+    # flags to 1-based positions with transform's INDEX lambda (the
+    # second lambda arg is the 0-based array index). Everything here is
+    # one linear pass per zip/transform — never an array expression
+    # inside a per-element lambda, which would re-evaluate it per
+    # element (O(n²·W)).
+    flagged = F.zip_with(hashes, covermax, lambda h, c: h == c)
+    positions = F.filter(
+        F.transform(flagged, lambda x, i: F.when(x, i + F.lit(1))),
+        lambda p: p.isNotNull(),
+    )
+    return (
+        F.when(m >= window, positions)
+        .when(m >= 1, F.sequence(F.lit(1), m))
+        .otherwise(F.array().cast("array<int>"))
+    )
+
+
+def fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, gram_hash) winnowed fingerprints — the compact
+    per-document sketch the dup search runs on. pos is the 1-based
+    token index where the w-gram starts."""
+    hcol = gram_hashes(F.col(text_col), w)
+    # stage the hash array ONCE (HOFs are not CSE'd across projection
+    # columns — CLAUDE.md round-3 gotcha), winnow over the staged
+    # column, and pair each selected position with its hash BEFORE the
+    # explode — exploding positions while still carrying the full hash
+    # array would duplicate an m-length array per output row (O(m²/W)
+    # bytes on long documents).
+    staged = df.select(F.col(id_col).alias("doc_id"), hcol.alias("h")).select(
+        "doc_id", "h", winnow_positions(F.col("h"), window).alias("sel")
+    )
+    picked = F.transform(
+        F.col("sel"),
+        lambda p: F.struct(
+            p.alias("pos"), F.element_at(F.col("h"), p).alias("gram_hash")
+        ),
+    )
+    return staged.select("doc_id", F.explode(picked).alias("fp")).select(
+        "doc_id", F.col("fp.pos").alias("pos"), F.col("fp.gram_hash").alias("gram_hash")
+    )
+
+
+def substr_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    window: int = 4,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Fingerprints shared by ≥2 distinct documents: (doc_id, pos,
+    gram_hash, n_docs), n_docs = distinct documents containing the
+    fingerprint. Any boilerplate passage of ≥ w+window-1 tokens shared
+    across documents surfaces here at every document/position carrying
+    it. Fingerprints in more than `max_gram_df` documents are dropped
+    (ubiquitous boilerplate — route those to a stop-gram report, not a
+    quadratic join)."""
+    fp = fingerprint_table(df, text_col, id_col, w, window)
+    docs_per_gram = fp.groupBy("gram_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    shared = docs_per_gram.filter(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_gram_df)
+    )
+    # shared grams are the rare tail — broadcast when small; Spark's
+    # AQE converts this to a broadcast join from runtime stats anyway
+    return fp.join(shared, "gram_hash").select("doc_id", "pos", "gram_hash", "n_docs")
+
+
+def substr_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    window: int = 4,
+    max_gram_df: int = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Document pairs sharing ≥ min_shared winnowed fingerprints:
+    (id_a, id_b, shared_fingerprints). The posting-list self-join runs
+    only over fingerprints that passed the document-frequency cutoff,
+    so candidate fan-out per gram is bounded by max_gram_df."""
+    spans = substr_dup_spans(df, text_col, id_col, w, window, max_gram_df)
+    posting = spans.select("gram_hash", "doc_id").distinct()
+    a = posting.select(F.col("doc_id").alias("id_a"), "gram_hash")
+    b = posting.select(F.col("doc_id").alias("id_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -1,0 +1,133 @@
+"""Substring-level (winnowed fingerprint) duplicate detection.
+
+Covers the winnowing guarantee (any shared run of >= w+window-1 tokens
+is detected), brute-force parity of the sliding-min/max position
+selection, alignment of detected spans across documents, the
+document-frequency cutoff, and short-document edge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logshipper_spark.datapipe import substr
+
+SHARED = "the quick brown fox jumps over the lazy dog again and again forever"
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + SHARED + " delta epsilon"),
+            (2, "one two three four " + SHARED + " five six"),
+            (3, "totally unrelated content with no overlap at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_shared_run_guarantee_and_pairs(spark):
+    # shared run is 13 tokens >= w + window - 1 = 6 -> MUST surface
+    df = _corpus(spark)
+    pairs = substr.substr_dup_pairs(df, w=4, window=3).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].id_a, pairs[0].id_b) == (1, 2)
+    assert pairs[0].shared_fingerprints >= 1
+
+
+def test_spans_align_across_documents(spark):
+    # every shared fingerprint appears in doc 1 and doc 2 at positions
+    # offset by exactly 1 (doc 1's prefix is 3 tokens, doc 2's is 4)
+    df = _corpus(spark)
+    spans = substr.substr_dup_spans(df, w=4, window=3)
+    by_doc = {
+        r.doc_id: r.pos_by_hash
+        for r in spans.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("gram_hash", "pos")))
+            ).alias("pos_by_hash")
+        )
+        .collect()
+    }
+    assert set(by_doc) == {1, 2}
+    assert set(by_doc[1]) == set(by_doc[2])
+    for h, p1 in by_doc[1].items():
+        assert by_doc[2][h] == p1 + 1
+
+
+def test_winnow_positions_brute_force_parity(spark):
+    # selection rule: position selected iff it is the min of at least
+    # one covering window — recompute in Python over the same hashes
+    df = _corpus(spark)
+    w, window = 4, 3
+    rows = df.select(
+        substr.gram_hashes(F.col("text"), w).alias("h"),
+        substr.winnow_positions(substr.gram_hashes(F.col("text"), w), window).alias(
+            "sel"
+        ),
+    ).collect()
+    for row in rows:
+        h, sel = row.h, set(row.sel)
+        m = len(h)
+        expect = set()
+        if m < window:
+            expect = set(range(1, m + 1))
+        else:
+            for j in range(m - window + 1):
+                win = h[j : j + window]
+                mn = min(win)
+                for i, v in enumerate(win):
+                    if v == mn:
+                        expect.add(j + i + 1)
+        assert sel == expect, (sorted(sel), sorted(expect))
+
+
+def test_density_is_sublinear(spark):
+    # winnowing keeps ~2/(window+1) of positions; assert well under 1
+    df = _corpus(spark).filter("doc_id = 1")
+    w, window = 4, 4
+    row = df.select(
+        F.size(substr.gram_hashes(F.col("text"), w)).alias("m"),
+        F.size(
+            substr.winnow_positions(substr.gram_hashes(F.col("text"), w), window)
+        ).alias("k"),
+    ).first()
+    assert 0 < row.k < row.m
+    assert row.k <= row.m * 0.8
+
+
+def test_df_cutoff_drops_ubiquitous_grams(spark):
+    # the same boilerplate in 3 docs with max_gram_df=2 -> nothing kept
+    df = spark.createDataFrame(
+        [(i, f"doc {i} prefix " + SHARED) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    spans = substr.substr_dup_spans(df, w=4, window=3, max_gram_df=2)
+    assert spans.count() == 0
+    spans_ok = substr.substr_dup_spans(df, w=4, window=3, max_gram_df=3)
+    assert spans_ok.count() > 0
+
+
+def test_short_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        F.size(substr.gram_hashes(F.col("text"), 4)).alias("m"),
+        substr.winnow_positions(substr.gram_hashes(F.col("text"), 4), 3).alias("sel"),
+    ).collect()
+    got = {r.doc_id: (r.m, list(r.sel)) for r in rows}
+    # m < window -> every position selected; m == 0 -> empty
+    assert got[1] == (2, [1, 2])
+    assert got[2] == (0, [])
+    assert got[3] == (0, [])
+    assert substr.substr_dup_pairs(df, w=4, window=3).count() == 0
+
+
+def test_min_shared_threshold(spark):
+    df = _corpus(spark)
+    # 6 shared fingerprints at w=4/window=3 (see smoke run); a high
+    # threshold filters the pair out
+    assert substr.substr_dup_pairs(df, w=4, window=3, min_shared=100).count() == 0
