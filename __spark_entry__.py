@@ -43,6 +43,7 @@ from logshipper_spark.datapipe import (
     sampling,
     semdedup,
     similarity,
+    substr,
     textstats,
 )
 from logshipper_spark.schemas import DEFAULT_INGEST_TS
@@ -1017,6 +1018,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fingerprint_pairs(docs.unionByName(dup))
 
 
+SUBSTR_GRAMS_PATH = "/tmp/spark_graft_contract/substr_grams.parquet"
+SUBSTR_GRAMS_PATH_P = "/tmp/spark_graft_contract/substr_grams_pairs.parquet"
+
+
+def _materialize_grams(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Write the FULL pre-winnowing gram-hash table (doc_id, pos, h)
+    for the documents table. The xxhash64 gram values have no DuckDB
+    twin (simhash_pairs trust model), but everything downstream — the
+    winnowing selection rule, the document-frequency cutoff, the span
+    join and the pair grouping — is re-derived independently in SQL
+    from these bytes, so the whole substring-dedup logic after hashing
+    is oracle-checked."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id", F.posexplode(substr.gram_hashes(F.col("text"), w=8))
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("h"))
+    grams.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return docs
+
+
+def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint shared substring spans (MOSS-style): every
+    (doc, position) carrying a w-gram fingerprint selected by winnowing
+    and present in >= 2 documents."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH)
+    return substr.substr_dup_spans(docs, w=8, window=4)
+
+
+def q_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing winnowed substring fingerprints."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH_P)
+    return substr.substr_dup_pairs(docs, w=8, window=4, min_shared=2)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1395,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
+        "substr_spans": q_substr_spans,
+        "substr_pairs": q_substr_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -1658,6 +1695,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        """,
+        # winnowing re-derived relationally: a position is selected iff
+        # its hash equals the min of at least one covering FULL window
+        # of `window`=4 consecutive gram hashes (docs with fewer than 4
+        # grams select every position); then the document-frequency
+        # cutoff and the shared-span join run over the selected set.
+        "substr_spans": f"""
+            WITH g AS (
+              SELECT doc_id, pos, h
+              FROM read_parquet('{SUBSTR_GRAMS_PATH}/*.parquet')),
+            m AS (SELECT doc_id, COUNT(*) AS mm FROM g GROUP BY doc_id),
+            w AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, pos, h FROM (
+                SELECT g.doc_id, g.pos, g.h
+                FROM g JOIN w ON w.doc_id = g.doc_id
+                   AND g.pos BETWEEN w.pos AND w.pos + 3 AND w.wn = 4
+                WHERE g.h = w.wmin
+                UNION ALL
+                SELECT g.doc_id, g.pos, g.h
+                FROM g JOIN m USING (doc_id) WHERE m.mm < 4)),
+            dfreq AS (
+              SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM sel
+              GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000)
+            SELECT s.doc_id, s.pos, s.h AS gram_hash, n_docs
+            FROM sel s JOIN dfreq USING (h)
+        """,
+        "substr_pairs": f"""
+            WITH g AS (
+              SELECT doc_id, pos, h
+              FROM read_parquet('{SUBSTR_GRAMS_PATH_P}/*.parquet')),
+            m AS (SELECT doc_id, COUNT(*) AS mm FROM g GROUP BY doc_id),
+            w AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, pos, h FROM (
+                SELECT g.doc_id, g.pos, g.h
+                FROM g JOIN w ON w.doc_id = g.doc_id
+                   AND g.pos BETWEEN w.pos AND w.pos + 3 AND w.wn = 4
+                WHERE g.h = w.wmin
+                UNION ALL
+                SELECT g.doc_id, g.pos, g.h
+                FROM g JOIN m USING (doc_id) WHERE m.mm < 4)),
+            dfreq AS (
+              SELECT h FROM sel GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000),
+            posting AS (
+              SELECT DISTINCT h, doc_id FROM sel JOIN dfreq USING (h))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS shared_fingerprints
+            FROM posting a JOIN posting b USING (h)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
         """,
         "dup_components": """
             SELECT doc_id, doc_id AS component FROM documents

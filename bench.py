@@ -278,6 +278,13 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(dedup.simhash_pairs(docs, max_hamming=3)),
         "simhash_pairs",
     )
+    from logshipper_spark.datapipe import substr as substr_mod
+
+    def _cold_substr() -> None:
+        substr_mod.release_cached_fingerprints()
+        _force(substr_mod.substr_dup_pairs(docs, w=8, window=4, min_shared=2))
+
+    times["substr_pairs"] = _timed(_cold_substr, "substr_pairs")
     from logshipper_spark.datapipe import curate as curate_mod
 
     def _cold_curate() -> None:

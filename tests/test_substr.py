@@ -126,6 +126,21 @@ def test_short_documents(spark):
     assert substr.substr_dup_pairs(df, w=4, window=3).count() == 0
 
 
+def test_fingerprint_cache_shared_across_branches(spark):
+    # the DF aggregate, join-back, and pair self-join must all read the
+    # cached fingerprint table (corpus hashed once), and the release
+    # hook must drain the cache
+    df = _corpus(spark)
+    substr.release_cached_fingerprints()
+    pairs = substr.substr_dup_pairs(df, w=4, window=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+    assert pairs.count() == 1
+    assert len(substr._FP_CACHE) >= 1
+    substr.release_cached_fingerprints()
+    assert not substr._FP_CACHE
+
+
 def test_min_shared_threshold(spark):
     df = _corpus(spark)
     # 6 shared fingerprints at w=4/window=3 (see smoke run); a high
