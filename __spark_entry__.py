@@ -1052,6 +1052,83 @@ def q_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substr.substr_dup_pairs(docs, w=8, window=4, min_shared=2)
 
 
+SUBSTR_GRAMS_PATH_M = "/tmp/spark_graft_contract/substr_grams_merge.parquet"
+SUBSTR_GRAMS_PATH_R = "/tmp/spark_graft_contract/substr_grams_remove.parquet"
+
+
+def q_substr_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared substring regions per document (islands of
+    winnowed fingerprints merged under the winnow-window gap). The
+    oracle re-derives the island grouping with a lag/running-sum window
+    over the SQL-winnowed selection."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH_M)
+    spans = substr.substr_dup_spans(docs, w=8, window=4)
+    return substr.merge_spans(spans, w=8, merge_gap=4)
+
+
+def q_substr_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: cut every shared region out of each
+    document. The oracle re-derives the kept-token reconstruction with
+    a parallel-unnest token table and a NOT EXISTS span cover test."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH_R)
+    spans = substr.substr_dup_spans(docs, w=8, window=4)
+    merged = substr.merge_spans(spans, w=8, merge_gap=4)
+    return substr.remove_dup_spans(docs, merged).select(
+        "doc_id", "text_deduped", "n_tokens_removed"
+    )
+
+
+def _substr_sel_cte(path: str) -> str:
+    """Oracle CTE chain shared by the four substr rows: re-derive the
+    winnowing selection relationally from the materialized gram table —
+    sliding-window min per position, covering-full-window join, the
+    short-document fallback, then the document-frequency cutoff."""
+    return f"""g AS (
+              SELECT doc_id, pos, h
+              FROM read_parquet('{path}/*.parquet')),
+            m AS (SELECT doc_id, COUNT(*) AS mm FROM g GROUP BY doc_id),
+            w AS (
+              SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, pos, h FROM (
+                SELECT g.doc_id, g.pos, g.h
+                FROM g JOIN w ON w.doc_id = g.doc_id
+                   AND g.pos BETWEEN w.pos AND w.pos + 3 AND w.wn = 4
+                WHERE g.h = w.wmin
+                UNION ALL
+                SELECT g.doc_id, g.pos, g.h
+                FROM g JOIN m USING (doc_id) WHERE m.mm < 4)),
+            dfreq AS (
+              SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM sel
+              GROUP BY h
+              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000)"""
+
+
+# island merge over the winnow-selected shared positions (gap > 4 opens
+# a new island; running sum numbers them) — continues _substr_sel_cte
+_SUBSTR_ISLANDS_CTE = """shared AS (
+              SELECT DISTINCT s.doc_id, s.pos FROM sel s JOIN dfreq USING (h)),
+            flag AS (
+              SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                          IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id
+                          ORDER BY pos) > 4
+                     THEN 1 ELSE 0 END AS ni
+              FROM shared),
+            isl AS (
+              SELECT doc_id, pos,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM flag)"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1432,6 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "substr_spans": q_substr_spans,
         "substr_pairs": q_substr_pairs,
+        "substr_merge": q_substr_merge,
+        "substr_remove": q_substr_remove,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -1696,63 +1775,19 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
         """,
-        # winnowing re-derived relationally: a position is selected iff
-        # its hash equals the min of at least one covering FULL window
-        # of `window`=4 consecutive gram hashes (docs with fewer than 4
-        # grams select every position); then the document-frequency
-        # cutoff and the shared-span join run over the selected set.
+        # winnowing re-derived relationally (see _substr_sel_cte): a
+        # position is selected iff its hash equals the min of at least
+        # one covering FULL window of 4 consecutive gram hashes (docs
+        # with fewer than 4 grams select every position); then the
+        # document-frequency cutoff, span join, island merge, and
+        # token-removal reconstruction run over the selected set.
         "substr_spans": f"""
-            WITH g AS (
-              SELECT doc_id, pos, h
-              FROM read_parquet('{SUBSTR_GRAMS_PATH}/*.parquet')),
-            m AS (SELECT doc_id, COUNT(*) AS mm FROM g GROUP BY doc_id),
-            w AS (
-              SELECT doc_id, pos,
-                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-              FROM g),
-            sel AS (
-              SELECT DISTINCT doc_id, pos, h FROM (
-                SELECT g.doc_id, g.pos, g.h
-                FROM g JOIN w ON w.doc_id = g.doc_id
-                   AND g.pos BETWEEN w.pos AND w.pos + 3 AND w.wn = 4
-                WHERE g.h = w.wmin
-                UNION ALL
-                SELECT g.doc_id, g.pos, g.h
-                FROM g JOIN m USING (doc_id) WHERE m.mm < 4)),
-            dfreq AS (
-              SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM sel
-              GROUP BY h
-              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000)
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH)}
             SELECT s.doc_id, s.pos, s.h AS gram_hash, n_docs
             FROM sel s JOIN dfreq USING (h)
         """,
         "substr_pairs": f"""
-            WITH g AS (
-              SELECT doc_id, pos, h
-              FROM read_parquet('{SUBSTR_GRAMS_PATH_P}/*.parquet')),
-            m AS (SELECT doc_id, COUNT(*) AS mm FROM g GROUP BY doc_id),
-            w AS (
-              SELECT doc_id, pos,
-                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-              FROM g),
-            sel AS (
-              SELECT DISTINCT doc_id, pos, h FROM (
-                SELECT g.doc_id, g.pos, g.h
-                FROM g JOIN w ON w.doc_id = g.doc_id
-                   AND g.pos BETWEEN w.pos AND w.pos + 3 AND w.wn = 4
-                WHERE g.h = w.wmin
-                UNION ALL
-                SELECT g.doc_id, g.pos, g.h
-                FROM g JOIN m USING (doc_id) WHERE m.mm < 4)),
-            dfreq AS (
-              SELECT h FROM sel GROUP BY h
-              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 1000),
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH_P)},
             posting AS (
               SELECT DISTINCT h, doc_id FROM sel JOIN dfreq USING (h))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1761,6 +1796,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING COUNT(*) >= 2
+        """,
+        "substr_merge": f"""
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH_M)},
+            {_SUBSTR_ISLANDS_CTE}
+            SELECT doc_id, MIN(pos) AS span_start,
+                   CAST(MAX(pos) + 7 AS INT) AS span_end,
+                   COUNT(*) AS n_fingerprints
+            FROM isl GROUP BY doc_id, island
+        """,
+        "substr_remove": f"""
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH_R)},
+            {_SUBSTR_ISLANDS_CTE},
+            sp AS (
+              SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+              FROM isl GROUP BY doc_id, island),
+            toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS tk
+              FROM documents),
+            tokpos AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     unnest(range(1, len(tk) + 1)) AS p
+              FROM toks),
+            keep AS (
+              SELECT t.doc_id, t.tok, t.p
+              FROM tokpos t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sp s
+                WHERE s.doc_id = t.doc_id
+                  AND t.p BETWEEN s.span_start AND s.span_end)),
+            kagg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text,
+                     COUNT(*) AS kept_n
+              FROM keep GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(k.kept_text, '') AS text_deduped,
+                   CAST(len(t.tk) - COALESCE(k.kept_n, 0) AS INT)
+                     AS n_tokens_removed
+            FROM toks t LEFT JOIN kagg k USING (doc_id)
         """,
         "dup_components": """
             SELECT doc_id, doc_id AS component FROM documents

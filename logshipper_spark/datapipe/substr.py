@@ -36,7 +36,7 @@ graft brief adds on top.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .filters import word_ngrams
@@ -228,4 +228,96 @@ def substr_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+def merge_spans(
+    spans: DataFrame,
+    w: int = 8,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """Merge per-document shared fingerprints into maximal shared
+    regions: (doc_id, span_start, span_end, n_fingerprints), token
+    indices inclusive. Within a shared run, winnowing selects at least
+    one fingerprint per `window` consecutive positions, so consecutive
+    selected positions of one run are ≤ `merge_gap` (default: the
+    winnow window, i.e. spans.window) apart — islands under that gap
+    ARE the runs. span_end covers the last selected gram's full width
+    (last pos + w - 1); boundaries are exact to within window-1 tokens
+    (the winnowing density trade-off).
+
+    One shuffle (doc_id window); per-doc row counts are the selected
+    SHARED fingerprints only — already document-frequency-cut, so no
+    hot-key task scans a corpus-scale history."""
+    gap = 4 if merge_gap is None else merge_gap
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wdoc)
+    new_island = F.when(
+        prev.isNull() | (F.col("pos") - prev > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(new_island).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spans.select("doc_id", "pos")
+        .distinct()
+        .withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+            F.count("*").alias("n_fingerprints"),
+        )
+        .drop("island")
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    merged: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut every shared region out of each document — the removal step
+    of Lee et al.'s ExactSubstr dedup (their tool deletes the duplicated
+    spans themselves rather than whole documents). Provenance-
+    preserving: the original text column stays; `text_deduped` holds
+    the reconstruction from kept whitespace tokens (runs of whitespace
+    collapse — the tokenizer the spans were computed on is whitespace-
+    based, so token indices map 1:1) and `n_tokens_removed` counts the
+    cut. Documents with no shared spans pass through unchanged.
+
+    Map-mostly: spans aggregate to one small array per affected doc,
+    broadcast-joined (left) onto the corpus; the per-token keep test is
+    a native filter/exists HOF over that array — no Python, no
+    explode."""
+    sp = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    ).withColumnRenamed("doc_id", "_sp_id")
+    joined = df.join(
+        sp, F.col(id_col) == F.col("_sp_id"), "left"
+    ).drop("_sp_id")
+    toks = tokens(F.col(text_col))
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    # stage both arrays: HOFs are not CSE'd across projection columns
+    staged = joined.withColumn("_toks", toks).withColumn("_sarr", spans_arr)
+
+    def _kept(t: Column, i: Column) -> Column:
+        covered = F.exists(
+            F.col("_sarr"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        )
+        return ~covered
+
+    kept = F.filter(F.col("_toks"), _kept)
+    return (
+        staged.withColumn("_kept", kept)
+        .withColumn("text_deduped", F.array_join(F.col("_kept"), " "))
+        .withColumn(
+            "n_tokens_removed", F.size(F.col("_toks")) - F.size(F.col("_kept"))
+        )
+        .drop("_spans", "_sarr", "_toks", "_kept")
     )

@@ -146,3 +146,72 @@ def test_min_shared_threshold(spark):
     # 6 shared fingerprints at w=4/window=3 (see smoke run); a high
     # threshold filters the pair out
     assert substr.substr_dup_pairs(df, w=4, window=3, min_shared=100).count() == 0
+
+
+def test_merge_spans_single_region_per_doc(spark):
+    df = _corpus(spark)
+    spans = substr.substr_dup_spans(df, w=4, window=3)
+    merged = substr.merge_spans(spans, w=4, merge_gap=3)
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: prefix is 3 tokens, shared run occupies tokens 4..16;
+    # winnowed boundaries are exact to within window-1 = 2 tokens
+    for doc_id, prefix in ((1, 3), (2, 4)):
+        r = rows[doc_id]
+        lo, hi = prefix + 1, prefix + 13
+        assert lo <= r.span_start <= lo + 2
+        assert hi - 2 <= r.span_end <= hi
+        assert r.n_fingerprints >= 1
+
+
+def test_merge_spans_disjoint_regions_stay_separate(spark):
+    # two shared runs separated by a long unique middle -> two spans
+    run1 = "aa bb cc dd ee ff gg hh"
+    run2 = "pp qq rr ss tt uu vv ww"
+    df = spark.createDataFrame(
+        [
+            (1, run1 + " unique1 middle1 filler1 padding1 extra1 " + run2),
+            (2, run1 + " unique2 middle2 filler2 padding2 extra2 " + run2),
+        ],
+        "doc_id long, text string",
+    )
+    merged = substr.merge_spans(
+        substr.substr_dup_spans(df, w=4, window=3), w=4, merge_gap=3
+    )
+    counts = {r.doc_id: r.n for r in merged.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {1: 2, 2: 2}
+
+
+def test_remove_dup_spans_cuts_shared_text(spark):
+    df = _corpus(spark)
+    merged = substr.merge_spans(
+        substr.substr_dup_spans(df, w=4, window=3), w=4, merge_gap=3
+    )
+    out = {r.doc_id: r for r in substr.remove_dup_spans(df, merged).collect()}
+    # untouched doc passes through with original text preserved
+    assert out[3].n_tokens_removed == 0
+    assert out[3].text_deduped == out[3].text
+    for d in (1, 2):
+        assert "quick brown fox" not in out[d].text_deduped
+        assert out[d].n_tokens_removed >= 9  # 13-token run minus boundary fuzz
+        assert out[d].text  # provenance column intact
+    assert out[1].text_deduped.startswith("alpha beta gamma")
+    assert out[2].text_deduped.startswith("one two three four")
+
+
+def test_remove_dup_spans_total_removal_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, SHARED), (2, SHARED), (3, "")], "doc_id long, text string"
+    )
+    merged = substr.merge_spans(
+        substr.substr_dup_spans(df, w=4, window=3), w=4, merge_gap=3
+    )
+    out = {r.doc_id: r for r in substr.remove_dup_spans(df, merged).collect()}
+    n_tok = len(SHARED.split())
+    for d in (1, 2):
+        # identical docs: the whole text is one shared region up to
+        # winnowing boundary fuzz of window-1 tokens per side
+        assert out[d].n_tokens_removed >= n_tok - 2 * (3 - 1)
+    assert out[3].text_deduped == ""
+    assert out[3].n_tokens_removed == 0
