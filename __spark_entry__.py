@@ -1078,6 +1078,31 @@ def q_substr_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_GRAMS_PATH_C = "/tmp/spark_graft_contract/substr_grams_contam.parquet"
+SUBSTR_FP_INDEX_PATH = "/tmp/spark_graft_contract/substr_fp_index.parquet"
+SUBSTR_GRAMS_PATH_S = "/tmp/spark_graft_contract/substr_grams_stop.parquet"
+
+
+def q_substr_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring screening: every 5th document's winnowed
+    fingerprints form the persisted 'prior crawl' index; every document
+    reports what fraction of its fingerprints the index already holds.
+    The oracle re-derives BOTH sides (index and batch) from the one
+    materialized gram table."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH_C)
+    substr.write_fingerprint_index(
+        docs.filter("doc_id % 5 = 0"), SUBSTR_FP_INDEX_PATH, mode="overwrite"
+    )
+    idx = spark.read.schema("gram_hash long").parquet(SUBSTR_FP_INDEX_PATH)
+    return substr.substr_contamination(docs, idx)
+
+
+def q_substr_stop_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ubiquitous-boilerplate (stop-gram) report."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH_S)
+    return substr.stop_grams(docs, min_df=2)
+
+
 def _substr_sel_cte(path: str) -> str:
     """Oracle CTE chain shared by the four substr rows: re-derive the
     winnowing selection relationally from the materialized gram table —
@@ -1511,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_pairs": q_substr_pairs,
         "substr_merge": q_substr_merge,
         "substr_remove": q_substr_remove,
+        "substr_contamination": q_substr_contamination,
+        "substr_stop_grams": q_substr_stop_grams,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -1837,6 +1864,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(t.tk) - COALESCE(k.kept_n, 0) AS INT)
                      AS n_tokens_removed
             FROM toks t LEFT JOIN kagg k USING (doc_id)
+        """,
+        "substr_contamination": f"""
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH_C)},
+            idx AS (
+              SELECT DISTINCT h FROM sel WHERE doc_id % 5 = 0),
+            perdoc AS (
+              SELECT s.doc_id, COUNT(*) AS n_fp,
+                     CAST(SUM(CASE WHEN i.h IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_seen
+              FROM sel s LEFT JOIN idx i USING (h)
+              GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_fp, 0) AS n_fingerprints,
+                   COALESCE(p.n_seen, 0) AS n_seen,
+                   CASE WHEN COALESCE(p.n_fp, 0) > 0
+                        THEN ROUND(p.n_seen / p.n_fp + 1e-9, 4)
+                        ELSE 0.0 END AS contamination
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        """,
+        "substr_stop_grams": f"""
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH_S)}
+            SELECT h AS gram_hash, COUNT(DISTINCT doc_id) AS n_docs
+            FROM sel GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 2
         """,
         "dup_components": """
             SELECT doc_id, doc_id AS component FROM documents

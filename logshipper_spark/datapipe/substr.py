@@ -321,3 +321,105 @@ def remove_dup_spans(
         )
         .drop("_spans", "_sarr", "_toks", "_kept")
     )
+
+
+def stop_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    window: int = 4,
+    min_df: int = 1000,
+) -> DataFrame:
+    """The ubiquitous-boilerplate report: (gram_hash, n_docs) for every
+    winnowed fingerprint present in MORE than ``min_df`` documents —
+    the complement of what ``substr_dup_spans`` keeps. At corpus scale
+    these are license headers, navigation chrome, and templated
+    pagination that would otherwise drive quadratic pair fan-out; this
+    is where they get routed for human review instead."""
+    fp = fingerprint_table(df, text_col, id_col, w, window)
+    return (
+        fp.groupBy("gram_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > min_df)
+    )
+
+
+def write_fingerprint_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    window: int = 4,
+    mode: str = "append",
+    codec: str = "zstd",
+) -> None:
+    """Persist the DISTINCT winnowed gram hashes of a kept corpus
+    snapshot — the boilerplate memory for incremental substring-level
+    screening across crawls (the substring analog of
+    ``dedup.write_key_index``). 8 bytes per fingerprint at ~2/(W+1)
+    density per token, so the index is a small constant fraction of
+    corpus token count. Append mode accumulates snapshots;
+    ``substr_contamination`` dedups the accumulated repeats itself."""
+    (
+        fingerprint_table(df, text_col, id_col, w, window)
+        .select("gram_hash")
+        .distinct()
+        .write.mode(mode)
+        .option("compression", codec)
+        .parquet(path)
+    )
+
+
+def substr_contamination(
+    df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document boilerplate contamination vs a persisted
+    fingerprint index: (doc_id, n_fingerprints, n_seen, contamination)
+    where contamination = n_seen / n_fingerprints (0.0 for documents
+    too short to carry any fingerprint). The screening question a
+    continuous-crawl pipeline asks of every new page: 'how much of
+    this is substring-level boilerplate we already keep?'.
+
+    One equi-join on the 8-byte gram hash; the index ships a single
+    BIGINT column. The index is distinct()ed here because append-mode
+    snapshot accumulation can repeat hashes — a repeated hash would
+    otherwise double-count n_seen. Every input document appears in the
+    output (left join back onto the corpus ids)."""
+    idx = index.select(F.col("gram_hash")).distinct().withColumn(
+        "_seen", F.lit(1)
+    )
+    fp = fingerprint_table(df, text_col, id_col, w, window)
+    per_doc = (
+        fp.join(idx, "gram_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.sum(F.coalesce(F.col("_seen"), F.lit(0))).alias("n_seen"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    n_fp = F.coalesce(F.col("n_fingerprints"), zero)
+    n_seen = F.coalesce(F.col("n_seen"), zero)
+    # +1e-9 before round: half-tie parity with the DuckDB oracle
+    # (e.g. n_fingerprints=32, odd n_seen lands exactly on a 5 in the
+    # 5th decimal)
+    contamination = F.when(
+        n_fp > 0, F.round(n_seen / n_fp + F.lit(1e-9), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_fp.alias("n_fingerprints"),
+            n_seen.alias("n_seen"),
+            contamination.alias("contamination"),
+        )
+    )

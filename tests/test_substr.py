@@ -215,3 +215,66 @@ def test_remove_dup_spans_total_removal_and_empty(spark):
         assert out[d].n_tokens_removed >= n_tok - 2 * (3 - 1)
     assert out[3].text_deduped == ""
     assert out[3].n_tokens_removed == 0
+
+
+def test_stop_grams_complement_of_spans(spark):
+    # the same boilerplate in 3 docs: max_gram_df=2 routes it to the
+    # stop-gram report instead of the span join
+    df = spark.createDataFrame(
+        [(i, f"doc {i} prefix " + SHARED) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    sg = substr.stop_grams(df, w=4, window=3, min_df=2)
+    rows = sg.collect()
+    assert rows and all(r.n_docs == 3 for r in rows)
+    spans = substr.substr_dup_spans(df, w=4, window=3, max_gram_df=2)
+    assert spans.count() == 0
+    # every stop gram is absent from the span output and vice versa
+    assert (
+        substr.substr_dup_spans(df, w=4, window=3, max_gram_df=3)
+        .join(sg, "gram_hash", "left_semi")
+        .count()
+        > 0
+    )
+
+
+def test_fingerprint_index_contamination(spark, tmp_path):
+    df = _corpus(spark)
+    idx_dir = str(tmp_path / "fp_idx")
+    # index docs 1+3; doc 2 shares a 13-token run with doc 1 only
+    substr.write_fingerprint_index(
+        df.filter("doc_id != 2"), idx_dir, w=4, window=3, mode="overwrite"
+    )
+    idx = spark.read.schema("gram_hash long").parquet(idx_dir)
+    cont = {
+        r.doc_id: r
+        for r in substr.substr_contamination(df, idx, w=4, window=3).collect()
+    }
+    assert set(cont) == {1, 2, 3}
+    # indexed docs are fully contaminated by their own fingerprints
+    assert cont[1].contamination == 1.0
+    assert cont[3].contamination == 1.0
+    # doc 2: partially contaminated (the shared run), strictly between
+    assert 0.0 < cont[2].contamination < 1.0
+    assert cont[2].n_seen < cont[2].n_fingerprints
+    # append accumulation must not double-count n_seen
+    substr.write_fingerprint_index(
+        df.filter("doc_id != 2"), idx_dir, w=4, window=3, mode="append"
+    )
+    idx2 = spark.read.schema("gram_hash long").parquet(idx_dir)
+    cont2 = {
+        r.doc_id: r
+        for r in substr.substr_contamination(df, idx2, w=4, window=3).collect()
+    }
+    assert all(cont[d] == cont2[d] for d in cont)
+
+
+def test_contamination_short_doc_is_zero(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, SHARED)], "doc_id long, text string")
+    idx = spark.createDataFrame([(0,)], "gram_hash long")
+    cont = {
+        r.doc_id: r
+        for r in substr.substr_contamination(df, idx, w=4, window=3).collect()
+    }
+    assert cont[1].n_fingerprints == 0 and cont[1].contamination == 0.0
+    assert cont[2].n_seen == 0 and cont[2].contamination == 0.0
