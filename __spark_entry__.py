@@ -1103,6 +1103,17 @@ def q_substr_stop_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substr.stop_grams(docs, min_df=2)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf.
+    Fully independent SQL oracle (no hash materialization): DuckDB
+    re-derives tf from a token unnest + GROUP BY, document frequency,
+    the smooth-idf formula, and the per-doc rank — all from the raw
+    text. Both sides rank on the ROUNDED score so ordering is a pure
+    function of integer tf/df/N."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.tfidf_topk(docs, k=3)
+
+
 def _substr_sel_cte(path: str) -> str:
     """Oracle CTE chain shared by the four substr rows: re-derive the
     winnowing selection relationally from the materialized gram table —
@@ -1538,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_remove": q_substr_remove,
         "substr_contamination": q_substr_contamination,
         "substr_stop_grams": q_substr_stop_grams,
+        "tfidf_topk": q_tfidf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -1888,6 +1900,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT h AS gram_hash, COUNT(DISTINCT doc_id) AS n_docs
             FROM sel GROUP BY h
             HAVING COUNT(DISTINCT doc_id) > 2
+        """,
+        "tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            tp AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM tp GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+            nn AS (SELECT COUNT(*) AS nd FROM documents),
+            scored AS (
+              SELECT doc_id, token, tf,
+                     ROUND(tf * (ln((nd + 1.0) / (dfc + 1.0)) + 1) + 1e-9, 4)
+                       AS score
+              FROM tf JOIN dfq USING (token) CROSS JOIN nn),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, token ASC) AS rk
+              FROM scored)
+            SELECT doc_id, token, tf, score FROM ranked WHERE rk <= 3
         """,
         "dup_components": """
             SELECT doc_id, doc_id AS component FROM documents

@@ -171,3 +171,99 @@ def corpus_stats(
         F.sum(F.length(t)).cast("long").alias("total_chars"),
         F.sum(q4).alias("quality_sum_4dp"),
     )
+
+
+def term_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, tf): per-document term frequencies over the
+    lowercased whitespace tokenization, PRE-COUNTED per row before any
+    explode. The naive plan explodes every token occurrence and
+    groupBys (doc, token) — a corpus-token-count shuffle. Here each row
+    sorts its own token array and emits one (token, run-length) struct
+    per DISTINCT token via run-boundary detection (per-row O(m log m),
+    the `_rep_fold` trick shaped for emission instead of reduction), so
+    the exploded relation is already the aggregated answer — no shuffle
+    at all for tf, and downstream aggregates start from the smaller
+    distinct-pairs relation."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(tokens(F.lower(F.col(text_col)))).alias("_s"),
+    )
+    s = F.col("_s")
+    m = F.size(s)
+    # 1-based positions where a new run starts (i==0 or s[i] != s[i-1])
+    starts = F.filter(
+        F.transform(
+            s,
+            lambda x, i: F.when(
+                (i == 0) | (x != F.element_at(s, i)), i + F.lit(1)
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    staged = staged.withColumn("_starts", starts)
+    st = F.col("_starts")
+    # greatest(...,0): slice length must be non-negative on empty docs
+    nxt = F.concat(
+        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+        F.array(m + F.lit(1)),
+    )
+    # an empty doc still zips [] with [1] -> zip_with pads the empty
+    # side with null structs; drop them with the outer filter below
+    pairs_raw = F.zip_with(
+        st,
+        nxt,
+        lambda a, b: F.when(
+            a.isNotNull(),
+            F.struct(
+                F.element_at(s, a).alias("token"),
+                (b - a).cast("long").alias("tf"),
+            ),
+        ),
+    )
+    pairs = F.filter(pairs_raw, lambda p: p.isNotNull())
+    return staged.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.token").alias("token"), F.col("p.tf").alias("tf")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf:
+    (doc_id, token, tf, score), score = round(tf * (ln((N+1)/(df+1))
+    + 1), 4) — the sklearn smooth-idf formula. Ranking uses the ROUNDED
+    score (ties broken by token ascending) so ordering is a pure
+    function of integer tf/df/N — no cross-engine float-ulp rank
+    divergence against the SQL oracle.
+
+    ``n_docs`` is the corpus size N; pass it when known (e.g. from a
+    prior accounting pass) to keep the builder fully lazy, else one
+    count() action derives it. Plan: map-only per-row tf precount →
+    one token-keyed shuffle for document frequency → broadcast-or-
+    shuffle join back (df table is vocabulary-sized, far smaller than
+    the corpus; AQE picks broadcast when it fits) → per-doc window
+    top-k (group size bounded by the doc's own distinct-token count —
+    no hot-key hazard)."""
+    from pyspark.sql import Window
+
+    n = df.count() if n_docs is None else n_docs
+    tf = term_counts(df, text_col, id_col)
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
+    idf = F.log((F.lit(float(n)) + 1.0) / (F.col("_df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "token").withColumn(
+        "score", F.round(F.col("tf") * idf + F.lit(1e-9), 4)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("doc_id", "token", "tf", "score")
+    )

@@ -940,3 +940,66 @@ def test_pack_chunks_fill_and_partition_properties(spark):
         map(tuple, packed.collect())
     )
     packed.unpersist()
+
+
+def test_term_counts_exact(spark):
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple Cherry cherry apple"),
+            (2, "banana date date"),
+            (3, ""),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.token): r.tf for r in textstats.term_counts(df).collect()}
+    exp = {}
+    for i, t in [(1, "apple banana apple cherry cherry apple"), (2, "banana date date")]:
+        for tok, c in Counter(t.split()).items():
+            exp[(i, tok)] = c
+    assert got == exp
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry cherry apple"),
+            (2, "banana date date"),
+            (3, "kiwi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in textstats.tfidf_topk(df, k=2).collect():
+        out.setdefault(r.doc_id, {})[r.token] = (r.tf, r.score)
+
+    def score(tf, dfc, n=3):
+        return round(tf * (math.log((n + 1) / (dfc + 1)) + 1) + 1e-9, 4)
+
+    # doc1: apple tf=3 df=1, cherry tf=2 df=1, banana tf=1 df=2 (cut at k=2)
+    assert out[1] == {
+        "apple": (3, score(3, 1)),
+        "cherry": (2, score(2, 1)),
+    }
+    assert out[2]["date"] == (2, score(2, 1))
+    assert out[3] == {"kiwi": (1, score(1, 1))}
+
+
+def test_tfidf_tie_breaks_by_token(spark):
+    # two tokens with identical tf and df in the same doc: the k=1
+    # winner must be the lexicographically smaller one
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "other words")], "doc_id long, text string"
+    )
+    row = textstats.tfidf_topk(df, k=1).filter("doc_id = 1").first()
+    assert row.token == "alpha"
+
+
+def test_tfidf_n_docs_param_matches_derived(spark, docs):
+    a = textstats.tfidf_topk(docs, k=2)
+    b = textstats.tfidf_topk(docs, k=2, n_docs=docs.count())
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
