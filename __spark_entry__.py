@@ -1103,6 +1103,19 @@ def q_substr_stop_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substr.stop_grams(docs, min_df=2)
 
 
+SUBSTR_GRAMS_PATH_X = "/tmp/spark_graft_contract/substr_grams_curate.parquet"
+
+
+def q_curate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with the ExactSubstr stage: shared substring regions
+    are cut from every document BEFORE quality scoring and the exact-
+    dedup key, so pages identical up to shared boilerplate collapse.
+    The oracle chains the full relational re-derivation: winnowing →
+    island merge → token removal → quality formula → text groupBy."""
+    docs = _materialize_grams(spark, sf_dir, SUBSTR_GRAMS_PATH_X)
+    return curate.curate(docs, min_quality=0.4, substr_dedup=True)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf.
     Fully independent SQL oracle (no hash materialization): DuckDB
@@ -1549,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_remove": q_substr_remove,
         "substr_contamination": q_substr_contamination,
         "substr_stop_grams": q_substr_stop_grams,
+        "curate_substr": q_curate_substr,
         "tfidf_topk": q_tfidf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -1900,6 +1914,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT h AS gram_hash, COUNT(DISTINCT doc_id) AS n_docs
             FROM sel GROUP BY h
             HAVING COUNT(DISTINCT doc_id) > 2
+        """,
+        "curate_substr": f"""
+            WITH {_substr_sel_cte(SUBSTR_GRAMS_PATH_X)},
+            {_SUBSTR_ISLANDS_CTE},
+            sp AS (
+              SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+              FROM isl GROUP BY doc_id, island),
+            rtoks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS tk
+              FROM documents),
+            tokpos AS (
+              SELECT doc_id, unnest(tk) AS tok,
+                     unnest(range(1, len(tk) + 1)) AS p
+              FROM rtoks),
+            keep AS (
+              SELECT t.doc_id, t.tok, t.p
+              FROM tokpos t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM sp s
+                WHERE s.doc_id = t.doc_id
+                  AND t.p BETWEEN s.span_start AND s.span_end)),
+            kagg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS kept_text
+              FROM keep GROUP BY doc_id),
+            cut AS (
+              SELECT t.doc_id, COALESCE(k.kept_text, '') AS text
+              FROM rtoks t LEFT JOIN kagg k USING (doc_id)),
+            feat AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tok,
+                     len(list_filter(
+                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that',
+                            'for'], t))) AS h_en,
+                     len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+              FROM cut),
+            q AS (
+              SELECT doc_id, text,
+                     round(((CASE WHEN n_chars BETWEEN 50 AND 20000
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_chars > 0
+                                        THEN punct / n_chars ELSE 0.0 END)
+                                       <= 0.2 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_tok > 0
+                                        THEN h_en / n_tok ELSE 0.0 END)
+                                       >= 0.01 THEN 1.0 ELSE 0.0 END))
+                           / 3.0, 4) AS quality
+              FROM feat)
+            SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality,
+                   COUNT(*) AS exact_dup_count
+            FROM q WHERE quality >= 0.4 GROUP BY text
         """,
         "tfidf_topk": r"""
             WITH toks AS (

@@ -82,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from logshipper_spark.datapipe import curate, dedup, lm, packing
+    from logshipper_spark.datapipe import substr as substr_mod
     from logshipper_spark.datapipe.filters import c4_line_clean, pii_scrub
     from logshipper_spark.session import get_spark
 
@@ -243,6 +244,7 @@ def main(argv: list[str] | None = None) -> int:
     for frame in pinned:
         frame.unpersist()
     lm.release_cached_counts()
+    substr_mod.release_cached_fingerprints()
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .dedup import dedup_key, minhash_lsh_pairs
 from .filters import c4_line_clean, pii_scrub, repetition_stats
+from .substr import merge_spans, remove_dup_spans, substr_dup_spans
 from .textstats import quality_score
 
 
@@ -36,6 +37,9 @@ def curate(
     repetition: bool = False,
     scrub_pii: bool = False,
     line_clean: bool = False,
+    substr_dedup: bool = False,
+    substr_w: int = 8,
+    substr_window: int = 4,
 ) -> DataFrame:
     """Keep-list ``(doc_id, quality, exact_dup_count)`` of documents that
     survive curation. ``exact_dup_count`` is how many identical copies
@@ -54,7 +58,17 @@ def curate(
     their boilerplate lines removed — so dedup keys see the CLEANED
     text and two pages identical up to boilerplate collapse together.
     All three pre-stages compose into the same single map-only
-    projection ahead of the dedup shuffle."""
+    projection ahead of the dedup shuffle.
+
+    ``substr_dedup=True`` inserts Lee et al.'s ExactSubstr removal
+    after scrub/line-clean: cross-document shared substring regions
+    (winnowed-fingerprint spans, substr.py) are CUT from the text, so
+    quality scoring, the exact-dedup key, and near-dup signatures all
+    see boilerplate-free text — two pages identical up to a shared
+    boilerplate passage collapse together. Unlike the other pre-stages
+    this one is not map-only (span detection is a corpus aggregate),
+    so it runs before the cheap per-row filters can prune; it is off
+    by default for that reason."""
     src = df
     if scrub_pii:
         src = (
@@ -67,6 +81,18 @@ def curate(
             .filter("c4_keep")
             .select(F.col(id_col), F.col("clean_text").alias(text_col))
         )
+    if substr_dedup:
+        spans = substr_dup_spans(
+            src.select(F.col(id_col), F.col(text_col)),
+            text_col,
+            id_col,
+            w=substr_w,
+            window=substr_window,
+        )
+        merged = merge_spans(spans, w=substr_w, merge_gap=substr_window)
+        src = remove_dup_spans(
+            src.select(F.col(id_col), F.col(text_col)), merged, text_col, id_col
+        ).select(F.col(id_col), F.col("text_deduped").alias(text_col))
     scored = src.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
