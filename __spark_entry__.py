@@ -1432,8 +1432,11 @@ def q_cycle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 's' || CAST(event_id % 4 AS STRING)) "
         "ELSE array('s' || CAST(user_id % 2 AS STRING)) END"
     )
-    return ev.select(
-        "event_id", graphalg.cycle_key_expr(path).alias("cycle_key")
+    # staged form: the single-expression cycle_key_expr inlines the
+    # CASE path everywhere and overflows the 64 KB codegen method limit
+    # (whole projection silently falls back to interpreted eval)
+    return graphalg.with_cycle_key(ev, path, "cycle_key").select(
+        "event_id", "cycle_key"
     )
 
 

@@ -43,6 +43,43 @@ def cycle_key_expr(path: "F.Column | str") -> "F.Column":
     ).otherwise(F.array_join(rotated, "|"))
 
 
+def with_cycle_key(df: DataFrame, path: "F.Column | str", out: str) -> DataFrame:
+    """``df`` plus column ``out`` = canonical cycle key of ``path`` —
+    the STAGED form of :func:`cycle_key_expr`. The single-expression
+    form inlines its input everywhere it is referenced (``trimmed``
+    references the path 4x, the rotation references ``trimmed`` 6x), so
+    a non-trivial path expression multiplies into a generated method
+    that overflows the JVM's 64 KB limit and silently drops the whole
+    projection out of codegen (observed: references[1051] / 'Code grows
+    beyond 64 KB' on the contract's synthetic-path query). Staging each
+    level as its own projection column keeps every occurrence a column
+    REFERENCE (CollapseProject preserves non-cheap multi-referenced
+    aliases), so codegen sees three small expressions instead of one
+    exponential tree."""
+    p0 = F.col(path) if isinstance(path, str) else path
+    staged = df.withColumn("_ck_p", p0)
+    p = F.col("_ck_p")
+    staged = staged.withColumn(
+        "_ck_trim",
+        F.when(
+            (F.size(p) > 1) & (F.element_at(p, 1) == F.element_at(p, -1)),
+            F.slice(p, 1, F.size(p) - 1),
+        ).otherwise(p),
+    )
+    t = F.col("_ck_trim")
+    staged = staged.withColumn(
+        "_ck_rot", F.array_position(t, F.array_min(t)).cast("int")
+    )
+    rot = F.col("_ck_rot")
+    rotated = F.concat(
+        F.slice(t, rot, F.size(t) - rot + 1), F.slice(t, 1, rot - 1)
+    )
+    key = F.when(p.isNull() | (F.size(p) == 0), F.lit("")).otherwise(
+        F.array_join(rotated, "|")
+    )
+    return staged.withColumn(out, key).drop("_ck_p", "_ck_trim", "_ck_rot")
+
+
 def cycle_key(cycle: list[str]) -> str:
     """Canonical cycle key: rotate to the minimal node, join with '|'
     (reference: cycle.go:81-105). A trailing repeat of the head node is

@@ -148,3 +148,42 @@ def test_cycle_key_expr_matches_python(spark):
            df.select("i", cycle_key_expr("path").alias("k")).collect()}
     for i, p in enumerate(paths):
         assert got[i] == cycle_key(p), (p, got[i], cycle_key(p))
+
+
+def test_with_cycle_key_matches_expr_and_stays_in_codegen(spark):
+    from logshipper_spark.graphalg import cycle_key_expr, with_cycle_key
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, ["b", "c", "a", "b"]),
+            (2, ["x", "y"]),
+            (3, ["z"]),
+            (4, []),
+            (5, None),
+        ],
+        "i long, path array<string>",
+    )
+    a = {r.i: r.k for r in df.select(
+        "i", cycle_key_expr("path").alias("k")).collect()}
+    b = {r.i: r.k for r in with_cycle_key(df, "path", "k")
+         .select("i", "k").collect()}
+    assert a == b
+    # a deliberately heavy path expression must still compile: the
+    # staged form's plan keeps WholeStageCodegen (the inline form
+    # overflowed 64 KB on this shape and fell back to interpreted)
+    heavy = F.expr(
+        "CASE CAST(i % 3 AS INT) "
+        "WHEN 0 THEN array('s' || CAST(i % 5 AS STRING),"
+        " 's' || CAST(i % 3 AS STRING), 's' || CAST(i % 7 AS STRING),"
+        " 's' || CAST(i % 5 AS STRING)) "
+        "WHEN 1 THEN array('s' || CAST(i % 7 AS STRING),"
+        " 's' || CAST(i % 4 AS STRING)) "
+        "ELSE array('s' || CAST(i % 2 AS STRING)) END"
+    )
+    staged = with_cycle_key(df.select("i"), heavy, "k")
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes in the compact plan mark WholeStageCodegen spans;
+    # the Project carrying the key must be inside one
+    assert plan.lstrip().startswith("*("), plan.splitlines()[0]
+    staged.collect()  # and it runs
