@@ -363,6 +363,98 @@ def streaming_near_dedup(
     return writer.start()
 
 
+def streaming_substr_screen(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_contamination: float = 0.8,
+    w: int = 8,
+    window: int = 4,
+    available_now: bool = True,
+    chaos=None,
+):
+    """Streaming substring-level boilerplate screening: each
+    micro-batch computes every document's winnowed-fingerprint
+    contamination against the persisted index of everything KEPT so
+    far (datapipe.substr.substr_contamination) and drops documents at
+    or above ``max_contamination`` — pages that are mostly passages the
+    corpus already holds. Survivors land under ``out_dir/batch_id=N``
+    and their DISTINCT fingerprints append to the index as a
+    ``batch_id=N`` partition, so the index is exactly the kept corpus's
+    substring memory (the streaming twin of write_fingerprint_index /
+    substr_contamination, same commit protocol as
+    streaming_near_dedup).
+
+    Exactly-once: idempotent overwrite of per-batch directories, commit
+    marker appended LAST, replayed batches read only COMMITTED index
+    partitions — a crash in the gap replays cleanly because the
+    half-written partition is invisible to the contamination join.
+
+    State posture at 100 TB: the index carries 8 bytes per distinct
+    kept fingerprint (~2/(W+1) per kept token); per-batch work is one
+    hash-join of the batch's fingerprints against it."""
+    import os
+
+    from .datapipe import substr as sub
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = near_dedup_committed(spark, index_dir)
+        if batch_id in committed:
+            return
+        # ONE fingerprint pass per batch: serves the contamination
+        # join, the keep filter, and the index append
+        fp = sub.fingerprint_table(batch_df, text_col, id_col, w, window).persist()
+        fp.count()
+        if committed:
+            idx = (
+                spark.read.schema("gram_hash long")
+                .parquet(os.path.join(index_dir, "grams"))
+                .filter(F.col("batch_id").isin(sorted(committed)))
+                .select("gram_hash")
+            )
+        else:
+            idx = spark.createDataFrame([], "gram_hash long")
+        cont = sub.substr_contamination(
+            batch_df, idx, text_col, id_col, w, window, fp_df=fp
+        )
+        keep_ids = cont.filter(
+            F.col("contamination") < max_contamination
+        ).select(F.col("doc_id").alias(id_col))
+        survivors = batch_df.join(keep_ids, id_col, "left_semi").persist()
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        kept_fp = fp.join(
+            survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
+        )
+        kept_fp.select("gram_hash").distinct().write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(os.path.join(index_dir, "grams", f"batch_id={batch_id}"))
+        # marker LAST — the restart point
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "_commits"))
+        survivors.unpersist()
+        fp.unpersist()
+        if chaos is not None:
+            chaos(batch_id)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sink_counts(
     spark: SparkSession,
     input_dir: str,

@@ -411,3 +411,105 @@ def test_single_pass_sink_write_matches_per_sink(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "b" / "sinks_by" / "batch_id=0"))
     per_sink = {r["sink"]: r["n"] for r in got.groupBy("sink").agg(F.count("*").alias("n")).collect()}
     assert per_sink == b["sink_rows"]
+
+
+def test_streaming_substr_screen(spark, tmp_path):
+    """Streaming substring screening against the growing fingerprint
+    index: epoch 1 populates the index; a later epoch's page that is
+    mostly a kept passage (high contamination) drops, a fresh page and
+    a lightly-contaminated page survive — across a restart (new query,
+    same checkpoint + index)."""
+    input_dir = str(tmp_path / "ss_in")
+    out_dir = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ck")
+    idx = str(tmp_path / "ss_idx")
+    schema = "doc_id long, text string"
+    passage = " ".join(f"alpha{i} tok{i} word{i}" for i in range(12))
+    other = " ".join(f"beta{i} item{i} unit{i}" for i in range(12))
+    spark.createDataFrame([(1, passage), (2, other)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(input_dir)
+
+    q = streaming.streaming_substr_screen(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema, w=4, window=3
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.schema(schema).parquet(out_dir).collect()
+    )
+    assert kept == [1, 2]  # empty index: everything passes epoch 1
+    assert streaming.near_dedup_committed(spark, idx) == {0}
+
+    # epoch 2: a near-copy of the kept passage (mostly contaminated)
+    # drops; a page quoting only a short prefix of it survives; fresh
+    # content survives
+    mostly_copy = passage + " trailing new bit"
+    light_quote = (
+        " ".join(passage.split()[:6])
+        + " "
+        + " ".join(f"gamma{i} own{i} text{i}" for i in range(12))
+    )
+    fresh = " ".join(f"delta{i} page{i} new{i}" for i in range(12))
+    spark.createDataFrame(
+        [(10, mostly_copy), (11, light_quote), (12, fresh)], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    q2 = streaming.streaming_substr_screen(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema, w=4, window=3
+    )
+    q2.awaitTermination(180)
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.schema(schema).parquet(out_dir).collect()
+    )
+    assert kept2 == [1, 2, 11, 12]
+    # replay idempotence: a third run with the drained checkpoint adds
+    # nothing and the committed set is exactly the two epochs
+    q3 = streaming.streaming_substr_screen(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema, w=4, window=3
+    )
+    q3.awaitTermination(180)
+    kept3 = sorted(
+        r["doc_id"] for r in spark.read.schema(schema).parquet(out_dir).collect()
+    )
+    assert kept3 == kept2
+    assert streaming.near_dedup_committed(spark, idx) == {0, 1}
+    # index state: survivors' fingerprints only (dropped doc 10 absent)
+    n_grams = (
+        spark.read.schema("gram_hash long").parquet(idx + "/grams").count()
+    )
+    assert n_grams > 0
+
+
+def test_streaming_substr_screen_crash_in_commit_gap(spark, tmp_path):
+    """Crash AFTER the screen committed (output + index + marker) but
+    BEFORE the checkpoint records the epoch: the replay must skip
+    cleanly — in particular the replayed batch must NOT see its own
+    fingerprint partition and drop itself as 100%-contaminated."""
+    input_dir = str(tmp_path / "sg_in")
+    out_dir = str(tmp_path / "sg_out")
+    ckpt = str(tmp_path / "sg_ck")
+    idx = str(tmp_path / "sg_idx")
+    schema = "doc_id long, text string"
+    passage = " ".join(f"alpha{i} tok{i} word{i}" for i in range(12))
+    spark.createDataFrame([(1, passage)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    def boom(batch_id: int) -> None:
+        raise RuntimeError(f"chaos: crash after commit of batch {batch_id}")
+
+    q = streaming.streaming_substr_screen(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema, w=4, window=3,
+        chaos=boom,
+    )
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash surfaces through the stream
+    assert streaming.near_dedup_committed(spark, idx) == {0}
+
+    q2 = streaming.streaming_substr_screen(
+        spark, input_dir, out_dir, ckpt, idx, schema=schema, w=4, window=3
+    )
+    q2.awaitTermination(180)
+    got = spark.read.schema(schema).parquet(out_dir).collect()
+    assert [r["doc_id"] for r in got] == [1]
