@@ -240,9 +240,10 @@ def merge_spans(
     regions: (doc_id, span_start, span_end, n_fingerprints), token
     indices inclusive. Within a shared run, winnowing selects at least
     one fingerprint per `window` consecutive positions, so consecutive
-    selected positions of one run are ≤ `merge_gap` (default: the
-    winnow window, i.e. spans.window) apart — islands under that gap
-    ARE the runs. span_end covers the last selected gram's full width
+    selected positions of one run are ≤ the winnow window apart —
+    islands under that gap ARE the runs. `merge_gap` defaults to 4 (the
+    default winnow window); pass your `window` value if you changed it
+    when building the spans. span_end covers the last selected gram's full width
     (last pos + w - 1); boundaries are exact to within window-1 tokens
     (the winnowing density trade-off).
 

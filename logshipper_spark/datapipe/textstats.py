@@ -192,7 +192,11 @@ def term_counts(
     )
     s = F.col("_s")
     m = F.size(s)
-    # 1-based positions where a new run starts (i==0 or s[i] != s[i-1])
+    # 1-based positions where a new run starts (i==0 or s[i] != s[i-1]).
+    # element_at(s, i) is the PREVIOUS element (i is transform's 0-based
+    # index, element_at is 1-based); at i==0 the OR's left side is true
+    # and Spark's Or short-circuits, so the 1-based-index-0 error can't
+    # fire (ANSI element_at(_, 0) would throw if evaluated)
     starts = F.filter(
         F.transform(
             s,
