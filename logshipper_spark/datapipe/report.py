@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import dedup, filters, lm, sampling, textstats
+from . import dedup, filters, lm, sampling, substr, textstats
 
 
 def corpus_report(
@@ -29,6 +29,9 @@ def corpus_report(
     lm_band: tuple[float, float] = (2.0, 16.0),
     near_dup_sample: float = 0.2,
     near_dup_threshold: float = 0.8,
+    substr_sample: float = 0.2,
+    substr_w: int = 8,
+    substr_window: int = 4,
     seed: int = 0,
 ) -> dict:
     """Build the corpus data card as a plain dict (JSON-serializable).
@@ -159,6 +162,62 @@ def corpus_report(
             }
             dedup.release_cached_signatures()
         sample.unpersist()
+
+    # sampled substring/boilerplate duplication (oracled machinery:
+    # substr_spans/substr_merge) — how much of the corpus is passages
+    # shared ACROSS documents, the pathology document-level dedup
+    # misses. seed+1: independent of the near-dup sample.
+    if substr_sample > 0:
+        ssample = sampling.bernoulli_sample(docs, substr_sample, "doc_id", seed + 1)
+        ssample.persist()
+        n_ssample = ssample.count()
+        if n_ssample:
+            merged = substr.merge_spans(
+                substr.substr_dup_spans(
+                    ssample, w=substr_w, window=substr_window
+                ),
+                w=substr_w,
+                merge_gap=substr_window,
+            )
+            # merged islands are position-disjoint but their +w-1 width
+            # extensions can overlap — clamp per doc so the fraction
+            # stays a valid upper-bound estimate in [0, 1]
+            per_doc = merged.groupBy("doc_id").agg(
+                F.sum(
+                    F.col("span_end") - F.col("span_start") + F.lit(1)
+                ).alias("_shared")
+            )
+            frac = per_doc.join(
+                ssample.select(
+                    "doc_id",
+                    textstats.token_count(F.col("text")).alias("_n_tok"),
+                ),
+                "doc_id",
+            ).agg(
+                F.count("*").alias("docs_with_spans"),
+                F.sum(
+                    F.least(F.col("_shared"), F.col("_n_tok"))
+                    / F.greatest(F.col("_n_tok"), F.lit(1))
+                ).alias("_frac_sum"),
+            ).head()
+            docs_with = _i(frac["docs_with_spans"])
+            report["substr_sample"] = {
+                "sample_rate": substr_sample,
+                "sample_docs": n_ssample,
+                "w": substr_w,
+                "window": substr_window,
+                "docs_with_shared_spans": docs_with,
+                "shared_span_doc_rate_in_sample": round(
+                    docs_with / n_ssample, 6
+                ),
+                "mean_shared_fraction_in_affected": (
+                    round(float(frac["_frac_sum"]) / docs_with, 6)
+                    if docs_with
+                    else None
+                ),
+            }
+            substr.release_cached_fingerprints()
+        ssample.unpersist()
 
     docs.unpersist()
     return report

@@ -74,3 +74,33 @@ def test_corpus_report_driver_docs(spark):
     assert rep["exact_dup_rate"] == 0.0
     assert rep["total_tokens"] > 0
     assert rep["token_quantiles_p50_p90_p99"][0] > 0
+
+
+def test_corpus_report_substr_section(spark):
+    # two docs sharing a long passage + one unrelated: the sampled
+    # substring section (rate 1.0) must see both sharers
+    shared = "the quick brown fox jumps over the lazy dog again and again forever"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon"),
+            (2, "one two three four " + shared + " five six"),
+            (3, "totally unrelated content with no overlap at all whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = corpus_report(
+        df,
+        near_dup_sample=0.0,
+        substr_sample=1.0,
+        substr_w=4,
+        substr_window=3,
+    )
+    ss = rep["substr_sample"]
+    assert ss["sample_docs"] == 3
+    assert ss["docs_with_shared_spans"] == 2
+    assert abs(ss["shared_span_doc_rate_in_sample"] - 2 / 3) < 1e-6
+    # the 13-token run is most of each ~19-token doc
+    assert 0.3 < ss["mean_shared_fraction_in_affected"] <= 1.0
+    # section off when substr_sample=0
+    rep2 = corpus_report(df, near_dup_sample=0.0, substr_sample=0.0)
+    assert "substr_sample" not in rep2
