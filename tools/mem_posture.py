@@ -33,6 +33,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from logshipper_spark import aggregate as agg  # noqa: E402
 from logshipper_spark import anomaly, gen, pipeline, route  # noqa: E402
 from logshipper_spark.datapipe import dedup  # noqa: E402
+from logshipper_spark.datapipe import substr  # noqa: E402
 from logshipper_spark.session import get_spark  # noqa: E402
 
 UI = "http://localhost:4040/api/v1"  # overwritten from sc.uiWebUrl in measure()
@@ -154,6 +155,13 @@ def measure(sf_dir: str) -> dict:
             n_docs,
             lambda: _force(dedup.minhash_lsh_pairs(docs, threshold=0.5)),
         ),
+        (
+            "substr_pairs",
+            n_docs,
+            lambda: _force(
+                substr.substr_dup_pairs(docs, w=8, window=4, min_shared=2)
+            ),
+        ),
     ]
 
     rows = []
@@ -182,6 +190,7 @@ def measure(sf_dir: str) -> dict:
                 }
             )
             dedup.release_cached_signatures()
+            substr.release_cached_fingerprints()
             spark.catalog.clearCache()
             tr.cache().count()  # keep the input cached between queries
     finally:
