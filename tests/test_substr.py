@@ -278,3 +278,54 @@ def test_contamination_short_doc_is_zero(spark):
     }
     assert cont[1].n_fingerprints == 0 and cont[1].contamination == 0.0
     assert cont[2].n_seen == 0 and cont[2].contamination == 0.0
+
+
+def test_winnow_positions_randomized_sweep(spark):
+    """Brute-force parity over 300 seeded-random token arrays in ONE
+    Spark job, including tie-heavy shapes the fixed corpus can't hit:
+    tiny vocabularies (many equal gram hashes -> covering-window-min
+    ties), constant docs (every hash equal), alternating tokens, and
+    lengths straddling every small-m edge case."""
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(300):
+        shape = i % 4
+        if shape == 0:  # general: vocab 2..40, len 0..60
+            vocab = [f"t{j}" for j in range(rng.randint(2, 40))]
+            n = rng.randint(0, 60)
+            toks = [rng.choice(vocab) for _ in range(n)]
+        elif shape == 1:  # constant doc: all hashes equal, max ties
+            toks = ["same"] * rng.randint(0, 20)
+        elif shape == 2:  # alternating pair
+            n = rng.randint(0, 25)
+            toks = [("a", "b")[j % 2] for j in range(n)]
+        else:  # tiny vocab of 3, heavy repetition
+            vocab = ["x", "y", "z"]
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+        docs.append((i, " ".join(toks)))
+    w, window = 3, 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        substr.gram_hashes(F.col("text"), w).alias("h"),
+        substr.winnow_positions(substr.gram_hashes(F.col("text"), w), window).alias(
+            "sel"
+        ),
+    ).collect()
+    assert len(rows) == 300
+    for row in rows:
+        h, sel = row.h, set(row.sel)
+        m = len(h)
+        if m < window:
+            expect = set(range(1, m + 1))
+        else:
+            expect = set()
+            for j in range(m - window + 1):
+                win = h[j : j + window]
+                mn = min(win)
+                for k, v in enumerate(win):
+                    if v == mn:
+                        expect.add(j + k + 1)
+        assert sel == expect, (row.doc_id, sorted(sel), sorted(expect))
