@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="C4 line-level cleaning before scoring/dedup")
     ap.add_argument("--repetition", action="store_true",
                     help="Gopher/C4 repetition gate after the quality score")
+    ap.add_argument("--substr-dedup", action="store_true",
+                    help="cut cross-document shared substring regions "
+                         "(winnowed-fingerprint spans) before quality "
+                         "scoring and dedup keys (Lee et al. ExactSubstr)")
     ap.add_argument("--near-dup", action="store_true",
                     help="MinHash-LSH near-dup removal after exact dedup")
     ap.add_argument("--minhash-threshold", type=float, default=0.9)
@@ -186,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         near_dup=args.near_dup,
         minhash_threshold=args.minhash_threshold,
         repetition=args.repetition,
+        substr_dedup=args.substr_dedup,
     )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_list"))
     dedup.release_cached_signatures()  # minhash sig cache, post-action
