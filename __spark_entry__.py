@@ -721,6 +721,47 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (CCNet §3.1 boilerplate pass) over
+    planted multi-line documents: every doc gains a per-source
+    copyright footer (repeats across the ~25 docs of its source →
+    removed; planted upper-cased to exercise the case-insensitive
+    normalization), a per-doc unique tail (kept), and a short 'ok'
+    line (< min_line_chars → exempt, kept). Every 5th doc's body is a
+    fixed shared line (removed); other bodies are the distinct corpus
+    texts (kept). Oracle re-derives document frequency and the rebuild
+    from the raw lines in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    multi = docs.selectExpr(
+        "doc_id",
+        "concat(CASE WHEN doc_id % 5 = 0"
+        " THEN 'This shared body line repeats across documents.'"
+        " ELSE concat(text, '.') END, '\n',"
+        " '(c) ', upper(source), ' all rights reserved.', '\n',"
+        " 'unique tail for doc ', doc_id, '.', '\n', 'ok') AS text",
+    )
+    return dedup.line_dedup(multi).select(
+        "doc_id", "clean_text", "n_lines", "n_removed_lines"
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over a planted multi-source
+    corpus: every 7th doc's text is mirrored into 'mirror_<source>'
+    and every 13th doc's into a shared 'aggregator' source, so the
+    matrix has mirror↔original rows, aggregator↔original rows, and
+    (via doc_id % 91) aggregator↔mirror rows. Oracle re-derives the
+    distinct (text, source) pairs and the key self-join in SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirrored = docs.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id", "text", "concat('mirror_', source) AS source"
+    )
+    agg = docs.filter("doc_id % 13 = 0").selectExpr(
+        "doc_id + 200000 AS doc_id", "text", "'aggregator' AS source"
+    )
+    return dedup.source_overlap(docs.unionByName(mirrored).unionByName(agg))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 97th document's text forms the
     'benchmark' corpus, so those documents are contaminated by
@@ -1546,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
+        "source_overlap": q_source_overlap,
         "dedup_incremental": q_dedup_incremental,
         "near_dedup_incremental": q_near_dedup_incremental,
         "lm_score": q_lm_score,
@@ -2795,6 +2838,56 @@ def oracle_sql() -> dict[str, str]:
                      AND NOT contains(lower(text), 'lorem ipsum')
                      AS c4_keep
             FROM k
+        """,
+        "line_dedup": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 5 = 0
+                           THEN 'This shared body line repeats across documents.'
+                           ELSE text || '.' END) || chr(10)
+                     || '(c) ' || upper(source) || ' all rights reserved.'
+                     || chr(10)
+                     || 'unique tail for doc ' || doc_id || '.' || chr(10)
+                     || 'ok' AS text
+              FROM documents),
+            l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM m),
+            e AS (SELECT doc_id,
+                         unnest(generate_series(1, len(lines))) AS pos,
+                         lines
+                  FROM l),
+            x AS (SELECT doc_id, pos, lines[pos] AS line,
+                         lower(trim(lines[pos])) AS norm,
+                         length(trim(lines[pos])) >= 6 AS eligible
+                  FROM e),
+            dup AS (
+              SELECT norm
+              FROM (SELECT DISTINCT norm, doc_id FROM x WHERE eligible)
+              GROUP BY norm HAVING COUNT(*) >= 2),
+            marked AS (
+              SELECT x.doc_id, x.pos, x.line,
+                     (x.eligible AND dup.norm IS NOT NULL) AS dropped
+              FROM x LEFT JOIN dup ON x.norm = dup.norm)
+            SELECT doc_id,
+                   COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT dropped), '') AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(CASE WHEN dropped THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_removed_lines
+            FROM marked GROUP BY doc_id
+        """,
+        "source_overlap": r"""
+            WITH u AS (
+              SELECT text, source FROM documents
+              UNION ALL
+              SELECT text, 'mirror_' || source FROM documents
+              WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT text, 'aggregator' FROM documents WHERE doc_id % 13 = 0),
+            k AS (SELECT DISTINCT text, source FROM u)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+            FROM k a JOIN k b ON a.text = b.text AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "decontaminate": r"""
             WITH g AS (

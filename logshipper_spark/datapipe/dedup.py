@@ -634,3 +634,135 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    min_line_chars: int = 6,
+) -> DataFrame:
+    """Cross-document duplicated-line removal (the CCNet §3.1 /
+    RefinedWeb boilerplate pass): any line whose normalized form
+    (lower-cased, trimmed) occurs in >= ``min_df`` DISTINCT documents
+    is boilerplate — nav bars, cookie banners, copyright footers — and
+    is removed from every document it appears in. Complements
+    ``filters.c4_line_clean`` (per-document rule filter, map-only) and
+    ``substr.py`` (approximate shared-substring spans): this is the
+    exact *cross-corpus* line-frequency pass between them.
+
+    Lines shorter than ``min_line_chars`` after trimming are exempt —
+    never counted, never removed — so blank separators and one-word
+    lines don't collapse document structure.
+
+    Plan (three shuffles, all on compact keys, no driver collect):
+
+    1. explode lines with position, key each by the 128-bit composite
+       ``dedup_key`` of the normalized text (16 bytes — a 64-bit key
+       would merge distinct boilerplate lines at the 10^12-line
+       posture, silently deleting innocent text);
+    2. document frequency per key = dropDuplicates(key, id) then a
+       map-side-combined count; keys with df >= min_df form the
+       boilerplate set (shuffle on 16-byte keys only — line text never
+       shuffles with them);
+    3. mark each line instance via a left semi/anti join on the key
+       (AQE skew-join splits the hot boilerplate keys; the dup-key set
+       is usually broadcast-sized but correctness doesn't depend on
+       it), then reassemble per document with a sort_array(collect_list)
+       over (pos, line) — each task handles one document's lines, which
+       is bounded by document size, not corpus size.
+
+    Output: the input frame (joined back on ``id_col``) plus
+    ``clean_text`` (kept lines re-joined with newline), ``n_lines``,
+    and ``n_removed_lines`` — exact integers.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    )
+    norm = F.lower(F.trim(F.col("_line")))
+    keyed = lines.withColumn(
+        "_eligible", F.length(F.trim(F.col("_line"))) >= min_line_chars
+    ).withColumn("_k", dedup_key(norm))
+    dup_keys = (
+        keyed.filter(F.col("_eligible"))
+        .select("_k.h0", "_k.h1", "_id")
+        .dropDuplicates(["h0", "h1", "_id"])
+        .groupBy("h0", "h1")
+        .count()
+        .filter(F.col("count") >= min_df)
+        .select("h0", "h1")
+    )
+    marked = keyed.join(
+        dup_keys.withColumn("_dup", F.lit(True)),
+        (keyed["_k.h0"] == dup_keys["h0"]) & (keyed["_k.h1"] == dup_keys["h1"]),
+        "left",
+    ).select(
+        "_id",
+        "_pos",
+        "_line",
+        (F.col("_eligible") & F.coalesce(F.col("_dup"), F.lit(False))).alias("_drop"),
+    )
+    rebuilt = (
+        marked.groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        ~F.col("_drop"),
+                        F.struct(F.col("_pos"), F.col("_line")),
+                    )
+                )
+            ).alias("_kept"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("_drop").cast("long")).alias("n_removed_lines"),
+        )
+        .select(
+            "_id",
+            F.array_join(F.transform(F.col("_kept"), lambda s: s["_line"]), "\n").alias(
+                "clean_text"
+            ),
+            "n_lines",
+            "n_removed_lines",
+        )
+    )
+    return df.join(rebuilt, df[id_col] == rebuilt["_id"]).drop("_id")
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered pair of
+    sources (crawls, dumps, vendors), how many DISTINCT document texts
+    appear in both — the dataset-composition diagnostic that tells you
+    which inputs are rebottling each other before you pay for a full
+    dedup of their union.
+
+    Relational shape: distinct (128-bit key, source) pairs — one
+    shuffle that collapses each source's repeats first, so the join
+    input is bounded by (distinct texts × sources present), not rows —
+    then a key self-equi-join restricted to ``src_a < src_b`` and a
+    count per pair. The join fan-out per key is at most
+    (#sources choose 2), independent of how many times a text repeats
+    inside any source; output is #source-pairs rows (tiny).
+    """
+    keyed = (
+        df.select(
+            dedup_key(F.col(text_col)).alias("_k"),
+            F.col(source_col).alias("_src"),
+        )
+        .select(F.col("_k.h0").alias("h0"), F.col("_k.h1").alias("h1"), "_src")
+        .distinct()
+    )
+    a = keyed.select("h0", "h1", F.col("_src").alias("src_a"))
+    b = keyed.select("h0", "h1", F.col("_src").alias("src_b"))
+    return (
+        a.join(b, ["h0", "h1"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )

@@ -1043,3 +1043,58 @@ def test_curate_substr_dedup_collapses_boilerplate_sharers(spark):
     from logshipper_spark.datapipe import substr as substr_mod
 
     substr_mod.release_cached_fingerprints()
+
+
+# ── cross-document line dedup (CCNet-style boilerplate pass) ──
+def test_line_dedup_removes_cross_doc_lines(spark):
+    rows = [
+        (1, "Unique body one, long enough line.\n(c) ACME corp all rights reserved.\nok", "a"),
+        (2, "Another unique body line here.\n(c) acme corp all rights reserved.\nok", "a"),
+        (3, "Third unique document body text.\nTotally unique footer for doc three.", "b"),
+        (4, "Unique body one, long enough line.\nExtra line here.", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    # the ACME footer repeats across docs 1-2 (case-insensitively) and
+    # the body line across docs 1 and 4 — both removed everywhere
+    assert out[1]["clean_text"] == "ok"
+    assert out[1]["n_removed_lines"] == 2 and out[1]["n_lines"] == 3
+    assert out[2]["clean_text"] == "Another unique body line here.\nok"
+    # doc 3 shares nothing: untouched
+    assert out[3]["clean_text"] == rows[2][1]
+    assert out[3]["n_removed_lines"] == 0
+    assert out[4]["clean_text"] == "Extra line here."
+    # original columns survive the join-back
+    assert out[4]["source"] == "b" and out[4]["text"] == rows[3][1]
+
+
+def test_line_dedup_short_lines_exempt(spark):
+    # 'ok' (< min_line_chars after trim) repeats in every doc but is
+    # never counted or removed; an all-boilerplate doc rebuilds to ""
+    rows = [
+        (1, "same boilerplate line.\nok", "a"),
+        (2, "same boilerplate line.\nok", "a"),
+        (3, "same boilerplate line.", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    assert out[1]["clean_text"] == "ok"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed_lines"] == 1
+
+
+def test_source_overlap_counts_distinct_shared_texts(spark):
+    rows = [
+        (1, "alpha", "s1"),
+        (2, "alpha", "s1"),  # repeat inside s1 must not double-count
+        (3, "alpha", "s2"),
+        (4, "beta", "s2"),
+        (5, "beta", "s1"),
+        (6, "gamma", "s3"),  # unshared
+        (7, "alpha", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_texts"]
+        for r in dedup.source_overlap(df).collect()
+    }
+    assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
