@@ -299,6 +299,18 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(filters_mod.pii_scrub(filters_mod.repetition_stats(docs))),
         "repetition_pii",
     )
+    # multi-line docs (per-source boilerplate footer) so the cross-doc
+    # line-dedup pass measures its real shape: explode → df-count →
+    # anti-mark join → positional rebuild
+    multi_line = docs.selectExpr(
+        "doc_id",
+        "concat(text, '.', '\n', '(c) ', upper(source),"
+        " ' all rights reserved.', '\n', 'ok') AS text",
+    )
+    times["line_dedup"] = _timed(
+        lambda: _force(dedup.line_dedup(multi_line)),
+        "line_dedup",
+    )
     from logshipper_spark.datapipe import decontam as decontam_mod
     from logshipper_spark.datapipe import packing as packing_mod
 
