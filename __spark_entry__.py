@@ -45,6 +45,7 @@ from logshipper_spark.datapipe import (
     similarity,
     substr,
     textstats,
+    tokenize,
 )
 from logshipper_spark.schemas import DEFAULT_INGEST_TS
 
@@ -782,6 +783,35 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_chunks(
         _t(spark, sf_dir, "documents"), budget=64, block_size=16
     ).select("source", "chunk_id", "doc_id", "doc_begin", "doc_end", "chunk_pos")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary over the corpus: top-300 lower-cased
+    whitespace tokens with count >= 2, dense ids from N_SPECIALS in
+    (count DESC, token ASC) order. The oracle re-derives the count,
+    the cutoff, and the rank arithmetic independently."""
+    return tokenize.vocab_build(
+        _t(spark, sf_dir, "documents"), max_size=300, min_count=2
+    )
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → token-id sequences against the q_vocab_topk vocabulary:
+    OOV → UNK(0), BOS/EOS wrapping, per-doc token/OOV accounting. The
+    ids array is serialized to a space-joined string (driver
+    canonicalizer cannot hash arrays); the oracle rebuilds the exact
+    positional id sequence via generate_series indexing."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tokenize.vocab_build(docs, max_size=300, min_count=2)
+    out = tokenize.tokenize_ids(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("ids", lambda x: x.cast("string"))
+        ).alias("ids_str"),
+        "n_tokens",
+        "n_oov",
+    )
 
 
 SAMPLE_BUCKETS_PATH = "/tmp/spark_graft_contract/sample_buckets.parquet"
@@ -1584,6 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_budget": q_token_budget,
         "pack_chunks": q_pack_chunks,
+        "vocab_topk": q_vocab_topk,
+        "tokenize_ids": q_tokenize_ids,
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
@@ -2945,6 +2977,62 @@ def oracle_sql() -> dict[str, str]:
                    st + greatest(0, chunk_id * 64 - st) - chunk_id * 64
                      AS chunk_pos
             FROM x
+        """,
+        "vocab_topk": r"""
+            WITH tok AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS token
+              FROM documents WHERE trim(text) <> ''),
+            c AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS count
+              FROM tok GROUP BY token HAVING COUNT(*) >= 2),
+            top AS (
+              SELECT * FROM c ORDER BY count DESC, token LIMIT 300)
+            SELECT token,
+                   CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) + 2
+                        AS BIGINT) AS token_id,
+                   count
+            FROM top
+        """,
+        "tokenize_ids": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS toks
+              FROM documents),
+            c AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS count
+              FROM (SELECT unnest(toks) AS token FROM t)
+              GROUP BY token HAVING COUNT(*) >= 2),
+            v AS (
+              SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token) + 2
+                          AS BIGINT) AS token_id
+              FROM (SELECT * FROM c ORDER BY count DESC, token LIMIT 300)),
+            e AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks))) AS pos,
+                     toks
+              FROM t),
+            x AS (
+              SELECT e.doc_id, e.pos, COALESCE(v.token_id, 0) AS tid
+              FROM e LEFT JOIN v ON v.token = e.toks[e.pos]),
+            a AS (
+              SELECT doc_id,
+                     string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)
+                       AS body,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM x GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CASE WHEN a.body IS NULL THEN '1 2'
+                        ELSE '1 ' || a.body || ' 2' END AS ids_str,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov
+            FROM t LEFT JOIN a USING (doc_id)
         """,
         "near_dedup_incremental": f"""
             WITH isig AS (

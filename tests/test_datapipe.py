@@ -1098,3 +1098,61 @@ def test_source_overlap_counts_distinct_shared_texts(spark):
         for r in dedup.source_overlap(df).collect()
     }
     assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+
+
+# ── vocabulary + tokenize-to-ids (tokenize.py) ──
+
+
+def test_vocab_build_rank_and_ties(spark):
+    """Frequency-desc, token-asc tie-break; ids dense from N_SPECIALS;
+    min_count and max_size both prune."""
+    from logshipper_spark.datapipe import tokenize as tk
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat"),
+            (2, "THE Cat"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {
+        r["token"]: (r["token_id"], r["count"])
+        for r in tk.vocab_build(df, max_size=4).collect()
+    }
+    # counts: the=4, cat=2, sat=2, dog=1, mat=1, on=1 → top4 ties by token asc
+    assert vocab == {
+        "the": (3, 4),
+        "cat": (4, 2),
+        "sat": (5, 2),
+        "dog": (6, 1),
+    }
+    v2 = {r["token"] for r in tk.vocab_build(df, max_size=100, min_count=2).collect()}
+    assert v2 == {"the", "cat", "sat"}
+
+
+def test_tokenize_ids_roundtrip_oov_and_empty(spark):
+    from logshipper_spark.datapipe import tokenize as tk
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "   "),
+            (2, "zzz the"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = tk.vocab_build(df, max_size=3)  # the=3, cat=4, mat=5 kept
+    out = {
+        r["doc_id"]: (r["ids"], r["n_tokens"], r["n_oov"])
+        for r in tk.tokenize_ids(df, vocab).collect()
+    }
+    B, E, U = tk.BOS_ID, tk.EOS_ID, tk.UNK_ID
+    assert out[0] == ([B, 3, 4, U, U, 3, 5, E], 6, 2)
+    assert out[1] == ([B, E], 0, 0)
+    assert out[2] == ([B, U, 3, E], 2, 1)
+    no_specials = {
+        r["doc_id"]: r["ids"]
+        for r in tk.tokenize_ids(df, vocab, add_bos_eos=False).collect()
+    }
+    assert no_specials[1] == [] and no_specials[2] == [U, 3]
