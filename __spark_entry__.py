@@ -920,6 +920,33 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_score(docs, back, oov)
 
 
+BIGRAM_LM_PATH = "/tmp/spark_graft_contract/bigram_lm"
+
+
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained interpolated-bigram LM cross-entropy per document
+    (lam=0.7). Both model tables are materialized with ALL their
+    counts (pair count, context count, token count); the oracle
+    re-tokenizes, recounts unigrams AND bigrams AND per-context
+    totals, joins each model row only when every count matches, and
+    re-derives the per-document positional scoring (first token at
+    unigram nlp, later tokens at bigram nlp) and the division. With
+    min_count=1 on the training corpus no fallback row fires, so the
+    oracle path is exact joins — fallbacks are unit-tested on
+    held-out text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bi, tok, uni_oov, fb_oov = lm.fit_bigram_lm(docs, lam=0.7)
+    lm.write_bigram_lm(bi, tok, BIGRAM_LM_PATH)
+    lm.release_cached_counts()
+    bi_back = spark.read.schema(
+        "gram string, cnt long, c_prev long, nlp_micro long"
+    ).parquet(f"{BIGRAM_LM_PATH}/bigram")
+    tok_back = spark.read.schema(
+        "token string, cnt long, uni_nlp_micro long, fb_nlp_micro long"
+    ).parquet(f"{BIGRAM_LM_PATH}/tokens")
+    return lm.lm_score_bigram(docs, bi_back, tok_back, uni_oov, fb_oov)
+
+
 SEMDEDUP_CENT_PATH = "/tmp/spark_graft_contract/semdedup_centroids.parquet"
 SEMDEDUP_CELLS, SEMDEDUP_TAU = 8, 0.95
 
@@ -1624,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "near_dedup_incremental": q_near_dedup_incremental,
         "lm_score": q_lm_score,
+        "lm_bigram": q_lm_bigram,
         "semantic_dedup": q_semantic_dedup,
         "shard_plan": q_shard_plan,
         "sample_split": q_sample_split,
@@ -3088,6 +3116,61 @@ def oracle_sql() -> dict[str, str]:
                                    + 1e-9, 4)
                    END AS bits_per_token
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "lm_bigram": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                     END AS toks
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+            pr AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+              FROM t WHERE len(toks) >= 2),
+            pairs AS (
+              SELECT doc_id, toks[pos] || ' ' || toks[pos + 1] AS gram
+              FROM pr),
+            pcnts AS (SELECT gram, COUNT(*) AS cnt FROM pairs GROUP BY gram),
+            pctx AS (
+              SELECT gram, cnt,
+                     CAST(SUM(cnt) OVER (
+                       PARTITION BY split_part(gram, ' ', 1)) AS BIGINT)
+                       AS c_prev
+              FROM pcnts),
+            bm AS (
+              SELECT m.gram, m.nlp_micro
+              FROM read_parquet('{BIGRAM_LM_PATH}/bigram/*.parquet') m
+              JOIN pctx c ON m.gram = c.gram AND m.cnt = c.cnt
+                         AND m.c_prev = c.c_prev),
+            tm AS (
+              SELECT m.token, m.uni_nlp_micro
+              FROM read_parquet('{BIGRAM_LM_PATH}/tokens/*.parquet') m
+              JOIN cnts c ON m.token = c.token AND m.cnt = c.cnt),
+            fscore AS (
+              SELECT t.doc_id, tm.uni_nlp_micro AS nlp
+              FROM t JOIN tm ON tm.token = t.toks[1]
+              WHERE len(t.toks) >= 1),
+            pscore AS (
+              SELECT p.doc_id, bm.nlp_micro AS nlp
+              FROM pairs p JOIN bm USING (gram)),
+            s AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(nlp) AS BIGINT) AS nlp_sum_micro
+              FROM (SELECT * FROM fscore UNION ALL SELECT * FROM pscore)
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.nlp_sum_micro, 0) AS nlp_sum_micro,
+                   CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                        THEN round(s.nlp_sum_micro / 1000000.0 / s.n_tokens
+                                   + 1e-9, 4)
+                   END AS bits_per_token
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE cent AS (

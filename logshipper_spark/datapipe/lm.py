@@ -176,6 +176,217 @@ def lm_score(
     return out
 
 
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram table ``(gram, cnt)`` — gram is the space-joined
+    adjacent token pair (tokens are whitespace-split, so the single
+    space is an unambiguous separator). One explode + one
+    map-side-combined groupBy, same shuffle shape as unigram_counts."""
+    from .filters import word_ngrams
+
+    return (
+        df.select(
+            F.explode(word_ngrams(tokens(F.lower(F.col(text_col))), 2)).alias(
+                "gram"
+            )
+        )
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _quant(p):
+    """floor(-log2(p) * 1e6 + 0.5) as long — quantize a probability
+    expression to integer micro-bits (module docstring)."""
+    return F.floor(-F.log2(p) * MICRO + F.lit(0.5)).cast("long")
+
+
+def fit_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Fit the interpolated bigram model (the CCNet perplexity filter
+    one order up from fit_unigram_lm):
+
+        p(t | prev) = lam * c(prev t) / c(prev ·) + (1 - lam) * p_uni(t)
+
+    where ``c(prev ·)`` counts bigrams STARTING with prev (so the
+    conditional sums to 1 over the vocabulary seen after prev) and
+    ``p_uni`` is the add-one-smoothed unigram of fit_unigram_lm. The
+    interpolation floor makes every probability strictly positive, so
+    unseen pairs and unseen tokens stay finite.
+
+    Returns ``(bi_model, tok_model, uni_oov_micro, fb_oov_micro)``:
+    - bi_model ``(gram, cnt, c_prev, nlp_micro)`` — cnt and c_prev are
+      materialized so an oracle can verify BOTH counts; only the log2
+      quantization is engine-trusted.
+    - tok_model ``(token, cnt, uni_nlp_micro, fb_nlp_micro)`` —
+      uni_nlp scores each document's first (context-less) token,
+      fb_nlp = -log2((1-lam) * p_uni(t)) scores a seen token after an
+      unseen-pair context.
+    - uni_oov / fb_oov — the two OOV constants for tokens outside the
+      vocabulary entirely.
+
+    Scale posture: two map-side-combined count shuffles (token, gram)
+    + one groupBy prev over the DISTINCT-gram table (already tiny
+    relative to the corpus); transcendentals run once per distinct
+    gram/token and are materialized."""
+    import math
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    counts = unigram_counts(df, text_col).cache()
+    _COUNT_CACHE.append(counts)
+    tot = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
+    ).head()
+    denom = int(tot["t"]) + int(tot["v"])
+    if denom == 0:
+        denom = 1
+    pairs = bigram_counts(df, text_col).cache()
+    _COUNT_CACHE.append(pairs)
+    ctx = (
+        pairs.select(
+            F.element_at(F.split("gram", " "), 1).alias("prev"), "cnt"
+        )
+        .groupBy("prev")
+        .agg(F.sum("cnt").cast("long").alias("c_prev"))
+    )
+    p_uni = (F.col("tok_cnt") + F.lit(1)).cast("double") / F.lit(float(denom))
+    bi_model = (
+        pairs.withColumn("prev", F.element_at(F.split("gram", " "), 1))
+        .withColumn("token", F.element_at(F.split("gram", " "), 2))
+        .join(ctx, "prev")
+        .join(counts.select(F.col("token"), F.col("cnt").alias("tok_cnt")), "token")
+        .filter(F.col("cnt") >= min_count)
+        .select(
+            "gram",
+            "cnt",
+            "c_prev",
+            _quant(
+                F.lit(lam) * F.col("cnt").cast("double") / F.col("c_prev")
+                + F.lit(1.0 - lam) * p_uni
+            ).alias("nlp_micro"),
+        )
+    )
+    p_uni_tok = (F.col("cnt") + F.lit(1)).cast("double") / F.lit(float(denom))
+    tok_model = counts.filter(F.col("cnt") >= min_count).select(
+        "token",
+        "cnt",
+        _quant(p_uni_tok).alias("uni_nlp_micro"),
+        _quant(F.lit(1.0 - lam) * p_uni_tok).alias("fb_nlp_micro"),
+    )
+    uni_oov = int(math.floor(-math.log2(1.0 / denom) * MICRO + 0.5))
+    fb_oov = int(math.floor(-math.log2((1.0 - lam) / denom) * MICRO + 0.5))
+    return bi_model, tok_model, uni_oov, fb_oov
+
+
+def write_bigram_lm(
+    bi_model: DataFrame,
+    tok_model: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    codec: str = "zstd",
+) -> None:
+    """Persist both model tables under ``path`` (``bigram/`` and
+    ``tokens/``) — zstd so independent readers can decode them."""
+    bi_model.write.mode(mode).option("compression", codec).parquet(
+        f"{path}/bigram"
+    )
+    tok_model.write.mode(mode).option("compression", codec).parquet(
+        f"{path}/tokens"
+    )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    bi_model: DataFrame,
+    tok_model: DataFrame,
+    uni_oov_micro: int,
+    fb_oov_micro: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document interpolated-bigram cross-entropy; same output
+    schema as lm_score: ``(id, n_tokens, nlp_sum_micro,
+    bits_per_token)``. Each document contributes exactly n_tokens
+    scoring rows — the first token scored context-less at its unigram
+    nlp, every later token at its bigram nlp (falling back to
+    fb_nlp / fb_oov on unseen pair / unseen token) — so one count(*)
+    doubles as the token count.
+
+    Plan: one explode over a per-row (gram, token) entry array (built
+    with a single linear zip_with), two broadcast joins, one
+    map-side-combined groupBy on the document id, and a final left
+    join so zero-token documents keep a row (never-drop posture)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    from .filters import word_ngrams
+
+    entry_t = "array<struct<gram:string,token:string>>"
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    pair_structs = F.zip_with(
+        word_ngrams(F.col("_toks"), 2),
+        F.slice(F.col("_toks"), 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
+        lambda g, t: F.struct(g.alias("gram"), t.alias("token")),
+    )
+    first = F.when(
+        F.size("_toks") > 0,
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("gram"),
+                F.element_at("_toks", 1).alias("token"),
+            )
+        ),
+    ).otherwise(F.array().cast(entry_t))
+    rows = base.select("_id", F.explode(F.concat(first, pair_structs)).alias("e")).select(
+        "_id", F.col("e.gram").alias("gram"), F.col("e.token").alias("token")
+    )
+    bm = bi_model.select("gram", F.col("nlp_micro").alias("_bnlp"))
+    tm = tok_model.select(
+        "token",
+        F.col("uni_nlp_micro").alias("_unlp"),
+        F.col("fb_nlp_micro").alias("_fnlp"),
+    )
+    if broadcast_model:
+        bm, tm = F.broadcast(bm), F.broadcast(tm)
+    scored = (
+        rows.join(bm, "gram", "left")
+        .join(tm, "token", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("gram").isNull(),
+                    F.coalesce("_unlp", F.lit(uni_oov_micro)),
+                ).otherwise(
+                    F.coalesce("_bnlp", "_fnlp", F.lit(fb_oov_micro))
+                )
+            )
+            .cast("long")
+            .alias("nlp_sum_micro"),
+        )
+    )
+    base_ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return base_ids.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("nlp_sum_micro"), F.lit(0).cast("long")).alias(
+            "nlp_sum_micro"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("nlp_sum_micro") / F.lit(float(MICRO)) / F.col("n_tokens")
+                + F.lit(1e-9),
+                4,
+            ),
+        ).alias("bits_per_token"),
+    )
+
+
 def lm_quality_filter(
     scored: DataFrame, min_bits: float = 2.0, max_bits: float = 16.0
 ) -> DataFrame:

@@ -1156,3 +1156,61 @@ def test_tokenize_ids_roundtrip_oov_and_empty(spark):
         for r in tk.tokenize_ids(df, vocab, add_bos_eos=False).collect()
     }
     assert no_specials[1] == [] and no_specials[2] == [U, 3]
+
+
+# ── interpolated bigram LM (lm.py) ──
+
+
+def test_bigram_lm_hand_corpus(spark):
+    """Exact micro-bit scores for a hand-worked corpus, mirroring the
+    model formula with python math; OOV token and unseen-pair fallback
+    exercised on a held-out document."""
+    import math
+
+    from logshipper_spark.datapipe import lm
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a a"), (2, "")],
+        "doc_id long, text string",
+    )
+    bi, tok, uni_oov, fb_oov = lm.fit_bigram_lm(df, lam=0.5)
+    # corpus: a=4 b=2, T=6 V=2 denom=8; pairs: "a b"=2 "b a"=1 "a a"=1
+    # c_prev: a=3, b=1
+    denom, lam = 8, 0.5
+
+    def q(p):
+        return math.floor(-math.log2(p) * 1_000_000 + 0.5)
+
+    pu = {"a": 5 / denom, "b": 3 / denom}
+    bm = {r["gram"]: (r["cnt"], r["c_prev"], r["nlp_micro"]) for r in bi.collect()}
+    assert bm == {
+        "a b": (2, 3, q(lam * 2 / 3 + (1 - lam) * pu["b"])),
+        "b a": (1, 1, q(lam * 1 / 1 + (1 - lam) * pu["a"])),
+        "a a": (1, 3, q(lam * 1 / 3 + (1 - lam) * pu["a"])),
+    }
+    tm = {r["token"]: (r["uni_nlp_micro"], r["fb_nlp_micro"]) for r in tok.collect()}
+    assert tm == {
+        "a": (q(pu["a"]), q((1 - lam) * pu["a"])),
+        "b": (q(pu["b"]), q((1 - lam) * pu["b"])),
+    }
+    assert uni_oov == q(1 / denom) and fb_oov == q((1 - lam) / denom)
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["nlp_sum_micro"], r["bits_per_token"])
+        for r in lm.lm_score_bigram(df, bi, tok, uni_oov, fb_oov).collect()
+    }
+    s0 = tm["a"][0] + bm["a b"][2] + bm["b a"][2] + bm["a b"][2]
+    s1 = tm["a"][0] + bm["a a"][2]
+    assert out[0] == (4, s0, round(s0 / 1e6 / 4 + 1e-9, 4))
+    assert out[1] == (2, s1, round(s1 / 1e6 / 2 + 1e-9, 4))
+    assert out[2] == (0, 0, None)
+
+    # held-out: "b z" → first token seen (uni), pair "b z" unseen with
+    # unseen token z (fb_oov); "a a b" → "a a" seen, "a b" seen
+    held = spark.createDataFrame([(9, "b z a")], "doc_id long, text string")
+    got = lm.lm_score_bigram(held, bi, tok, uni_oov, fb_oov).collect()[0]
+    # b(uni) + z(fb_oov: pair "b z" unseen, token z OOV) + a(fb: pair
+    # "z a" unseen, token a seen)
+    exp = tm["b"][0] + fb_oov + tm["a"][1]
+    assert (got["n_tokens"], got["nlp_sum_micro"]) == (3, exp)
+    lm.release_cached_counts()
