@@ -1214,3 +1214,75 @@ def test_bigram_lm_hand_corpus(spark):
     exp = tm["b"][0] + fb_oov + tm["a"][1]
     assert (got["n_tokens"], got["nlp_sum_micro"]) == (3, exp)
     lm.release_cached_counts()
+
+
+# ── BPE merge training (bpe.py) ──
+
+
+def _ref_bpe(counts, num_merges, min_pair_count=2):
+    """Reference BPE (Sennrich et al. 2016): greedy left-to-right merge
+    application, argmax tie-break (count DESC, left ASC, right ASC)."""
+    state = {w: list(w) + ["</w>"] for w in counts}
+    merges = []
+    for rank in range(num_merges):
+        pc = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + counts[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_train_matches_reference(spark):
+    from logshipper_spark.datapipe import bpe
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(counts.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, pieces = bpe.bpe_train(df, num_merges=10)
+    got_merges = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    ref_merges, ref_state = _ref_bpe(counts, 10)
+    assert got_merges == ref_merges
+    got_pieces = {r["word"]: r["pieces"] for r in pieces.collect()}
+    assert got_pieces == ref_state
+
+
+def test_bpe_segment_seen_unseen_empty(spark):
+    from logshipper_spark.datapipe import bpe
+
+    counts = {"low": 5, "lowest": 4, "newer": 3}
+    train = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(counts.items())],
+        "doc_id long, text string",
+    )
+    merges, pieces = bpe.bpe_train(train, num_merges=6)
+    _, ref_state = _ref_bpe(counts, 6)
+    docs = spark.createDataFrame(
+        [(0, "low newer"), (1, "zq"), (2, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["pieces"], r["n_pieces"])
+           for r in bpe.bpe_segment(docs, pieces).collect()}
+    want0 = ref_state["low"] + ref_state["newer"]
+    assert out[0] == (want0, len(want0))
+    assert out[1] == (["z", "q", "</w>"], 3)
+    assert out[2] == ([], 0)
