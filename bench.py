@@ -335,6 +335,33 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
 
     times["lm_fit_score"] = _timed(_lm_fit_score, "lm_fit_score")
     lm_mod.release_cached_counts()
+
+    def _lm_bigram_fit_score() -> None:
+        lm_mod.release_cached_counts()  # COLD fit each run
+        bi, tok, uo, fo = lm_mod.fit_bigram_lm(docs)
+        _force(lm_mod.lm_score_bigram(docs, bi, tok, uo, fo))
+
+    times["lm_bigram_fit_score"] = _timed(
+        _lm_bigram_fit_score, "lm_bigram_fit_score"
+    )
+    lm_mod.release_cached_counts()
+    from logshipper_spark.datapipe import bpe as bpe_mod
+    from logshipper_spark.datapipe import tokenize as tokenize_mod
+
+    def _tokenize_ids() -> None:
+        vocab = tokenize_mod.vocab_build(docs, max_size=50_000, min_count=2)
+        _force(tokenize_mod.tokenize_ids(docs, vocab))
+
+    times["tokenize_ids"] = _timed(_tokenize_ids, "tokenize_ids")
+    # bpe_train is a driver-paced merge loop (one vocab-sized job per
+    # merge) — time a fixed 8-merge train once, then the corpus-wide
+    # segmentation with the trained dictionary
+    t0 = time.time()
+    _bpe_merges, bpe_pieces = bpe_mod.bpe_train(docs, num_merges=8)
+    times["bpe_train_8"] = round(time.time() - t0, 3)
+    times["bpe_segment"] = _timed(
+        lambda: _force(bpe_mod.bpe_segment(docs, bpe_pieces)), "bpe_segment"
+    )
     times["shard_plan"] = _timed(
         lambda: _force(packing_mod.shard_plan(docs, target_bytes=1 << 20)),
         "shard_plan",
