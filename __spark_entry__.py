@@ -814,6 +814,32 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-sequence materialization: tokenize to ids
+    (q_tokenize_ids vocabulary), pack the id stream (budget 256, per
+    source), and assemble the actual chunk id arrays. The oracle
+    re-derives the vocabulary, every id list, the running-sum layout,
+    the per-overlap list slices, and the positional chunk rebuild —
+    the complete composition verified value-exactly. Ids serialized
+    to a space-joined string (arrays are unhashable to the driver)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = tokenize.vocab_build(docs, max_size=300, min_count=2)
+    ids = (
+        tokenize.tokenize_ids(docs, vocab)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("n", F.size("ids").cast("long"))
+    )
+    layout = packing.pack_chunks(ids, budget=256, tokens_col="n", block_size=64)
+    return packing.assemble_chunks(ids, layout).select(
+        "source",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.transform("ids", lambda x: x.cast("string"))
+        ).alias("ids_str"),
+        "n_tokens",
+    )
+
+
 SAMPLE_BUCKETS_PATH = "/tmp/spark_graft_contract/sample_buckets.parquet"
 
 
@@ -1643,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "vocab_topk": q_vocab_topk,
         "tokenize_ids": q_tokenize_ids,
+        "pack_assemble": q_pack_assemble,
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
@@ -3061,6 +3088,68 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_tokens, 0) AS n_tokens,
                    COALESCE(a.n_oov, 0) AS n_oov
             FROM t LEFT JOIN a USING (doc_id)
+        """,
+        "pack_assemble": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     END AS toks
+              FROM documents),
+            c AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(toks) AS token FROM t)
+              GROUP BY token HAVING COUNT(*) >= 2),
+            v AS (
+              SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) + 2
+                          AS BIGINT) AS token_id
+              FROM (SELECT * FROM c ORDER BY cnt DESC, token LIMIT 300)),
+            e AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks))) AS pos, toks
+              FROM t),
+            x AS (
+              SELECT e.doc_id, e.pos, COALESCE(v.token_id, 0) AS tid
+              FROM e LEFT JOIN v ON v.token = e.toks[e.pos]),
+            il AS (
+              SELECT t.doc_id,
+                     [CAST(1 AS BIGINT)]
+                       || COALESCE(l.body, CAST([] AS BIGINT[]))
+                       || [CAST(2 AS BIGINT)] AS ids
+              FROM t LEFT JOIN (
+                SELECT doc_id, list(tid ORDER BY pos) AS body
+                FROM x GROUP BY doc_id) l USING (doc_id)),
+            d AS (
+              SELECT il.doc_id, d2.source, il.ids,
+                     CAST(len(il.ids) AS BIGINT) AS n
+              FROM il JOIN documents d2 USING (doc_id)),
+            r AS (
+              SELECT doc_id, source, ids, n,
+                     CAST(SUM(n) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS en
+              FROM d),
+            s AS (SELECT *, en - n AS st FROM r),
+            xx AS (
+              SELECT source, doc_id, ids, n, st,
+                     unnest(generate_series(st // 256, (en - 1) // 256))
+                       AS chunk_id
+              FROM s),
+            p AS (
+              SELECT source, chunk_id,
+                     st + greatest(0, chunk_id * 256 - st) - chunk_id * 256
+                       AS chunk_pos,
+                     ids[greatest(0, chunk_id * 256 - st) + 1
+                         : least(n, chunk_id * 256 + 256 - st)] AS piece
+              FROM xx)
+            SELECT source, chunk_id,
+                   string_agg(array_to_string(piece, ' '), ' '
+                              ORDER BY chunk_pos) AS ids_str,
+                   CAST(SUM(len(piece)) AS BIGINT) AS n_tokens
+            FROM p GROUP BY source, chunk_id
         """,
         "near_dedup_incremental": f"""
             WITH isig AS (

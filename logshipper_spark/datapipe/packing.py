@@ -92,6 +92,56 @@ def pack_chunks(
     )
 
 
+def assemble_chunks(
+    ids_df: DataFrame,
+    layout: DataFrame,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Materialize the packed training sequences: join the
+    ``pack_chunks`` layout back to each document's token-id array,
+    slice every (document, chunk) overlap, and rebuild each chunk in
+    ``chunk_pos`` order. Output ``(group, chunk_id, ids array<long>,
+    n_tokens)`` — every chunk except each group's last is exactly
+    ``budget`` long when the layout was packed on ``size(ids)``.
+
+    Scale posture: the document join is an equi-join on the document
+    key (each layout row carries only slice arithmetic, so the id
+    arrays ride the join once); the regroup shuffles on (group,
+    chunk_id) and per-task state is bounded by the chunk budget —
+    never by a document or the corpus."""
+    j = layout.join(
+        ids_df.select(F.col(order_col), F.col(ids_col).alias("_ids")),
+        order_col,
+    ).select(
+        group_col,
+        "chunk_id",
+        "chunk_pos",
+        F.slice(
+            F.col("_ids"),
+            F.col("doc_begin").cast("int") + F.lit(1),
+            (F.col("doc_end") - F.col("doc_begin")).cast("int"),
+        ).alias("_piece"),
+    )
+    flat = F.flatten(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("chunk_pos", "_piece"))),
+            lambda s: s["_piece"],
+        )
+    )
+    return (
+        j.groupBy(group_col, "chunk_id")
+        .agg(flat.alias("ids"))
+        .select(
+            group_col,
+            "chunk_id",
+            "ids",
+            F.size("ids").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def shard_plan(
     df: DataFrame,
     target_bytes: int,

@@ -1286,3 +1286,31 @@ def test_bpe_segment_seen_unseen_empty(spark):
     assert out[0] == (want0, len(want0))
     assert out[1] == (["z", "q", "</w>"], 3)
     assert out[2] == ([], 0)
+
+
+def test_assemble_chunks_exact_layout(spark):
+    """Chunks materialize as exact concat-and-split id slices: every
+    chunk but the group's last is exactly budget long, and the flat
+    chunk stream equals the docs' ids concatenated in order."""
+    from logshipper_spark.datapipe import packing
+
+    rows = [
+        ("g", 0, [1, 2, 3, 4]),
+        ("g", 1, [5, 6, 7, 8, 9]),
+        ("g", 2, [10, 11, 12, 13, 14, 15, 16, 17]),
+        ("g", 3, []),
+        ("h", 7, [31, 32, 33]),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, ids array<long>"
+    ).withColumn("n", F.size("ids").cast("long"))
+    layout = packing.pack_chunks(df, budget=10, tokens_col="n", block_size=2)
+    got = {
+        (r["source"], r["chunk_id"]): (r["ids"], r["n_tokens"])
+        for r in packing.assemble_chunks(df, layout).collect()
+    }
+    assert got == {
+        ("g", 0): ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], 10),
+        ("g", 1): ([11, 12, 13, 14, 15, 16, 17], 7),
+        ("h", 0): ([31, 32, 33], 3),
+    }
