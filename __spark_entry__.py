@@ -840,6 +840,22 @@ def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quartile binning by token count (deterministic
+    doc_id tie-break). The two-phase distinct-score + block-offset
+    rank must equal the oracle's plain row_number window bin for every
+    row."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    return sampling.quantile_bins(
+        d, k=4, score_col="n_tok", group_col="source", block_size=64
+    ).select("source", "doc_id", "n_tok", "rank", "bin")
+
+
 SAMPLE_BUCKETS_PATH = "/tmp/spark_graft_contract/sample_buckets.parquet"
 
 
@@ -1670,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tokenize_ids": q_tokenize_ids,
         "pack_assemble": q_pack_assemble,
+        "quantile_bins": q_quantile_bins,
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
@@ -3150,6 +3167,24 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY chunk_pos) AS ids_str,
                    CAST(SUM(len(piece)) AS BIGINT) AS n_tokens
             FROM p GROUP BY source, chunk_id
+        """,
+        "quantile_bins": r"""
+            WITH d AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tok
+              FROM documents),
+            r AS (
+              SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n_tok, doc_id)
+                       AS BIGINT) AS rank,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM d)
+            SELECT source, doc_id, n_tok, rank,
+                   CAST(((rank - 1) * 4) // n AS INTEGER) AS bin
+            FROM r
         """,
         "near_dedup_incremental": f"""
             WITH isig AS (

@@ -211,6 +211,81 @@ def block_running_sum(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    k: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    block_size: int = 4096,
+    out_col: str = "bin",
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """Exact k-quantile binning (curriculum / quality-stratification
+    buckets): adds ``rank`` (1-based position under (score, id) order
+    within the group — id is the deterministic tie-break) and
+    ``out_col = ((rank - 1) * k) DIV n`` where n is the group size, so
+    bins 0..k-1 differ in size by at most one row — exactly what a
+    single ``row_number() OVER (PARTITION BY group ORDER BY score,
+    id)`` would give, but no task ever scans a whole group:
+
+    - the base rank (rows with strictly smaller score) comes from a
+      running count over the per-(group, score) DISTINCT-score table —
+      tiny relative to the corpus;
+    - the within-score tie rank is a block-offset running count
+      (block_running_sum) keyed on the (group, score) STRUCT — a hot
+      tied score (e.g. quality exactly 0 spam) spreads across
+      id-range blocks instead of funneling through one task.
+
+    Integer-exact and partition-independent; ``(rank-1)*k`` stays
+    below 2^63 for any realistic n*k.
+
+    The distinct-score table is tiny only when scores are DISCRETE
+    (quantized quality scores, token counts, …) — the intended use.
+    For a near-continuous score, set ``broadcast_scores=False`` (the
+    base-rank join falls back to a shuffle join) and note the
+    per-group distinct-score window degenerates toward a group-sized
+    sort — quantize the score first instead."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    g = group_col or "_g"
+    d = df if group_col else df.withColumn("_g", F.lit(0))
+    sc = d.groupBy(g, score_col).agg(F.count("*").alias("_c"))
+    prev_w = (
+        Window.partitionBy(g)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = sc.select(
+        g,
+        score_col,
+        F.coalesce(F.sum("_c").over(prev_w), F.lit(0)).alias("_base"),
+    )
+    totals = sc.groupBy(g).agg(F.sum("_c").cast("long").alias("_n"))
+    ranked = block_running_sum(
+        d.withColumn("_gs", F.struct(g, score_col)).withColumn(
+            "_one", F.lit(1).cast("long")
+        ),
+        "_gs",
+        id_col,
+        "_one",
+        block_size,
+        "_tie",
+    ).drop("_one", "_gs")
+    if broadcast_scores:
+        base = F.broadcast(base)
+    out = (
+        ranked.join(base, [g, score_col])
+        .join(F.broadcast(totals), g)
+        .withColumn("rank", (F.col("_base") + F.col("_tie")).cast("long"))
+        .withColumn(
+            out_col, F.expr(f"((rank - 1) * {k}) DIV _n").cast("int")
+        )
+        .drop("_base", "_tie", "_n")
+    )
+    return out if group_col else out.drop("_g")
+
+
 def token_budget_head(
     df: DataFrame,
     budget: int,

@@ -1314,3 +1314,43 @@ def test_assemble_chunks_exact_layout(spark):
         ("g", 1): ([11, 12, 13, 14, 15, 16, 17], 7),
         ("h", 0): ([31, 32, 33], 3),
     }
+
+
+# ── exact quantile binning (sampling.quantile_bins) ──
+
+
+def test_quantile_bins_matches_single_phase_window(spark):
+    """Two-phase rank+bin == row_number() OVER (PARTITION BY group
+    ORDER BY score, id), with a hot tied score crossing bin edges and
+    a block size small enough to force multi-block tie classes."""
+    from pyspark.sql import Window
+
+    from logshipper_spark.datapipe import sampling
+
+    rows = [
+        ("a", i, 5 if i < 9 else i % 4)  # 9-way tie on score 5 in group a
+        for i in range(14)
+    ] + [("b", 100 + i, i % 2) for i in range(5)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, score long")
+    got = {
+        (r["src"], r["doc_id"]): (r["rank"], r["bin"])
+        for r in sampling.quantile_bins(
+            df, k=4, score_col="score", group_col="src", block_size=2
+        ).collect()
+    }
+    w = Window.partitionBy("src").orderBy("score", "doc_id")
+    want = {
+        (r["src"], r["doc_id"]): (
+            r["rn"],
+            ((r["rn"] - 1) * 4) // r["n"],
+        )
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("src")))
+        .collect()
+    }
+    assert got == want
+    # bins balanced within 1 row
+    from collections import Counter
+
+    ca = Counter(b for (s, _), (_, b) in got.items() if s == "a")
+    assert max(ca.values()) - min(ca.values()) <= 1 and set(ca) == {0, 1, 2, 3}
