@@ -28,7 +28,9 @@ Stages (each one shuffle-bounded; see PLANS.md for the plan shapes):
 
 Writes:
   out/vocab/         — (token, token_id, count)        [unless --vocab]
-  out/tokens/        — (doc_id, ids, n_tokens, n_oov)
+  out/tokens/        — (doc_id, ids, n_tokens, n_oov, <group>) where
+                       <group> is --group-col, or a constant `_stream`
+                       column when packing one global stream
   out/chunks/        — (group, chunk_id, ids, n_tokens)
   out/summary.json   — docs, token/OOV totals, chunk fill accounting
 """

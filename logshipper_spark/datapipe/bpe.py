@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import tokens
+from .tokenize import positional_values
 
 END_OF_WORD = "</w>"
 
@@ -166,17 +167,7 @@ def bpe_segment(
             F.coalesce("pieces", _word_symbols(F.col("_word"))),
         ).alias("_pieces"),
     )
-    flat = F.flatten(
-        F.transform(
-            F.sort_array(
-                F.filter(
-                    F.collect_list(F.struct("_pos", "_pieces")),
-                    lambda s: s["_pieces"].isNotNull(),
-                )
-            ),
-            lambda s: s["_pieces"],
-        )
-    )
+    flat = F.flatten(positional_values("_pos", "_pieces"))
     return (
         seg.groupBy("_id")
         .agg(flat.alias("pieces"))

@@ -123,6 +123,33 @@ def write_unigram_lm(
     model.write.mode(mode).option("compression", codec).parquet(path)
 
 
+def _finalize_scores(
+    df: DataFrame, scored: DataFrame, id_col: str
+) -> DataFrame:
+    """Never-drop restore + bits/token finalization shared by lm_score
+    and lm_score_bigram: left-join the per-doc sums back onto the full
+    id set (zero-token docs keep a row with n_tokens 0 and NULL
+    bits_per_token) and derive ``bits_per_token = nlp_sum_micro / 1e6
+    / n_tokens`` at 4 dp — the +1e-9 nudges round-half ties the same
+    way DuckDB rounds (oracle-parity-critical; CLAUDE.md)."""
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    return base.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("nlp_sum_micro"), F.lit(0).cast("long")).alias(
+            "nlp_sum_micro"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("nlp_sum_micro") / F.lit(float(MICRO)) / F.col("n_tokens")
+                + F.lit(1e-9),
+                4,
+            ),
+        ).alias("bits_per_token"),
+    )
+
+
 def lm_score(
     df: DataFrame,
     model: DataFrame,
@@ -157,23 +184,7 @@ def lm_score(
             .alias("nlp_sum_micro"),
         )
     )
-    base = df.select(F.col(id_col).alias("_id")).distinct()
-    out = base.join(scored, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
-        F.coalesce(F.col("nlp_sum_micro"), F.lit(0).cast("long")).alias(
-            "nlp_sum_micro"
-        ),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.col("nlp_sum_micro") / F.lit(float(MICRO)) / F.col("n_tokens")
-                + F.lit(1e-9),
-                4,
-            ),
-        ).alias("bits_per_token"),
-    )
-    return out
+    return _finalize_scores(df, scored, id_col)
 
 
 def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -369,22 +380,7 @@ def lm_score_bigram(
             .alias("nlp_sum_micro"),
         )
     )
-    base_ids = df.select(F.col(id_col).alias("_id")).distinct()
-    return base_ids.join(scored, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
-        F.coalesce(F.col("nlp_sum_micro"), F.lit(0).cast("long")).alias(
-            "nlp_sum_micro"
-        ),
-        F.when(
-            F.col("n_tokens") > 0,
-            F.round(
-                F.col("nlp_sum_micro") / F.lit(float(MICRO)) / F.col("n_tokens")
-                + F.lit(1e-9),
-                4,
-            ),
-        ).alias("bits_per_token"),
-    )
+    return _finalize_scores(df, scored, id_col)
 
 
 def lm_quality_filter(

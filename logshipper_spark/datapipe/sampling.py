@@ -238,7 +238,9 @@ def quantile_bins(
       id-range blocks instead of funneling through one task.
 
     Integer-exact and partition-independent; ``(rank-1)*k`` stays
-    below 2^63 for any realistic n*k.
+    below 2^63 for any realistic n*k. NULL scores form their own tie
+    class and rank FIRST (Spark's ASC null ordering — the null-safe
+    score join keeps those rows; see test).
 
     The distinct-score table is tiny only when scores are DISCRETE
     (quantized quality scores, token counts, …) — the intended use.
@@ -272,10 +274,24 @@ def quantile_bins(
         block_size,
         "_tie",
     ).drop("_one", "_gs")
+    # null-safe score equi-join: NULL scores form their own class and
+    # rank FIRST (Spark's ASC null ordering), exactly like the
+    # single-phase row_number window — a plain equi-join would silently
+    # drop null-score rows and skew every other rank by their count
+    base = base.select(
+        F.col(g).alias("_bg"),
+        F.col(score_col).alias("_bs"),
+        "_base",
+    )
     if broadcast_scores:
         base = F.broadcast(base)
     out = (
-        ranked.join(base, [g, score_col])
+        ranked.join(
+            base,
+            (F.col(g) == F.col("_bg"))
+            & F.col(score_col).eqNullSafe(F.col("_bs")),
+        )
+        .drop("_bg", "_bs")
         .join(F.broadcast(totals), g)
         .withColumn("rank", (F.col("_base") + F.col("_tie")).cast("long"))
         .withColumn(

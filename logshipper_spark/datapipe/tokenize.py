@@ -26,6 +26,24 @@ EOS_ID = 2
 N_SPECIALS = 3
 
 
+def positional_values(pos_col: str, val_col: str):
+    """Aggregation expression: the non-null ``val_col`` values of
+    collected ``(pos, val)`` structs in position order — the
+    positional-rebuild half of every posexplode_outer regroup. The
+    null-valued row is the empty-document marker (kept by the groupBy
+    so empty docs survive, contributing no values). Shared by
+    tokenize_ids and bpe.bpe_segment."""
+    return F.transform(
+        F.sort_array(
+            F.filter(
+                F.collect_list(F.struct(pos_col, val_col)),
+                lambda s: s[val_col].isNotNull(),
+            )
+        ),
+        lambda s: s[val_col],
+    )
+
+
 def vocab_build(
     df: DataFrame,
     text_col: str = "text",
@@ -96,15 +114,7 @@ def tokenize_ids(
         .cast("long")
         .alias("_tid"),
     )
-    body = F.transform(
-        F.sort_array(
-            F.filter(
-                F.collect_list(F.struct("_pos", "_tid")),
-                lambda s: s["_tid"].isNotNull(),
-            )
-        ),
-        lambda s: s["_tid"],
-    )
+    body = positional_values("_pos", "_tid")
     ids = (
         F.concat(
             F.array(F.lit(BOS_ID).cast("long")),

@@ -1205,8 +1205,9 @@ def test_bigram_lm_hand_corpus(spark):
     assert out[1] == (2, s1, round(s1 / 1e6 / 2 + 1e-9, 4))
     assert out[2] == (0, 0, None)
 
-    # held-out: "b z" → first token seen (uni), pair "b z" unseen with
-    # unseen token z (fb_oov); "a a b" → "a a" seen, "a b" seen
+    # held-out "b z a": first token b seen (uni nlp), z behind the
+    # unseen pair "b z" AND itself OOV (fb_oov), a behind the unseen
+    # pair "z a" but a seen token (fb_nlp)
     held = spark.createDataFrame([(9, "b z a")], "doc_id long, text string")
     got = lm.lm_score_bigram(held, bi, tok, uni_oov, fb_oov).collect()[0]
     # b(uni) + z(fb_oov: pair "b z" unseen, token z OOV) + a(fb: pair
@@ -1330,7 +1331,10 @@ def test_quantile_bins_matches_single_phase_window(spark):
     rows = [
         ("a", i, 5 if i < 9 else i % 4)  # 9-way tie on score 5 in group a
         for i in range(14)
-    ] + [("b", 100 + i, i % 2) for i in range(5)]
+    ] + [("b", 100 + i, i % 2) for i in range(5)] + [
+        ("a", 50, None),  # NULL scores: own tie class, ranks first
+        ("a", 51, None),
+    ]
     df = spark.createDataFrame(rows, "src string, doc_id long, score long")
     got = {
         (r["src"], r["doc_id"]): (r["rank"], r["bin"])
