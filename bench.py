@@ -366,6 +366,22 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(packing_mod.shard_plan(docs, target_bytes=1 << 20)),
         "shard_plan",
     )
+    from logshipper_spark.datapipe import sampling as sampling_mod
+    from logshipper_spark.datapipe import textstats as textstats_mod
+
+    scored = docs.select(
+        "source",
+        "doc_id",
+        textstats_mod.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    times["quantile_bins"] = _timed(
+        lambda: _force(
+            sampling_mod.quantile_bins(
+                scored, k=10, score_col="n_tok", group_col="source"
+            )
+        ),
+        "quantile_bins",
+    )
     mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
     try:
         t0 = time.time()
