@@ -1256,6 +1256,27 @@ def q_curate_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.curate(docs, min_quality=0.4, substr_dedup=True)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-5 per query; queries derived from the corpus
+    itself (first 5 whitespace tokens of every doc with doc_id % 37 =
+    3), stop terms with df > 0.9*N pruned (the synthetic corpus has a
+    31-token vocabulary with median df 0.78*N, so a lower cutoff would
+    empty the queries; pruning behavior itself is unit-tested with a
+    handcrafted corpus). Fully independent SQL
+    oracle: DuckDB re-derives tokenization, tf/df/dl/avgdl, the exact
+    integer micro-bit per-term quantization (floor(x*1e6 + 0.5) —
+    order-independent integer score, no float-summation-order
+    divergence), and the (score desc, doc_id asc) rank."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdf = docs.filter("doc_id % 37 = 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " "
+        ).alias("query"),
+    )
+    return textstats.bm25_topk(docs, qdf, k=5, max_df_frac=0.9)
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed tf-idf.
     Fully independent SQL oracle (no hash materialization): DuckDB
@@ -1713,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_contamination": q_substr_contamination,
         "substr_stop_grams": q_substr_stop_grams,
         "curate_substr": q_curate_substr,
+        "bm25_topk": q_bm25_topk,
         "tfidf_topk": q_tfidf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
@@ -2121,6 +2143,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality,
                    COUNT(*) AS exact_dup_count
             FROM q WHERE quality >= 0.4 GROUP BY text
+        """,
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                END AS tk
+              FROM documents),
+            dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+            tp AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tp GROUP BY doc_id, token),
+            dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY token),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                          CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+                   FROM toks),
+            q AS (SELECT doc_id AS query_id,
+                         array_to_string(tk[1:5], ' ') AS qtext
+                  FROM toks WHERE doc_id % 37 = 3),
+            qt AS (SELECT DISTINCT query_id, unnest(
+                     CASE WHEN trim(qtext) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(qtext), '\s+')
+                     END) AS token
+                   FROM q),
+            cand AS (
+              SELECT qt.query_id, tf.doc_id, tf.tf, dfq.dfc, dl.dl,
+                     st.nd, st.avgdl
+              FROM qt JOIN dfq USING (token)
+                      JOIN tf USING (token)
+                      JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN st
+              WHERE dfq.dfc <= 0.9 * st.nd),
+            contrib AS (
+              SELECT query_id, doc_id,
+                CAST(floor(ln(1.0 + (nd - dfc + 0.5) / (dfc + 0.5))
+                     * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                     * 1000000.0 + 0.5) AS BIGINT) AS m
+              FROM cand),
+            scored AS (
+              SELECT query_id, doc_id,
+                     CAST(SUM(m) AS BIGINT) AS sm,
+                     COUNT(*) AS matched_terms
+              FROM contrib GROUP BY query_id, doc_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, rank,
+                   sm / 1000000.0 AS score, matched_terms
+            FROM ranked WHERE rank <= 5
         """,
         "tfidf_topk": r"""
             WITH toks AS (

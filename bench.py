@@ -382,6 +382,18 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "quantile_bins",
     )
+    bm25_queries = docs.filter("doc_id % 37 = 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " "
+        ).alias("query"),
+    )
+    times["bm25_topk"] = _timed(
+        lambda: _force(
+            textstats_mod.bm25_topk(docs, bm25_queries, k=10, max_df_frac=0.9)
+        ),
+        "bm25_topk",
+    )
     mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
     try:
         t0 = time.time()

@@ -174,7 +174,10 @@ def corpus_stats(
 
 
 def term_counts(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_dl: bool = False,
 ) -> DataFrame:
     """(doc_id, token, tf): per-document term frequencies over the
     lowercased whitespace tokenization, PRE-COUNTED per row before any
@@ -185,7 +188,13 @@ def term_counts(
     the `_rep_fold` trick shaped for emission instead of reduction), so
     the exploded relation is already the aggregated answer — no shuffle
     at all for tf, and downstream aggregates start from the smaller
-    distinct-pairs relation."""
+    distinct-pairs relation.
+
+    ``with_dl=True`` additionally carries the document length (total
+    token count) on every posting row as ``dl`` — free here (the row
+    already holds its token array), and it saves consumers that need
+    per-document length normalization (BM25) a corpus-sized doc_id
+    join later."""
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(tokens(F.lower(F.col(text_col)))).alias("_s"),
@@ -227,9 +236,19 @@ def term_counts(
         ),
     )
     pairs = F.filter(pairs_raw, lambda p: p.isNotNull())
-    return staged.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", F.col("p.token").alias("token"), F.col("p.tf").alias("tf")
+    exploded = staged.select(
+        "doc_id",
+        F.size("_s").cast("long").alias("dl"),
+        F.explode(pairs).alias("p"),
     )
+    cols = [
+        "doc_id",
+        F.col("p.token").alias("token"),
+        F.col("p.tf").alias("tf"),
+    ]
+    if with_dl:
+        cols.append("dl")
+    return exploded.select(*cols)
 
 
 def tfidf_topk(
@@ -270,4 +289,121 @@ def tfidf_topk(
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .select("doc_id", "token", "tf", "score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    max_df_frac: float | None = None,
+    stats: tuple[int, int] | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Okapi BM25 retrieval: exact top-k documents per query over the
+    lowercased whitespace tokenization, output ``(query_id, doc_id,
+    rank, score, matched_terms)``. Per query term t with document
+    frequency df in an N-doc corpus of average length avgdl::
+
+        idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))
+        contrib(t, d) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    and score(q, d) sums contrib over q's DISTINCT terms (the Lucene
+    convention). Every per-term contribution is quantized to integer
+    MICRO-BITS (floor(x*1e6 + 0.5)) before the sum — the ``lm.py``
+    trick — so the per-(query, doc) score is an order-independent
+    integer and the ranking (score desc, doc_id asc) is exactly
+    reproducible by a SQL oracle with no float-summation-order or ulp
+    divergence; the reported ``score`` is micros/1e6.
+
+    Plan / 100 TB posture: term frequencies come from the zero-shuffle
+    ``term_counts`` emission with ``dl`` carried on each posting row
+    (no corpus doc-length join); the query term set joins the
+    vocabulary-sized df table and the result BROADCASTS into the
+    postings scan, so the corpus side never shuffles to find
+    candidates — the only corpus-keyed shuffle is the map-side-combined
+    (query, doc) score aggregate, bounded by sum-of-df over query
+    terms. The final top-k is a salted two-phase window (phase 1 ranks
+    within (query, doc-hash salt) and keeps k, phase 2 ranks the
+    ≤ salt_buckets*k survivors), so a stop-word query never funnels
+    its full candidate set through one task. ``max_df_frac`` drops
+    query terms with df > frac*N up front (classic stop-term pruning —
+    those terms carry near-zero idf and dominate candidate volume).
+
+    ``stats=(n_docs, total_tokens)`` skips the one tiny accounting
+    action when the caller already knows them (corpus_stats pass)."""
+    from pyspark.sql import Window
+
+    if stats is None:
+        row = docs.select(
+            F.count("*").alias("n"),
+            F.sum(token_count(F.col(text_col))).alias("tot"),
+        ).collect()[0]
+        nd, tot = int(row["n"]), int(row["tot"] or 0)
+    else:
+        nd, tot = stats
+    avgdl = (tot / nd) if nd else 1.0
+    tf = term_counts(docs, text_col, id_col, with_dl=True)
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(query_col))))
+        ).alias("token"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.filter(F.col("df") <= F.lit(max_df_frac * nd))
+    qdf = dfreq.join(F.broadcast(qt), "token")
+    cand = tf.join(F.broadcast(qdf), "token")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(nd)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    micros = F.floor(idf * norm * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        cand.withColumn("_m", micros)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_m").alias("_sm"),
+            F.count("*").cast("long").alias("matched_terms"),
+        )
+    )
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    )
+    local_w = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("_sm"), F.asc("doc_id")
+    )
+    survivors = (
+        salted.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    global_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_sm"), F.asc("doc_id")
+    )
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(global_w).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("_sm") / F.lit(1e6)).alias("score"),
+            "matched_terms",
+        )
     )

@@ -1005,6 +1005,124 @@ def test_tfidf_n_docs_param_matches_derived(spark, docs):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def _bm25_reference(corpus, queries, k=10, k1=1.2, b=0.75, max_df_frac=None):
+    """Pure-Python BM25 with the operator's exact quantization:
+    per-term micros = floor(idf*norm*1e6 + 0.5), summed as ints."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(corpus)
+    tot = sum(len(v) for v in toks.values())
+    avgdl = tot / n if n else 1.0
+    dfc = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfc[t] = dfc.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries.items():
+        scores = {}
+        terms = {}
+        for t in set(qtext.lower().split()):
+            if t not in dfc:
+                continue
+            if max_df_frac is not None and dfc[t] > max_df_frac * n:
+                continue
+            idf = math.log(1.0 + (n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+            for d, ts in toks.items():
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                norm = (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(ts) / avgdl))
+                )
+                m = math.floor(idf * norm * 1e6 + 0.5)
+                scores[d] = scores.get(d, 0) + m
+                terms[d] = terms.get(d, 0) + 1
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [
+            (d, i + 1, m / 1e6, terms[d])
+            for i, (d, m) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the dog barks at the quick cat",
+        3: "brown bears eat honey in the quiet forest",
+        4: "fox and cat play in the forest near the dog",
+        5: "completely unrelated text about spark shuffles",
+        6: "",
+    }
+    queries = {10: "quick fox", 11: "forest honey", 12: "zzz-nohit"}
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        list(queries.items()), "query_id long, query string"
+    )
+    got = {}
+    for r in textstats.bm25_topk(docs, qdf, k=3).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, r.rank, r.score, r.matched_terms)
+        )
+    for qid in got:
+        got[qid].sort(key=lambda t: t[1])
+    want = _bm25_reference(corpus, queries, k=3)
+    assert got == {q: v for q, v in want.items() if v}
+    assert 12 not in got  # no corpus hit → no rows
+
+
+def test_bm25_salted_topk_equals_single_window(spark, docs):
+    # queries derived from the corpus itself (first 5 tokens of a few
+    # docs); salt_buckets=1 is the plain single-window plan — the
+    # salted two-phase default must produce the identical relation
+    qdf = docs.filter("doc_id % 37 = 3").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " "
+        ).alias("query"),
+    )
+    a = textstats.bm25_topk(docs, qdf, k=5, salt_buckets=64)
+    b = textstats.bm25_topk(docs, qdf, k=5, salt_buckets=1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # structural invariants: contiguous ranks 1..n per query, scores
+    # non-increasing in rank, every hit matched >= 1 term. (The source
+    # doc need NOT rank #1 for its own prefix: the generator's docs
+    # share templated prefixes and BM25's length normalization rightly
+    # prefers shorter docs carrying the same terms.)
+    rows = a.collect()
+    assert rows and all(r.matched_terms >= 1 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for qr in per_q.values():
+        qr.sort(key=lambda r: r.rank)
+        assert [r.rank for r in qr] == list(range(1, len(qr) + 1))
+        assert len(qr) <= 5
+        assert all(
+            x.score >= y.score for x, y in zip(qr, qr[1:])
+        )
+
+
+def test_bm25_max_df_frac_drops_stop_terms(spark):
+    corpus = {
+        1: "the alpha", 2: "the beta", 3: "the gamma", 4: "the delta",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(1, "the alpha")], "query_id long, query string"
+    )
+    # 'the' has df=4=N; frac 0.9 drops it so only doc 1 matches 'alpha'
+    out = textstats.bm25_topk(docs, qdf, k=10, max_df_frac=0.9).collect()
+    assert [(r.doc_id, r.matched_terms) for r in out] == [(1, 1)]
+    want = _bm25_reference(corpus, {1: "the alpha"}, k=10, max_df_frac=0.9)
+    assert [(r.doc_id, r.rank, r.score, r.matched_terms) for r in out] == want[1]
+
+
 def test_curate_substr_dedup_collapses_boilerplate_sharers(spark):
     # three docs identical except a long shared boilerplate passage
     # carried by all of them plus distinct prefixes: with substr_dedup
