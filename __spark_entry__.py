@@ -656,6 +656,46 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.corpus_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain curation screen over deterministically synthesized
+    URLs (hash-free: host/path picked by doc_id modulus, one modulus
+    class schemeless) — covers the blocklist hit, the multi-part
+    suffix (example.co.uk), the path keyword, the dotless host, and
+    the unparseable branch. The oracle re-derives host/path extraction,
+    the registered-domain CASE, the blocklist membership, and the
+    keyword screen entirely in SQL."""
+    hosts = [
+        "docs.example.com", "spam.badsite.com", "news.site.co.uk",
+        "ads.tracker.net", "blog.example.co.uk", "", "plain",
+        "weird.example.org",
+    ]
+    paths = ["article", "buy-now", "research", "casino"]
+    did = F.col("doc_id")
+    h = F.element_at(
+        F.array(*[F.lit(x) for x in hosts]), (did % 8).cast("int") + 1
+    )
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in paths]), (did % 4).cast("int") + 1
+    )
+    url = F.when(
+        did % 8 == 5, F.concat(F.lit("not-a-url-"), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), h, F.lit("/"), p, F.lit("/"),
+            did.cast("string"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id").withColumn("url", url)
+    blocked = spark.createDataFrame(
+        [("badsite.com",), ("tracker.net",), ("example.co.uk",)],
+        "domain string",
+    )
+    return filters.url_filter(d, blocked).select(
+        "doc_id", "url", "host", "url_domain", "url_path",
+        "blocked_domain", "blocked_path", "url_keep",
+    )
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 repetition + word-shape stats, all exact integers.
     Spark computes them per-row (array_sort + linear fold, no shuffle);
@@ -1700,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
         "corpus_stats": q_corpus_stats,
+        "url_filter": q_url_filter,
         "repetition_filter": q_repetition_filter,
         "pii_scrub": q_pii_scrub,
         "token_budget": q_token_budget,
@@ -2868,6 +2909,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS BIGINT)
                      AS quality_sum_4dp
             FROM st GROUP BY lang_guess
+        """,
+        "url_filter": r"""
+            WITH u AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 8 = 5
+                     THEN 'not-a-url-' || CAST(doc_id AS VARCHAR)
+                     ELSE 'https://' ||
+                       (['docs.example.com','spam.badsite.com',
+                         'news.site.co.uk','ads.tracker.net',
+                         'blog.example.co.uk','','plain',
+                         'weird.example.org'])[CAST(doc_id % 8 AS INT) + 1]
+                       || '/' ||
+                       (['article','buy-now','research','casino'])
+                         [CAST(doc_id % 4 AS INT) + 1]
+                       || '/' || CAST(doc_id AS VARCHAR)
+                END AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, url,
+                lower(regexp_replace(regexp_replace(
+                  regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1),
+                  '^[^@]*@', ''), ':\d+$', '')) AS host,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1))
+                  AS url_path
+              FROM u),
+            d AS (
+              SELECT *, string_split(host, '.') AS labels,
+                     len(string_split(host, '.')) AS n
+              FROM h),
+            rd AS (
+              SELECT doc_id, url, host, url_path,
+                CASE WHEN n <= 1 THEN host
+                     WHEN n >= 3 AND list_contains(
+                         ['co.uk','org.uk','ac.uk','gov.uk',
+                          'com.au','net.au','org.au',
+                          'co.jp','co.in','co.nz','co.za',
+                          'com.br','com.cn','com.mx','com.tr'],
+                         array_to_string(labels[n-1:n], '.'))
+                       THEN array_to_string(labels[n-2:n], '.')
+                     ELSE array_to_string(labels[n-1:n], '.')
+                END AS url_domain
+              FROM d),
+            fin AS (
+              SELECT doc_id, url, host, url_domain, url_path,
+                list_contains(['badsite.com','tracker.net','example.co.uk'],
+                              url_domain) AS blocked_domain,
+                regexp_matches(url_path,
+                  '(?:casino|gambling|porn|xxx|viagra|buy\-now)')
+                  AS blocked_path
+              FROM rd)
+            SELECT doc_id, url, host, url_domain, url_path,
+                   blocked_domain, blocked_path,
+                   (host != '' AND NOT blocked_domain AND NOT blocked_path)
+                     AS url_keep
+            FROM fin
         """,
         "repetition_filter": r"""
             WITH tok AS (

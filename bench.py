@@ -394,6 +394,26 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "bm25_topk",
     )
+    url_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".host"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    url_blocked = spark.createDataFrame(
+        [(f"ex{i}.com",) for i in range(3)], "domain string"
+    )
+    times["url_filter"] = _timed(
+        lambda: _force(filters_mod.url_filter(url_docs, url_blocked)),
+        "url_filter",
+    )
     mh_dir = tempfile.mkdtemp(prefix="bench_mh_")
     try:
         t0 = time.time()

@@ -223,6 +223,117 @@ def c4_line_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Multi-part public suffixes for the simplified registered-domain rule
+# (the real public-suffix list is thousands of entries; curation
+# blocklists only need the common ccTLD second levels — documented
+# approximation, same convention as C4's domain blocklist matching).
+MULTI_PART_SUFFIXES: list[str] = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.in", "co.nz", "co.za",
+    "com.br", "com.cn", "com.mx", "com.tr",
+]
+
+# C4-style URL path screening: drop documents whose URL path carries
+# an adult/gambling/spam marker (Raffel et al. 2020 §2.2 use a word
+# blocklist; applying it to the URL path is the cheap pre-fetch form).
+DEFAULT_PATH_KEYWORDS: list[str] = [
+    "casino", "gambling", "porn", "xxx", "viagra", "buy-now",
+]
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host from an absolute URL: the authority component
+    with userinfo and port stripped; '' when the value has no
+    ``scheme://`` prefix (unparseable → callers drop it)."""
+    auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.lower(F.regexp_replace(no_user, r":\d+$", ""))
+
+
+def url_path(url: Column) -> Column:
+    """Path component (no query/fragment) of an absolute URL; '' when
+    schemeless."""
+    return F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a host under the simplified two-level
+    rule: the last two labels, or the last three when the last two
+    form a known multi-part suffix (MULTI_PART_SUFFIXES); a dotless
+    host is its own domain. `spam.badsite.com` → `badsite.com`,
+    `blog.example.co.uk` → `example.co.uk`."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, n - 1, F.lit(2)))
+    last3 = F.concat_ws(".", F.slice(labels, n - 2, F.lit(3)))
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & last2.isin(MULTI_PART_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: DataFrame | None = None,
+    path_keywords: list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """URL/domain curation screen (the C4/RefinedWeb pre-content
+    gate): extract host, path, and registered domain from ``url_col``,
+    flag rows whose registered domain is in ``blocked_domains`` (a
+    one-column ``domain`` DataFrame) or whose path carries a
+    ``path_keywords`` marker, and emit ``url_keep`` = parseable ∧ not
+    blocked ∧ no keyword. Adds ``host``, ``url_domain``, ``url_path``,
+    ``blocked_domain``, ``blocked_path``, ``url_keep``; never drops
+    rows (callers filter on the flag, keeping counter parity with the
+    never-drop parse convention).
+
+    Scale posture: extraction is a map-only regex/string projection
+    fused into the scan; the blocklist (at most millions of domains,
+    kilobyte-scale here) BROADCASTS into a left join keyed on the
+    registered domain — the corpus never shuffles; the keyword screen
+    is one compiled alternation regex. ``url_keep`` is a plain boolean
+    column, eligible for pushdown into every downstream curation
+    join."""
+    import re as _re
+
+    kws = DEFAULT_PATH_KEYWORDS if path_keywords is None else path_keywords
+    host = url_host(F.col(url_col))
+    out = df.select(
+        "*",
+        host.alias("host"),
+        registered_domain(host).alias("url_domain"),
+        F.lower(url_path(F.col(url_col))).alias("url_path"),
+    )
+    if blocked_domains is not None:
+        marks = F.broadcast(
+            blocked_domains.select(
+                F.col("domain").alias("url_domain"),
+                F.lit(True).alias("_blk"),
+            ).dropDuplicates(["url_domain"])
+        )
+        out = out.join(marks, "url_domain", "left").withColumn(
+            "blocked_domain", F.coalesce(F.col("_blk"), F.lit(False))
+        ).drop("_blk")
+    else:
+        out = out.withColumn("blocked_domain", F.lit(False))
+    if kws:
+        pat = "(?:" + "|".join(_re.escape(k) for k in kws) + ")"
+        blocked_path = F.col("url_path").rlike(pat)
+    else:
+        blocked_path = F.lit(False)
+    return out.withColumn("blocked_path", blocked_path).withColumn(
+        "url_keep",
+        (F.col("host") != "")
+        & ~F.col("blocked_domain")
+        & ~F.col("blocked_path"),
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub PII spans (email / SSN / phone / IPv4) with typed
     placeholder tokens and count each class.

@@ -1123,6 +1123,51 @@ def test_bm25_max_df_frac_drops_stop_terms(spark):
     assert [(r.doc_id, r.rank, r.score, r.matched_terms) for r in out] == want[1]
 
 
+def test_url_filter_domains_paths_and_edge_cases(spark):
+    from logshipper_spark.datapipe import filters
+
+    rows = [
+        (1, "https://spam.badsite.com/article/1"),
+        (2, "https://docs.example.com/guide"),
+        (3, "https://blog.example.co.uk/post"),        # multi-part suffix
+        (4, "https://shop.example.com/buy-now/cheap"), # path keyword
+        (5, "http://user:pw@host.example.org:8080/x"), # userinfo + port
+        (6, "not-a-url-6"),                            # unparseable
+        (7, "https://plain/path"),                     # dotless host
+        (8, "HTTPS://UPPER.EXAMPLE.COM/CASINO/slots"), # case: host lowered,
+                                                       # path lowered too
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("badsite.com",), ("example.co.uk",)], "domain string"
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in filters.url_filter(df, blocked).collect()
+    }
+    assert got[1]["url_domain"] == "badsite.com" and got[1]["blocked_domain"]
+    assert not got[1]["url_keep"]
+    assert got[2]["url_domain"] == "example.com" and got[2]["url_keep"]
+    assert got[3]["url_domain"] == "example.co.uk" and not got[3]["url_keep"]
+    assert got[4]["blocked_path"] and not got[4]["url_keep"]
+    assert got[5]["host"] == "host.example.org"  # userinfo+port stripped
+    assert got[5]["url_domain"] == "example.org" and got[5]["url_keep"]
+    assert got[6]["host"] == "" and not got[6]["url_keep"]
+    assert got[7]["url_domain"] == "plain" and got[7]["url_keep"]
+    assert got[8]["host"] == "upper.example.com"
+    assert got[8]["blocked_path"] and not got[8]["url_keep"]
+
+
+def test_url_filter_no_blocklist_no_keywords(spark):
+    from logshipper_spark.datapipe import filters
+
+    df = spark.createDataFrame(
+        [(1, "https://any.example.com/casino")], "doc_id long, url string"
+    )
+    out = filters.url_filter(df, None, path_keywords=[]).first()
+    assert out.url_keep and not out.blocked_domain and not out.blocked_path
+
+
 def test_curate_substr_dedup_collapses_boilerplate_sharers(spark):
     # three docs identical except a long shared boilerplate passage
     # carried by all of them plus distinct prefixes: with substr_dedup
