@@ -1308,12 +1308,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent integer score, no float-summation-order
     divergence), and the (score desc, doc_id asc) rank."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    qdf = docs.filter("doc_id % 37 = 3").select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(
-            F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " "
-        ).alias("query"),
-    )
+    qdf = textstats.prefix_queries(docs, mod=37, rem=3, n_tokens=5)
     return textstats.bm25_topk(docs, qdf, k=5, max_df_frac=0.9)
 
 
@@ -2219,7 +2214,12 @@ def oracle_sql() -> dict[str, str]:
             contrib AS (
               SELECT query_id, doc_id,
                 CAST(floor(ln(1.0 + (nd - dfc + 0.5) / (dfc + 0.5))
-                     * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                     -- 2.2 must be DOUBLE: DuckDB would otherwise compute
+                     -- bigint*DECIMAL exactly (6.6) where Spark multiplies
+                     -- doubles (6.6000000000000005) — a 1-ulp numerator
+                     -- divergence feeding the micro floor
+                     * ((tf * 2.2::DOUBLE)
+                        / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
                      * 1000000.0 + 0.5) AS BIGINT) AS m
               FROM cand),
             scored AS (

@@ -245,17 +245,23 @@ DEFAULT_PATH_KEYWORDS: list[str] = [
 def url_host(url: Column) -> Column:
     """Lowercased host from an absolute URL: the authority component
     with userinfo and port stripped; '' when the value has no
-    ``scheme://`` prefix (unparseable → callers drop it)."""
+    ``scheme://`` prefix or is NULL (unparseable → callers drop it;
+    coalesced so the keep flag stays a real boolean, never NULL)."""
     auth = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
     no_user = F.regexp_replace(auth, r"^[^@]*@", "")
-    return F.lower(F.regexp_replace(no_user, r":\d+$", ""))
+    return F.coalesce(
+        F.lower(F.regexp_replace(no_user, r":\d+$", "")), F.lit("")
+    )
 
 
 def url_path(url: Column) -> Column:
     """Path component (no query/fragment) of an absolute URL; '' when
-    schemeless."""
-    return F.regexp_extract(
-        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    schemeless or NULL."""
+    return F.coalesce(
+        F.regexp_extract(
+            url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+        ),
+        F.lit(""),
     )
 
 
@@ -310,9 +316,11 @@ def url_filter(
         F.lower(url_path(F.col(url_col))).alias("url_path"),
     )
     if blocked_domains is not None:
+        # lower() so a mixed-case blocklist entry still matches the
+        # always-lowercased url_domain
         marks = F.broadcast(
             blocked_domains.select(
-                F.col("domain").alias("url_domain"),
+                F.lower(F.col("domain")).alias("url_domain"),
                 F.lit(True).alias("_blk"),
             ).dropDuplicates(["url_domain"])
         )

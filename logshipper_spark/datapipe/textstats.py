@@ -292,6 +292,45 @@ def tfidf_topk(
     )
 
 
+# bm25_topk persists the query-filtered posting frame (shared by the
+# df aggregate and the candidate join — without it the corpus-wide
+# tokenize/sort/fold projection runs twice, the round-2 minhash trap).
+# A lazy builder cannot unpersist its own intermediate, so eager call
+# sites release after their action (dedup.release_cached_signatures
+# precedent).
+_POSTING_CACHE: list[DataFrame] = []
+
+
+def release_cached_postings() -> None:
+    """Unpersist posting frames cached by ``bm25_topk``."""
+    while _POSTING_CACHE:
+        _POSTING_CACHE.pop().unpersist()
+
+
+def prefix_queries(
+    docs: DataFrame,
+    mod: int = 37,
+    rem: int = 3,
+    n_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic corpus-derived retrieval query set: every document
+    with ``id % mod == rem`` contributes its first ``n_tokens``
+    whitespace tokens as ``(query_id, query)``. One definition shared
+    by the contract query, bench, plan report, and tests so they all
+    measure/verify the same workload."""
+    return docs.filter(F.col(id_col) % mod == rem).select(
+        F.col(id_col).alias("query_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.trim(F.col(text_col)), r"\s+"), 1, n_tokens
+            ),
+            " ",
+        ).alias("query"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -324,17 +363,21 @@ def bm25_topk(
 
     Plan / 100 TB posture: term frequencies come from the zero-shuffle
     ``term_counts`` emission with ``dl`` carried on each posting row
-    (no corpus doc-length join); the query term set joins the
-    vocabulary-sized df table and the result BROADCASTS into the
-    postings scan, so the corpus side never shuffles to find
-    candidates — the only corpus-keyed shuffle is the map-side-combined
-    (query, doc) score aggregate, bounded by sum-of-df over query
-    terms. The final top-k is a salted two-phase window (phase 1 ranks
-    within (query, doc-hash salt) and keeps k, phase 2 ranks the
-    ≤ salt_buckets*k survivors), so a stop-word query never funnels
-    its full candidate set through one task. ``max_df_frac`` drops
-    query terms with df > frac*N up front (classic stop-term pruning —
-    those terms carry near-zero idf and dominate candidate volume).
+    (no corpus doc-length join); the distinct query-token set
+    BROADCASTS into that emission so the corpus is scanned ONCE and
+    only query-term postings survive — the filtered posting frame is
+    persisted (call ``release_cached_postings()`` after the action)
+    and feeds both the df aggregate (df over filtered postings equals
+    true df for those tokens) and the candidate join, so neither
+    aggregates the full vocabulary nor re-tokenizes the corpus. The
+    only corpus-keyed shuffle is the map-side-combined (query, doc)
+    score aggregate, bounded by sum-of-df over query terms. The final
+    top-k is a salted two-phase window (phase 1 ranks within (query,
+    doc-hash salt) and keeps k, phase 2 ranks the ≤ salt_buckets*k
+    survivors), so a stop-word query never funnels its full candidate
+    set through one task. ``max_df_frac`` drops query terms with df >
+    frac*N up front (classic stop-term pruning — those terms carry
+    near-zero idf and dominate candidate volume).
 
     ``stats=(n_docs, total_tokens)`` skips the one tiny accounting
     action when the caller already knows them (corpus_stats pass)."""
@@ -356,11 +399,14 @@ def bm25_topk(
             F.array_distinct(tokens(F.lower(F.col(query_col))))
         ).alias("token"),
     )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    post = tf.join(F.broadcast(qt.select("token").distinct()), "token")
+    post = post.persist()
+    _POSTING_CACHE.append(post)
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
     if max_df_frac is not None:
         dfreq = dfreq.filter(F.col("df") <= F.lit(max_df_frac * nd))
     qdf = dfreq.join(F.broadcast(qt), "token")
-    cand = tf.join(F.broadcast(qdf), "token")
+    cand = post.join(F.broadcast(qdf), "token")
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(nd)) - F.col("df") + F.lit(0.5))

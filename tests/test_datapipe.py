@@ -1078,12 +1078,7 @@ def test_bm25_salted_topk_equals_single_window(spark, docs):
     # queries derived from the corpus itself (first 5 tokens of a few
     # docs); salt_buckets=1 is the plain single-window plan — the
     # salted two-phase default must produce the identical relation
-    qdf = docs.filter("doc_id % 37 = 3").select(
-        F.col("doc_id").alias("query_id"),
-        F.array_join(
-            F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " "
-        ).alias("query"),
-    )
+    qdf = textstats.prefix_queries(docs, mod=37, rem=3, n_tokens=5)
     a = textstats.bm25_topk(docs, qdf, k=5, salt_buckets=64)
     b = textstats.bm25_topk(docs, qdf, k=5, salt_buckets=1)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
@@ -1136,10 +1131,12 @@ def test_url_filter_domains_paths_and_edge_cases(spark):
         (7, "https://plain/path"),                     # dotless host
         (8, "HTTPS://UPPER.EXAMPLE.COM/CASINO/slots"), # case: host lowered,
                                                        # path lowered too
+        (9, None),                                     # NULL url
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
+    # mixed-case blocklist entry must still match the lowercased domain
     blocked = spark.createDataFrame(
-        [("badsite.com",), ("example.co.uk",)], "domain string"
+        [("BadSite.com",), ("example.co.uk",)], "domain string"
     )
     got = {
         r.doc_id: r.asDict()
@@ -1156,6 +1153,10 @@ def test_url_filter_domains_paths_and_edge_cases(spark):
     assert got[7]["url_domain"] == "plain" and got[7]["url_keep"]
     assert got[8]["host"] == "upper.example.com"
     assert got[8]["blocked_path"] and not got[8]["url_keep"]
+    # NULL url → real booleans (never NULL: a NULL url_keep would drop
+    # the row from BOTH sides of a keep/drop partition)
+    assert got[9]["host"] == "" and got[9]["url_keep"] is False
+    assert got[9]["blocked_domain"] is False and got[9]["blocked_path"] is False
 
 
 def test_url_filter_no_blocklist_no_keywords(spark):
