@@ -1067,6 +1067,7 @@ def test_bm25_matches_python_reference(spark):
         got.setdefault(r.query_id, []).append(
             (r.doc_id, r.rank, r.score, r.matched_terms)
         )
+    textstats.release_cached_postings()
     for qid in got:
         got[qid].sort(key=lambda t: t[1])
     want = _bm25_reference(corpus, queries, k=3)
@@ -1088,6 +1089,7 @@ def test_bm25_salted_topk_equals_single_window(spark, docs):
     # share templated prefixes and BM25's length normalization rightly
     # prefers shorter docs carrying the same terms.)
     rows = a.collect()
+    textstats.release_cached_postings()
     assert rows and all(r.matched_terms >= 1 for r in rows)
     per_q = {}
     for r in rows:
@@ -1099,6 +1101,50 @@ def test_bm25_salted_topk_equals_single_window(spark, docs):
         assert all(
             x.score >= y.score for x, y in zip(qr, qr[1:])
         )
+
+
+def test_bm25_property_random_corpora(spark):
+    """Property test (hypothesis, derandomized so CI is stable): for
+    generated corpora and queries over a small vocabulary, bm25_topk
+    must equal the pure-Python reference exactly — ranks, quantized
+    scores, and matched-term counts. Exercises empty docs, repeated
+    tokens, all-stop-term queries, and ties (equal (tf, df, dl) micros
+    broken by doc_id on both sides)."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    text_st = st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(
+        " ".join
+    )
+
+    @settings(max_examples=12, deadline=None, derandomize=True)
+    @given(
+        texts=st.lists(text_st, min_size=1, max_size=6),
+        qtexts=st.lists(text_st, min_size=1, max_size=3),
+        k=st.integers(min_value=1, max_value=4),
+        frac=st.sampled_from([None, 0.6]),
+    )
+    def check(texts, qtexts, k, frac):
+        corpus = {i + 1: t for i, t in enumerate(texts)}
+        queries = {100 + i: t for i, t in enumerate(qtexts)}
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        qdf = spark.createDataFrame(
+            list(queries.items()), "query_id long, query string"
+        )
+        got = {}
+        for r in textstats.bm25_topk(docs, qdf, k=k, max_df_frac=frac).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.doc_id, r.rank, r.score, r.matched_terms)
+            )
+        textstats.release_cached_postings()
+        for qid in got:
+            got[qid].sort(key=lambda t: t[1])
+        want = _bm25_reference(corpus, queries, k=k, max_df_frac=frac)
+        assert got == {q: v for q, v in want.items() if v}
+
+    check()
 
 
 def test_bm25_max_df_frac_drops_stop_terms(spark):
