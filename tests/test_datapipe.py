@@ -1527,6 +1527,52 @@ def test_assemble_chunks_exact_layout(spark):
     }
 
 
+def test_pack_assemble_property_reconstruction(spark):
+    """Property test (hypothesis, derandomized): for generated groups,
+    document lengths (incl. zero), budgets, and block sizes, the
+    assembled chunks must equal the per-group concatenation of id
+    arrays in doc order, cut every `budget` tokens — the operator
+    pair's defining invariant."""
+    from hypothesis import given, settings, strategies as st
+
+    from logshipper_spark.datapipe import packing
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(
+        data=st.lists(
+            st.tuples(st.sampled_from(["g", "h"]), st.integers(0, 9)),
+            min_size=1,
+            max_size=8,
+        ),
+        budget=st.integers(1, 12),
+        block=st.sampled_from([1, 2, 64]),
+    )
+    def check(data, budget, block):
+        rows = []
+        nxt = 0
+        for i, (g, ln) in enumerate(data):
+            rows.append((g, i, list(range(nxt, nxt + ln))))
+            nxt += ln
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, ids array<long>"
+        ).withColumn("n", F.size("ids").cast("long"))
+        layout = packing.pack_chunks(
+            df, budget=budget, tokens_col="n", block_size=block
+        )
+        got = {}
+        for r in packing.assemble_chunks(df, layout).collect():
+            got[(r["source"], r["chunk_id"])] = list(r["ids"])
+            assert r["n_tokens"] == len(r["ids"])
+        want = {}
+        for g in sorted({g for g, _ in data}):
+            stream = [x for gg, _i, ids in rows if gg == g for x in ids]
+            for c in range(0, len(stream), budget):
+                want[(g, c // budget)] = stream[c : c + budget]
+        assert got == want
+
+    check()
+
+
 # ── exact quantile binning (sampling.quantile_bins) ──
 
 
