@@ -854,6 +854,21 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-local overlapping sentence windows (max 4, stride 2) over
+    sentence-ified synthetic docs (a period appended after every third
+    word — the corpus has no punctuation of its own; the regexp_replace
+    is mirrored in the oracle with the 'g' flag and \\1 backref). The
+    oracle re-derives the sentence split, trim/drop-empty, the window
+    count arithmetic, and every slice."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prep = docs.withColumn(
+        "text",
+        F.regexp_replace("text", r"([a-z]+ [a-z]+ [a-z]+) ", r"$1. "),
+    )
+    return packing.sentence_chunks(prep, max_sentences=4, stride=2)
+
+
 def q_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-sequence materialization: tokenize to ids
     (q_tokenize_ids vocabulary), pack the id stream (budget 256, per
@@ -1742,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "vocab_topk": q_vocab_topk,
         "tokenize_ids": q_tokenize_ids,
+        "sentence_chunks": q_sentence_chunks,
         "pack_assemble": q_pack_assemble,
         "quantile_bins": q_quantile_bins,
         "decontaminate": q_decontaminate,
@@ -3276,6 +3292,35 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_tokens, 0) AS n_tokens,
                    COALESCE(a.n_oov, 0) AS n_oov
             FROM t LEFT JOIN a USING (doc_id)
+        """,
+        "sentence_chunks": r"""
+            WITH prep AS (
+              SELECT doc_id,
+                regexp_replace(text,
+                  '([a-z]+ [a-z]+ [a-z]+) ', '\1. ', 'g') AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                list_filter(list_transform(
+                  regexp_extract_all(t, '([^.!?]*[.!?]+|[^.!?]+$)', 1),
+                  x -> trim(x)), x -> x != '') AS sents
+              FROM prep),
+            w AS (
+              SELECT doc_id, sents, len(sents) AS n,
+                CASE WHEN len(sents) = 0 THEN 0
+                     ELSE 1 + (greatest(len(sents) - 4, 0) + 2 - 1) // 2
+                END AS num
+              FROM s),
+            e AS (
+              SELECT doc_id, sents, n,
+                     unnest(range(num)) AS chunk_idx
+              FROM w)
+            SELECT doc_id, chunk_idx,
+                   array_to_string(
+                     sents[(chunk_idx*2 + 1):least(chunk_idx*2 + 4, n)],
+                     ' ') AS chunk_text,
+                   least(chunk_idx*2 + 4, n) - chunk_idx*2 AS n_sentences
+            FROM e
         """,
         "pack_assemble": r"""
             WITH t AS (

@@ -382,6 +382,20 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "quantile_bins",
     )
+    sentenceified = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"([a-z]+ [a-z]+ [a-z]+) ", r"$1. "
+        ).alias("text"),
+    )
+    times["sentence_chunks"] = _timed(
+        lambda: _force(
+            packing_mod.sentence_chunks(
+                sentenceified, max_sentences=4, stride=2
+            )
+        ),
+        "sentence_chunks",
+    )
     bm25_queries = textstats_mod.prefix_queries(docs, mod=37, rem=3, n_tokens=5)
 
     def _cold_bm25() -> None:

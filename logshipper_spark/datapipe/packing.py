@@ -212,3 +212,75 @@ def chunk_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.col("doc_end") - F.col("doc_begin")).alias("fill_tokens"),
     )
+
+
+# sentence splitter: a run of non-terminators ending in 1+ terminator
+# chars, or the terminator-less tail. Group 1 + trim + drop-empty is
+# mirrored verbatim by the DuckDB oracle (RE2-compatible — no
+# lookaround, and both engines use leftmost-first alternation).
+SENTENCE_PATTERN = r"([^.!?]*[.!?]+|[^.!?]+$)"
+
+
+def sentence_chunks(
+    df: DataFrame,
+    max_sentences: int = 5,
+    stride: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-local overlapping sentence windows (RAG / context-window
+    corpus prep — the complement of ``pack_chunks``, which concatenates
+    ACROSS documents with no overlap): split each document into
+    sentences (``SENTENCE_PATTERN`` + trim, empties dropped), then emit
+    windows of up to ``max_sentences`` sentences starting every
+    ``stride`` sentences, as ``(id, chunk_idx, chunk_text,
+    n_sentences)``. Window count = 1 + ceil(max(0, n - max_sentences) /
+    stride) for non-empty docs, 0 for sentence-less docs — when
+    ``stride <= max_sentences`` every sentence lands in >=1 window and
+    consecutive windows overlap by ``max_sentences - stride``
+    sentences.
+
+    Scale posture: pure per-row array work (regexp_extract_all →
+    transform/filter → sequence → slice explode) — a map-only stage
+    with zero shuffles; output rows ≈ n_sentences/stride per document.
+    Everything is integer arithmetic over a deterministic split, so
+    the DuckDB oracle reproduces it value-exactly."""
+    if max_sentences <= 0 or stride <= 0:
+        raise ValueError(
+            f"max_sentences and stride must be positive, got "
+            f"{max_sentences}, {stride}"
+        )
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(SENTENCE_PATTERN), F.lit(1)
+            ),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    d = df.select(
+        F.col(id_col), sents.alias("_sents")
+    ).withColumn("_n", F.size("_sents").cast("long"))
+    n = F.col("_n")
+    ms, st = F.lit(max_sentences), F.lit(stride)
+    num = F.lit(1) + F.floor(
+        (F.greatest(n - ms, F.lit(0)) + st - F.lit(1)) / st
+    ).cast("long")
+    wins = F.when(n > 0, F.sequence(F.lit(0).cast("long"), num - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    exploded = d.select(
+        id_col, "_sents", F.explode(wins).alias("chunk_idx")
+    )
+    window = F.slice(
+        F.col("_sents"),
+        (F.col("chunk_idx") * st).cast("int") + F.lit(1),
+        F.lit(max_sentences),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("n_sentences"),
+    )

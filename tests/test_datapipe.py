@@ -1527,6 +1527,97 @@ def test_assemble_chunks_exact_layout(spark):
     }
 
 
+def _sentence_chunks_reference(text, ms, st):
+    import math
+    import re
+
+    sents = [
+        s.strip()
+        for s in re.findall(r"[^.!?]*[.!?]+|[^.!?]+$", text)
+        if s.strip()
+    ]
+    n = len(sents)
+    if n == 0:
+        return []
+    num = 1 + math.ceil(max(0, n - ms) / st)
+    return [
+        (
+            i,
+            " ".join(sents[i * st : i * st + ms]),
+            len(sents[i * st : i * st + ms]),
+        )
+        for i in range(num)
+    ]
+
+
+def test_sentence_chunks_hand_cases(spark):
+    from logshipper_spark.datapipe import packing
+
+    rows = [
+        (1, "One. Two! Three? Four. Five. Six. Seven"),  # tail w/o terminator
+        (2, "Only one sentence."),
+        (3, ""),                                          # no sentences
+        (4, "..."),                                       # punct-only → one
+        (5, "a. b. c. d. e. f. g. h."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in packing.sentence_chunks(df, max_sentences=3, stride=2).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_text, r.n_sentences)
+        )
+    for d in got:
+        got[d].sort()
+    for d, text in rows:
+        want = _sentence_chunks_reference(text, 3, 2)
+        assert got.get(d, []) == want, (d, got.get(d), want)
+    # overlap spot check: doc 1 windows are [1-3],[3-5],[5-7]
+    assert got[1][0] == (0, "One. Two! Three?", 3)
+    assert got[1][1] == (1, "Three? Four. Five.", 3)
+    assert got[1][2] == (2, "Five. Six. Seven", 3)
+
+
+def test_sentence_chunks_property(spark):
+    """Property test (derandomized): generated sentence mixes must
+    match the Python reference for several (max_sentences, stride)
+    shapes including stride == max (no overlap) and max == 1."""
+    from hypothesis import given, settings, strategies as st
+
+    from logshipper_spark.datapipe import packing
+
+    piece = st.sampled_from(
+        ["Alpha beta.", "Gamma!", "Delta epsilon zeta?", "no terminator",
+         "Two. In one piece!", "...", "  ", "x.y.z."]
+    )
+    text_st = st.lists(piece, min_size=0, max_size=6).map(" ".join)
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(
+        texts=st.lists(text_st, min_size=1, max_size=5),
+        ms=st.integers(min_value=1, max_value=4),
+        stv=st.integers(min_value=1, max_value=4),
+    )
+    def check(texts, ms, stv):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {}
+        for r in packing.sentence_chunks(
+            df, max_sentences=ms, stride=stv
+        ).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.chunk_text, r.n_sentences)
+            )
+        for d in got:
+            got[d].sort()
+        for d, text in enumerate(texts):
+            assert got.get(d, []) == _sentence_chunks_reference(
+                text, ms, stv
+            )
+
+    check()
+
+
 def test_pack_assemble_property_reconstruction(spark):
     """Property test (hypothesis, derandomized): for generated groups,
     document lengths (incl. zero), budgets, and block sizes, the
