@@ -1705,3 +1705,51 @@ def test_quantile_bins_matches_single_phase_window(spark):
 
     ca = Counter(b for (s, _), (_, b) in got.items() if s == "a")
     assert max(ca.values()) - min(ca.values()) <= 1 and set(ca) == {0, 1, 2, 3}
+
+
+def test_quantile_bins_property(spark):
+    """Property test (derandomized): for generated groups, discrete
+    scores with heavy ties, NULL scores, k, and block sizes, the
+    two-phase rank/bin must equal the pure-Python single-sort
+    reference (NULLs rank first — Spark ASC null ordering)."""
+    from hypothesis import given, settings, strategies as st
+
+    from logshipper_spark.datapipe import sampling
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.one_of(st.none(), st.integers(0, 3)),
+            ),
+            min_size=1,
+            max_size=14,
+        ),
+        k=st.integers(min_value=1, max_value=5),
+        block=st.sampled_from([1, 2, 64]),
+    )
+    def check(rows, k, block):
+        data = [(g, i, s) for i, (g, s) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "src string, doc_id long, score long"
+        )
+        got = {
+            r["doc_id"]: (r["rank"], r["bin"])
+            for r in sampling.quantile_bins(
+                df, k=k, score_col="score", group_col="src",
+                block_size=block, id_col="doc_id",
+            ).collect()
+        }
+        want = {}
+        for g in {g for g, _, _ in data}:
+            grp = sorted(
+                (d for d in data if d[0] == g),
+                key=lambda d: (d[2] is not None, d[2] or 0, d[1]),
+            )
+            n = len(grp)
+            for pos, (_, i, _) in enumerate(grp):
+                want[i] = (pos + 1, pos * k // n)
+        assert got == want
+
+    check()
