@@ -108,6 +108,14 @@ def main(argv: list[str] | None = None) -> int:
             row = spark.read.schema(
                 "scrub_pii boolean, line_clean boolean"
             ).parquet(dpath).head()
+            if row is None:
+                # a crashed _write_domain can leave the dir with no
+                # data files — actionable error, not a TypeError
+                raise ValueError(
+                    f"index {idx_path} has an empty _domain marker "
+                    "(interrupted write?) — rebuild the index or "
+                    "restore its _domain record"
+                )
             found = (bool(row["scrub_pii"]), bool(row["line_clean"]))
             if found != domain:
                 raise ValueError(

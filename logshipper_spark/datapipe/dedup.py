@@ -675,7 +675,10 @@ def line_dedup(
 
     Output: the input frame (joined back on ``id_col``) plus
     ``clean_text`` (kept lines re-joined with newline), ``n_lines``,
-    and ``n_removed_lines`` — exact integers.
+    and ``n_removed_lines`` — exact integers. A NULL ``text_col``
+    explodes to no lines, so those rows come back through the LEFT
+    join with ``clean_text = ''`` and zero counts — never dropped
+    (the sibling operators' never-drop posture).
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
@@ -727,7 +730,18 @@ def line_dedup(
             "n_removed_lines",
         )
     )
-    return df.join(rebuilt, df[id_col] == rebuilt["_id"]).drop("_id")
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+        .withColumn(
+            "n_lines", F.coalesce(F.col("n_lines"), F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "n_removed_lines",
+            F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long")),
+        )
+    )
 
 
 def source_overlap(

@@ -70,6 +70,26 @@ def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _cached_unigram_counts_and_denom(
+    df: DataFrame, text_col: str
+) -> tuple[DataFrame, int]:
+    """Shared by fit_unigram_lm and fit_bigram_lm — the two fits MUST
+    stay numerically identical (uni_oov/fb_oov consistency across the
+    unigram and bigram scorers): cache the unigram counts (the T/V
+    aggregate materializes them anyway; registered in _COUNT_CACHE —
+    see release_cached_counts) and return (counts, T+V) with the
+    empty-corpus denominator guard."""
+    counts = unigram_counts(df, text_col).cache()
+    _COUNT_CACHE.append(counts)
+    tot = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
+    ).head()
+    denom = int(tot["t"]) + int(tot["v"])
+    if denom == 0:
+        denom = 1  # empty corpus: degenerate model, every token OOV at p=1
+    return counts, denom
+
+
 def _nlp_micro(cnt_col, denom: int):
     """floor(-log2((cnt+1)/denom) * 1e6 + 0.5) as long — the quantized
     add-one-smoothed negative log-probability."""
@@ -94,18 +114,7 @@ def fit_unigram_lm(
     transcendental runs."""
     import math
 
-    # cache: the T/V aggregate below materializes the counts anyway,
-    # and the returned model re-reads them for every downstream action
-    # (without the cache each action re-runs the corpus-wide explode +
-    # groupBy). Registered in _COUNT_CACHE — see release_cached_counts.
-    counts = unigram_counts(df, text_col).cache()
-    _COUNT_CACHE.append(counts)
-    tot = counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
-    ).head()
-    denom = int(tot["t"]) + int(tot["v"])
-    if denom == 0:
-        denom = 1  # empty corpus: degenerate model, every token OOV at p=1
+    counts, denom = _cached_unigram_counts_and_denom(df, text_col)
     model = counts.filter(F.col("cnt") >= min_count).select(
         "token", "cnt", _nlp_micro(F.col("cnt"), denom).alias("nlp_micro")
     )
@@ -247,14 +256,7 @@ def fit_bigram_lm(
 
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
-    counts = unigram_counts(df, text_col).cache()
-    _COUNT_CACHE.append(counts)
-    tot = counts.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
-    ).head()
-    denom = int(tot["t"]) + int(tot["v"])
-    if denom == 0:
-        denom = 1
+    counts, denom = _cached_unigram_counts_and_denom(df, text_col)
     pairs = bigram_counts(df, text_col).cache()
     _COUNT_CACHE.append(pairs)
     ctx = (

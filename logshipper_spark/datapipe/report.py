@@ -57,9 +57,12 @@ def corpus_report(
         .collect()
     ]
     for row in per_lang:
+        # SUM over an all-NULL column is SQL NULL (a bucket where every
+        # text is NULL — same degenerate-corpus guard as `inc` below)
+        qs = row.pop("quality_sum_4dp")
         row["mean_quality"] = (
-            round(row.pop("quality_sum_4dp") / 10000.0 / row["docs"], 4)
-            if row["docs"]
+            round(qs / 10000.0 / row["docs"], 4)
+            if row["docs"] and qs is not None
             else None
         )
     report["per_language"] = per_lang
@@ -71,8 +74,8 @@ def corpus_report(
     report["exact_dup_rate"] = max(
         0.0, round(1.0 - total_distinct / total_docs, 6)
     )
-    report["total_tokens"] = int(sum(r["total_tokens"] for r in per_lang))
-    report["total_chars"] = int(sum(r["total_chars"] for r in per_lang))
+    report["total_tokens"] = int(sum(r["total_tokens"] or 0 for r in per_lang))
+    report["total_chars"] = int(sum(r["total_chars"] or 0 for r in per_lang))
 
     # filter incidence + length quantiles in one fused map-only pass
     st = filters.pii_scrub(filters.c4_line_clean(filters.repetition_stats(docs)))

@@ -213,12 +213,18 @@ def substr_dup_pairs(
     window: int = 4,
     max_gram_df: int = 1000,
     min_shared: int = 1,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ min_shared winnowed fingerprints:
     (id_a, id_b, shared_fingerprints). The posting-list self-join runs
     only over fingerprints that passed the document-frequency cutoff,
-    so candidate fan-out per gram is bounded by max_gram_df."""
-    spans = substr_dup_spans(df, text_col, id_col, w, window, max_gram_df)
+    so candidate fan-out per gram is bounded by max_gram_df.
+
+    Pass a precomputed ``spans`` frame (from ``substr_dup_spans`` with
+    the same parameters) to reuse it — callers needing BOTH spans and
+    pairs otherwise run the corpus-wide hash/winnow map stage twice."""
+    if spans is None:
+        spans = substr_dup_spans(df, text_col, id_col, w, window, max_gram_df)
     posting = spans.select("gram_hash", "doc_id").distinct()
     a = posting.select(F.col("doc_id").alias("id_a"), "gram_hash")
     b = posting.select(F.col("doc_id").alias("id_b"), "gram_hash")

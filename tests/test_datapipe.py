@@ -1292,6 +1292,22 @@ def test_line_dedup_short_lines_exempt(spark):
     assert out[3]["clean_text"] == "" and out[3]["n_removed_lines"] == 1
 
 
+def test_line_dedup_null_text_never_dropped(spark):
+    # a NULL text explodes to no lines; the row must come back through
+    # the left join with empty clean_text and zero counts, not vanish
+    rows = [
+        (1, "same boilerplate line.\nkeep me here", "a"),
+        (2, "same boilerplate line.\nother keeper", "a"),
+        (3, None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(df).collect()}
+    assert len(out) == 3
+    assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 0
+    assert out[3]["n_removed_lines"] == 0 and out[3]["source"] == "b"
+    assert out[1]["clean_text"] == "keep me here"
+
+
 def test_source_overlap_counts_distinct_shared_texts(spark):
     rows = [
         (1, "alpha", "s1"),

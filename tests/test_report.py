@@ -52,6 +52,16 @@ def test_corpus_report_degenerate_all_blank(spark):
     assert rep["filter_incidence"]["pii_spans"]["email"] == 0
 
 
+def test_corpus_report_all_null_bucket(spark):
+    """Every text NULL (not just blank): the per-language bucket's
+    quality/token SUMs are SQL NULL — mean_quality must come back None
+    and the total sums 0, not a TypeError."""
+    df = spark.createDataFrame([(0, None), (1, None)], "doc_id long, text string")
+    rep = corpus_report(df, near_dup_sample=1.0)
+    assert rep["docs"] == 2 and rep["total_tokens"] == 0
+    assert [x["mean_quality"] for x in rep["per_language"]] == [None]
+
+
 def test_word_ngrams_n1_null_guard(spark):
     """word_ngrams(toks, 1) must keep the null-to-empty-array contract
     the n >= 2 paths get from their when/otherwise guard."""

@@ -96,14 +96,15 @@ def main() -> int:
     )
     corpus = docs.unionByName(planted)
 
+    spans = substr.substr_dup_spans(corpus, w=w, window=window)
     pairs = {
         (r.id_a, r.id_b)
         for r in substr.substr_dup_pairs(
-            corpus, w=w, window=window, min_shared=1
+            corpus, w=w, window=window, min_shared=1, spans=spans
         ).collect()
     }
-    # merged spans for boundary accuracy on planted docs
-    spans = substr.substr_dup_spans(corpus, w=w, window=window)
+    # merged spans for boundary accuracy on planted docs (same frame —
+    # computing them independently would hash/winnow the corpus twice)
     merged = {
         (r.doc_id, r.span_start, r.span_end)
         for r in substr.merge_spans(spans, w=w, merge_gap=window)
