@@ -1829,7 +1829,9 @@ _TEXTSTATS_SQL = r"""
                                 THEN 1.0 ELSE 0.0 END)
                         + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
                                 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality,
-                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'unknown'
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) IS NULL
+                          THEN 'unknown'  -- NULL text: match Spark lang_id
+                        WHEN greatest(h_de, h_en, h_es, h_fr) <= 0 THEN 'unknown'
                         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
                         WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
                         WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'

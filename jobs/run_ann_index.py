@@ -90,8 +90,12 @@ def main(argv: list[str] | None = None) -> int:
                           "trained": args.trained, "quantized": args.quantize}))
         return 0
 
-    qv = [float(x) for x in
-          emb.filter(F.col("vec_id") == args.query_id).head()["embedding"]]
+    qrow = emb.filter(F.col("vec_id") == args.query_id).head()
+    if qrow is None:
+        raise SystemExit(
+            f"--query-id {args.query_id} not found in {args.embeddings}"
+        )
+    qv = [float(x) for x in qrow["embedding"]]
     if args.trained:
         out = similarity.ivf_trained_topk(
             spark, args.index, qv, k=args.k, n_probe=args.n_probe,

@@ -44,11 +44,16 @@ def expand_env(text: str) -> str:
     ``os.ExpandEnv``'s getShellName. A ``$`` followed by nothing
     expandable stays verbatim, as in Go."""
     def sub(m: re.Match) -> str:
-        name = m.group(1) or m.group(2) or m.group(3)
+        name = next(g for g in m.groups() if g is not None)
         return os.environ.get(name, "")
 
+    # alternation order: brace-wrapped word, brace-wrapped shell-special
+    # (Go's getShellName special-cases "${" + special + "}": ${*} → env
+    # "*" → ""), bare shell-special, bare word
     return re.sub(
-        r"\$\{(\w+)\}|\$([*#$@!?0-9])|\$([A-Za-z_]\w*)", sub, text
+        r"\$\{(\w+)\}|\$\{([*#$@!?])\}|\$([*#$@!?0-9])|\$([A-Za-z_]\w*)",
+        sub,
+        text,
     )
 
 

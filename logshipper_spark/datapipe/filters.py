@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 
 from . import textstats
 
-# thresholds: token-fraction variants of the Gopher §A.1.1 rules
+# thresholds: token-fraction variants of the Gopher §A.1.1 rules.
+# NOTE the fraction gates compose with the word-count band: a doc
+# needs >= ceil(100/TOP_TRIGRAM_PCT) = 6 trigrams (8 tokens) before
+# top_trigram can satisfy its fraction, so the EFFECTIVE minimum for
+# rep_keep is 8 tokens even though MIN_WORDS = 5 — faithful to the
+# published fraction rule (a 6-token doc's top trigram is >= 25% by
+# pigeonhole), but worth knowing when tuning: 5-7-token docs always
+# fail the repetition gate, by arithmetic, not by content.
 TOP_BIGRAM_PCT = 20  # most-frequent 2-gram ≤ 20% of all 2-grams
 TOP_TRIGRAM_PCT = 18  # most-frequent 3-gram ≤ 18% of all 3-grams
 DUP_TRIGRAM_PCT = 30  # 3-grams occurring ≥2× ≤ 30% of all 3-grams

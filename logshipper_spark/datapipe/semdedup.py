@@ -29,6 +29,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# semantic_pairs persists the per-row (vec, norm, cell) frame shared by
+# both sides of its self-join — without it the nearest-centroid argmin
+# (num_cells x dim multiply-adds per row, the dominant map cost) and
+# the source scan run TWICE per action (the round-2 minhash self-join
+# lesson). Lazy builders cannot unpersist their own intermediates;
+# eager call sites release after their action.
+_CELL_CACHE: list[DataFrame] = []
+
+
+def release_cached_cells() -> None:
+    """Unpersist cell-assignment frames cached by ``semantic_pairs``."""
+    while _CELL_CACHE:
+        _CELL_CACHE.pop().unpersist()
+
 from .dedup import near_dup_components
 from .similarity import _nearest_centroid
 
@@ -65,7 +79,8 @@ def semantic_pairs(
     cells = assign_trained_cells(df, centroids, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         nrm.alias("nrm"), "cell",
-    )
+    ).persist()
+    _CELL_CACHE.append(cells)
     a = cells.select(
         F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
         F.col("nrm").alias("nrm_a"), "cell",

@@ -15,6 +15,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# ivf_knn_join persists its exploded query-probe frame: the literal
+# probe-set collect must evaluate the query subtree anyway, and the
+# join reuses the persisted result instead of re-running a possibly
+# expensive (or non-deterministic) derived query chain. Eager call
+# sites release after their action (dedup._SIG_CACHE convention).
+_PROBE_CACHE: list[DataFrame] = []
+
+
+def release_cached_probes() -> None:
+    """Unpersist query-probe frames cached by ``ivf_knn_join``."""
+    while _PROBE_CACHE:
+        _PROBE_CACHE.pop().unpersist()
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -204,7 +217,12 @@ def ivf_knn_join(
         F.col(vec_col).alias("_qv"),
         _norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_arr).alias("cell"),
-    )
+    ).persist()  # the probe-set collect below evaluates the query
+    # subtree; without the persist the join re-evaluates it a second
+    # time (a derived query chain would pay its full cost twice), and a
+    # non-deterministic query frame could even probe cells diverging
+    # from the join side. Released by release_cached_probes().
+    _PROBE_CACHE.append(qx)
     probed = sorted(
         r["cell"] for r in qx.select("cell").distinct().collect()
     )  # ≤ num_cells values — bounded by construction, not by data volume

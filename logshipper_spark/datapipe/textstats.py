@@ -155,13 +155,22 @@ def corpus_stats(
     t = F.col(text_col)
     st = text_stats(df, text_col)
     q4 = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
+    # NULL-guard both distinct paths: xxhash64 SKIPS null arguments
+    # (hash of the seed alone, a non-null constant), so without the
+    # when() a NULL-text row would count as one extra distinct value —
+    # while SQL COUNT(DISTINCT text) (the oracle, and the convention
+    # here) ignores NULLs entirely
     if approx_distinct is not None:
         distinct = F.approx_count_distinct(
-            F.xxhash64(t, F.lit(0)), rsd=approx_distinct
+            F.when(t.isNotNull(), F.xxhash64(t, F.lit(0))),
+            rsd=approx_distinct,
         )
     else:
         distinct = F.count_distinct(
-            F.struct(F.xxhash64(t, F.lit(0)), F.xxhash64(t, F.lit(1)))
+            F.when(
+                t.isNotNull(),
+                F.struct(F.xxhash64(t, F.lit(0)), F.xxhash64(t, F.lit(1))),
+            )
         )
     return st.groupBy("lang_guess").agg(
         F.count("*").alias("docs"),

@@ -243,6 +243,11 @@ def test_expand_env_shell_specials():
     # bare $ before a non-name char stays verbatim, as in Go
     assert expand_env("100$ flat") == "100$ flat"
     assert expand_env("end$") == "end$"
+    # brace-wrapped shell specials: Go's getShellName special-cases
+    # "${" + special + "}" — os.ExpandEnv("${*}x") == "x"
+    assert expand_env("${*}x") == "x"
+    assert expand_env("a${?}b${$}c") == "abc"
+    assert expand_env("${5}z") == "z"  # brace digit = env var "5", unset
 
 
 # ── transform input cycles raise ConfigError, not RecursionError ──

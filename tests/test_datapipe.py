@@ -302,6 +302,7 @@ def test_ivf_knn_join_self_is_top1(spark, embs, tmp_path):
         spark, path, emb.filter("vec_id < 8"), k=3, num_cells=16, dim=dim
     )
     rows = out.collect()
+    similarity.release_cached_probes()
     by_q = {}
     for r in rows:
         by_q.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
