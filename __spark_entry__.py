@@ -230,6 +230,26 @@ def q_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zscore_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded two-phase rolling window (rolling_zscore_blocked): the
+    oracle pins the EXACT outputs — windowed count and mean over the
+    integer-quantized metric (cents: floor(value*100 + 0.5)). Integer
+    prefix sums make the windowed sum exact, so mean = sum/n is the
+    same IEEE division in both engines — no rounding needed. The
+    float stddev/z recomposition is covered by the 1e-8 parity unit
+    test instead (last-ulp vs incremental moments)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    out = anomaly.rolling_zscore_blocked(
+        ev, key_cols=["user_id"], value_col="v100", order_col="event_id",
+        window_size=100, block_size=256,
+    )
+    return out.select("event_id", "user_id", "n_samples", "mean")
+
+
 def q_error_rate_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector metric feed: latency + order-dependent cumulative error
     rate per edge under stable ordering (reference graph.go:149-152)."""
@@ -1724,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_predicates": q_event_predicates,
         "truncate": q_truncate,
         "zscore_flags": q_zscore_flags,
+        "zscore_blocked": q_zscore_blocked,
         "error_rate_feed": q_error_rate_feed,
         "time_buckets": q_time_buckets,
         "json_extract": q_json_extract,
@@ -2545,6 +2566,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(text) > 120
                         THEN substring(text, 1, 120) || '…' ELSE text END AS short
             FROM documents
+        """,
+        "zscore_blocked": """
+            WITH v AS (
+              SELECT event_id, user_id,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+              FROM events)
+            SELECT event_id, user_id,
+                   COUNT(v100) OVER w AS n_samples,
+                   CAST(SUM(v100) OVER w AS BIGINT)
+                     / COUNT(v100) OVER w AS mean
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
         """,
         "zscore_flags": """
             SELECT event_id, user_id,

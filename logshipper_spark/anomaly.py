@@ -24,6 +24,17 @@ DEFAULT_WINDOW = 100
 DEFAULT_THRESHOLD = 3.0
 DEFAULT_COOLDOWN_S = 30.0
 
+# rolling_zscore_blocked persists its prefix-sum frame (feeds both
+# sides of the rank-distance join); lazy builders cannot unpersist
+# their own intermediates — eager call sites release after the action.
+_ROLLUP_CACHE: list[DataFrame] = []
+
+
+def release_cached_rollups() -> None:
+    """Unpersist prefix frames cached by ``rolling_zscore_blocked``."""
+    while _ROLLUP_CACHE:
+        _ROLLUP_CACHE.pop().unpersist()
+
 
 def rolling_zscore(
     df: DataFrame,
@@ -60,6 +71,121 @@ def rolling_zscore(
     )
     out = out.withColumn("zscore", z)
     gated = (F.col("n_samples") >= min_samples) & (F.abs(F.col("zscore")) > threshold)
+    return out.withColumn("is_anomaly", gated)
+
+
+def rolling_zscore_blocked(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    order_col: str = "event_id",
+    window_size: int = DEFAULT_WINDOW,
+    min_samples: int | None = None,
+    threshold: float = DEFAULT_THRESHOLD,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Bounded two-phase form of ``rolling_zscore`` — the 100 TB path
+    for a HOT key: the single-window form sorts a key's entire history
+    through one task (the same hazard class ``edge_metric_feed``'s
+    two-phase default engineered out for running sums). A last-N-rows
+    sliding aggregate decomposes over prefix sums: windowed
+    sum = cum(r) − cum(r−N), so
+
+    - phase 1 computes per-(key, block) local running (count, sum,
+      sum-of-squares) + a tiny per-block offset table — the exact
+      ``turn_rank_salted`` pattern, no task scans more than one block;
+    - phase 2 fetches the prefix at rank r−N with a co-partitioned
+      1:1 equi-join on (key, rank−N) — a hash join on bounded keys,
+      never a per-key sort.
+
+    Requirements/caveats vs the reference-exact ``rolling_zscore``:
+
+    - ``order_col`` must be a UNIQUE-per-key integer (event id / turn
+      index) — blocks are ranges of it;
+    - ``value_col`` is cast to long: integer prefix sums are exact, so
+      windowed sums (hence means and n_samples) are IDENTICAL to the
+      single-window form; quantize float metrics first (micro-bit
+      convention). Cumulative sum-of-squares is a long — exact up to
+      ~9.2e18 (e.g. 10^6-scale values for ~10^6 rows/key per the
+      p99/edge-sum posture; cast wider upstream beyond that);
+    - stddev is recomposed as sqrt(E[x²] − mean²) from exact integer
+      sums — ALGEBRAICALLY equal to the window stddev_pop but may
+      differ in the last float ulp from Spark's incremental moments,
+      so the contract oracle keeps ``rolling_zscore`` (reference-exact
+      window) and this form is parity-tested to 1e-8.
+    """
+    if min_samples is None:
+        min_samples = window_size // 2
+    v = F.col(value_col).cast("long")
+    d = df.withColumn("_v", v).withColumn(
+        "_blk", F.floor(F.col(order_col) / block_size)
+    )
+    w_loc = (
+        Window.partitionBy(*key_cols, "_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        d.withColumn("_c_loc", F.count(F.lit(1)).over(w_loc))
+        .withColumn("_s_loc", F.sum("_v").over(w_loc))
+        .withColumn("_q_loc", F.sum(F.col("_v") * F.col("_v")).over(w_loc))
+    )
+    totals = d.groupBy(*key_cols, "_blk").agg(
+        F.count("*").alias("_c_tot"),
+        F.sum("_v").alias("_s_tot"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q_tot"),
+    )
+    w_off = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *key_cols,
+        "_blk",
+        F.coalesce(F.sum("_c_tot").over(w_off), F.lit(0)).alias("_c_off"),
+        F.coalesce(F.sum("_s_tot").over(w_off), F.lit(0)).alias("_s_off"),
+        F.coalesce(F.sum("_q_tot").over(w_off), F.lit(0)).alias("_q_off"),
+    )
+    pre = (
+        local.join(offsets, [*key_cols, "_blk"])
+        .withColumn("_r", F.col("_c_off") + F.col("_c_loc"))
+        .withColumn("_cum", F.col("_s_off") + F.col("_s_loc"))
+        .withColumn("_cumq", F.col("_q_off") + F.col("_q_loc"))
+        .drop("_blk", "_c_loc", "_s_loc", "_q_loc", "_c_off", "_s_off", "_q_off")
+    )
+    # pre feeds BOTH sides of the rank-distance join — persist it so
+    # the two-shuffle prefix computation doesn't run twice per action
+    # (the self-join-recompute trap; release_cached_rollups() for
+    # eager call sites, dedup._SIG_CACHE convention)
+    pre = pre.persist()
+    _ROLLUP_CACHE.append(pre)
+    lagged = pre.select(
+        *key_cols,
+        F.col("_r").alias("_rprev"),
+        F.col("_cum").alias("_cum_l"),
+        F.col("_cumq").alias("_cumq_l"),
+    )
+    j = pre.withColumn("_rprev", F.col("_r") - F.lit(window_size)).join(
+        lagged, [*key_cols, "_rprev"], "left"
+    )
+    n = F.least(F.col("_r"), F.lit(window_size)).cast("long")
+    wsum = F.col("_cum") - F.coalesce(F.col("_cum_l"), F.lit(0))
+    wsumq = F.col("_cumq") - F.coalesce(F.col("_cumq_l"), F.lit(0))
+    mean = wsum / n
+    var = F.greatest(wsumq / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(std == 0.0, F.lit(0.0)).otherwise((F.col("_v") - mean) / std)
+    out = (
+        j.withColumn("mean", mean)
+        .withColumn("stddev", std)
+        .withColumn("n_samples", n)
+        .withColumn("zscore", z)
+        .drop("_v", "_r", "_cum", "_cumq", "_rprev", "_cum_l", "_cumq_l")
+    )
+    gated = (F.col("n_samples") >= min_samples) & (
+        F.abs(F.col("zscore")) > threshold
+    )
     return out.withColumn("is_anomaly", gated)
 
 

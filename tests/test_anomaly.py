@@ -182,3 +182,40 @@ def test_edge_metric_feed_two_phase_parity_hot_edge(spark):
     ).count()
     assert blk.agg(F.max("count")).first()[0] <= 30
     assert blk.filter("src_service = 'hot'").count() >= 20
+
+
+def test_rolling_zscore_blocked_parity_hot_key(spark):
+    """Bounded two-phase rolling zscore == single-window rolling_zscore
+    on a hot key spanning many blocks: mean/n_samples EXACT (integer
+    prefix sums), stddev/zscore to 1e-8 (sum-of-squares recomposition
+    vs incremental moments), is_anomaly identical."""
+    from logshipper_spark.anomaly import rolling_zscore, rolling_zscore_blocked
+
+    rows = [("hot", i, 1000 + (i * 37) % 500) for i in range(900)]
+    rows += [("hot", 950, 99_000)]  # genuine spike
+    rows += [("cold", i, 50 + i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, event_id long, value long")
+    kw = dict(key_cols=["k"], value_col="value", window_size=100)
+    slow = rolling_zscore(df, order_cols=["event_id"], **kw)
+    fast = rolling_zscore_blocked(
+        df, order_col="event_id", block_size=64, **kw
+    )
+    want = {(r["k"], r["event_id"]): r for r in slow.collect()}
+    got = {(r["k"], r["event_id"]): r for r in fast.collect()}
+    from logshipper_spark.anomaly import release_cached_rollups
+    release_cached_rollups()
+    assert set(got) == set(want)
+    for key, g in got.items():
+        w = want[key]
+        assert g["mean"] == w["mean"], key  # exact: integer sums
+        assert g["n_samples"] == w["n_samples"], key
+        assert abs(g["stddev"] - w["stddev"]) <= 1e-8 * max(1.0, w["stddev"])
+        assert abs(g["zscore"] - w["zscore"]) <= 1e-6, key
+        assert g["is_anomaly"] == w["is_anomaly"], key
+    # the spike is flagged by both forms
+    assert got[("hot", 950)]["is_anomaly"]
+    # per-task bound: the hot key's 901 rows split across blocks of 64
+    # ids, so no (key, block) group exceeds the block size
+    blk = df.groupBy("k", F.floor(F.col("event_id") / 64).alias("b")).count()
+    assert blk.agg(F.max("count")).first()[0] <= 64
+    assert blk.filter("k = 'hot'").count() >= 14
