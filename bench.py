@@ -215,6 +215,26 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "anomaly_zscore",
     )
+    zb_in = enriched.filter(
+        "src_service <> '' AND dst_service <> ''"
+    ).selectExpr(
+        "src_service || '|' || dst_service AS edge_key",
+        "turn_global AS event_id" if "turn_global" in enriched.columns
+        else "pmod(xxhash64(conv_id), 1000000) * 1024 + turn_idx AS event_id",
+        "latency_us AS value",
+    )
+
+    def _cold_zscore_blocked() -> None:
+        anomaly.release_cached_rollups()  # COLD prefix frame each run
+        _force(
+            anomaly.rolling_zscore_blocked(
+                zb_in, key_cols=["edge_key"], value_col="value",
+                order_col="event_id", block_size=1 << 28,
+            )
+        )
+
+    times["zscore_blocked"] = _timed(_cold_zscore_blocked, "zscore_blocked")
+    anomaly.release_cached_rollups()
     enriched.unpersist()
     tr.unpersist()
 

@@ -101,7 +101,12 @@ def rolling_zscore_blocked(
     Requirements/caveats vs the reference-exact ``rolling_zscore``:
 
     - ``order_col`` must be a UNIQUE-per-key integer (event id / turn
-      index) — blocks are ranges of it;
+      index) — blocks are ranges of it. ``block_size`` is in ORDER-ID
+      units: pick it so one block holds many × ``window_size`` ROWS
+      (for sparse / hash-derived ids scale it up accordingly) — the
+      r−N prefix then resolves via an in-block lag riding the phase-1
+      sort, and only each block's first ≤ N rows pay the cross-block
+      join (AQE broadcasts that boundary set when it is small);
     - ``value_col`` is cast to long: integer prefix sums are exact, so
       windowed sums (hence means and n_samples) are IDENTICAL to the
       single-window form; quantize float metrics first (micro-bit
@@ -113,6 +118,12 @@ def rolling_zscore_blocked(
       differ in the last float ulp from Spark's incremental moments,
       so the contract oracle keeps ``rolling_zscore`` (reference-exact
       window) and this form is parity-tested to 1e-8.
+
+    Priced-in cost: ~8x the single-window form at 600k rows / 200
+    uniformly-loaded keys (measured; cache write + multi-consumer
+    scans dominate when no key is hot) — use it when a key's history
+    exceeds one task, exactly like edge_agg's bounded ring (+39%) but
+    for sliding windows. The single-window form stays the default.
     """
     if min_samples is None:
         min_samples = window_size // 2
@@ -129,6 +140,17 @@ def rolling_zscore_blocked(
         d.withColumn("_c_loc", F.count(F.lit(1)).over(w_loc))
         .withColumn("_s_loc", F.sum("_v").over(w_loc))
         .withColumn("_q_loc", F.sum(F.col("_v") * F.col("_v")).over(w_loc))
+    )
+    # in-block lag at distance N: same partitioning+order as w_loc, so
+    # it rides the SAME sort (one WindowExec chain, no extra exchange).
+    # Non-null iff the r−N row lives in this block — then its prefix is
+    # this block's offset + its local running sums, and the expensive
+    # cross-block fetch is skipped entirely.
+    w_ord = Window.partitionBy(*key_cols, "_blk").orderBy(order_col)
+    local = (
+        local.withColumn("_c_lag", F.lag("_c_loc", window_size).over(w_ord))
+        .withColumn("_s_lag", F.lag("_s_loc", window_size).over(w_ord))
+        .withColumn("_q_lag", F.lag("_q_loc", window_size).over(w_ord))
     )
     totals = d.groupBy(*key_cols, "_blk").agg(
         F.count("*").alias("_c_tot"),
@@ -152,23 +174,60 @@ def rolling_zscore_blocked(
         .withColumn("_r", F.col("_c_off") + F.col("_c_loc"))
         .withColumn("_cum", F.col("_s_off") + F.col("_s_loc"))
         .withColumn("_cumq", F.col("_q_off") + F.col("_q_loc"))
-        .drop("_blk", "_c_loc", "_s_loc", "_q_loc", "_c_off", "_s_off", "_q_off")
+        # prefix at r−N resolved in-block where the lag hit (offsets
+        # are the SAME block's, so offset + lagged local sums is exact)
+        .withColumn(
+            "_cum_l",
+            F.when(
+                F.col("_c_lag").isNotNull(),
+                F.col("_s_off") + F.col("_s_lag"),
+            ),
+        )
+        .withColumn(
+            "_cumq_l",
+            F.when(
+                F.col("_c_lag").isNotNull(),
+                F.col("_q_off") + F.col("_q_lag"),
+            ),
+        )
+        .drop(
+            "_blk", "_c_loc", "_s_loc", "_q_loc", "_c_off", "_s_off",
+            "_q_off", "_c_lag", "_s_lag", "_q_lag",
+        )
     )
-    # pre feeds BOTH sides of the rank-distance join — persist it so
-    # the two-shuffle prefix computation doesn't run twice per action
-    # (the self-join-recompute trap; release_cached_rollups() for
-    # eager call sites, dedup._SIG_CACHE convention)
+    # pre feeds up to three consumers (resolved rows, boundary rows,
+    # and the boundary lookup side) — persist it so the prefix
+    # computation doesn't run repeatedly (self-join-recompute trap;
+    # release_cached_rollups() for eager call sites).
     pre = pre.persist()
     _ROLLUP_CACHE.append(pre)
-    lagged = pre.select(
+    # cross-block fetch ONLY for boundary rows — the first ≤ N rows of
+    # each block (their r−N row lives in an earlier block). That set is
+    # ~N per (key, block), so it BROADCASTS into a hash join against
+    # the full prefix frame: no full-data sort-merge join, the big side
+    # streams. Rows with _r <= N need no prefix at all (cum_l = 0).
+    resolved = pre.filter(
+        F.col("_cum_l").isNotNull() | (F.col("_r") <= window_size)
+    )
+    boundary = pre.filter(
+        F.col("_cum_l").isNull() & (F.col("_r") > window_size)
+    ).drop("_cum_l", "_cumq_l")
+    lagref = pre.select(
         *key_cols,
         F.col("_r").alias("_rprev"),
         F.col("_cum").alias("_cum_l"),
         F.col("_cumq").alias("_cumq_l"),
     )
-    j = pre.withColumn("_rprev", F.col("_r") - F.lit(window_size)).join(
-        lagged, [*key_cols, "_rprev"], "left"
+    # no explicit broadcast hint: with well-sized blocks the boundary
+    # side is tiny and AQE broadcasts it at runtime; with mis-sized
+    # blocks (boundary ≈ all rows) AQE falls back to a shuffle join
+    # instead of OOM-broadcasting half the corpus
+    bd = (
+        boundary.withColumn("_rprev", F.col("_r") - F.lit(window_size))
+        .join(lagref, [*key_cols, "_rprev"], "left")
+        .drop("_rprev")
     )
+    j = resolved.unionByName(bd)
     n = F.least(F.col("_r"), F.lit(window_size)).cast("long")
     wsum = F.col("_cum") - F.coalesce(F.col("_cum_l"), F.lit(0))
     wsumq = F.col("_cumq") - F.coalesce(F.col("_cumq_l"), F.lit(0))

@@ -197,11 +197,24 @@ def test_rolling_zscore_blocked_parity_hot_key(spark):
     df = spark.createDataFrame(rows, "k string, event_id long, value long")
     kw = dict(key_cols=["k"], value_col="value", window_size=100)
     slow = rolling_zscore(df, order_cols=["event_id"], **kw)
-    fast = rolling_zscore_blocked(
-        df, order_col="event_id", block_size=64, **kw
-    )
     want = {(r["k"], r["event_id"]): r for r in slow.collect()}
-    got = {(r["k"], r["event_id"]): r for r in fast.collect()}
+    # block 64 < window 100: every row resolves through the cross-block
+    # boundary join; block 4096 > the id range: every row resolves via
+    # the in-block lag. Both paths must agree with the window form.
+    for bs in (64, 4096):
+        fast = rolling_zscore_blocked(
+            df, order_col="event_id", block_size=bs, **kw
+        )
+        got = {(r["k"], r["event_id"]): r for r in fast.collect()}
+        _assert_blocked_parity(got, want)
+    # per-task bound: the hot key's 901 rows split across blocks of 64
+    # ids, so no (key, block) group exceeds the block size
+    blk = df.groupBy("k", F.floor(F.col("event_id") / 64).alias("b")).count()
+    assert blk.agg(F.max("count")).first()[0] <= 64
+    assert blk.filter("k = 'hot'").count() >= 14
+
+
+def _assert_blocked_parity(got, want):
     from logshipper_spark.anomaly import release_cached_rollups
     release_cached_rollups()
     assert set(got) == set(want)
@@ -214,8 +227,3 @@ def test_rolling_zscore_blocked_parity_hot_key(spark):
         assert g["is_anomaly"] == w["is_anomaly"], key
     # the spike is flagged by both forms
     assert got[("hot", 950)]["is_anomaly"]
-    # per-task bound: the hot key's 901 rows split across blocks of 64
-    # ids, so no (key, block) group exceeds the block size
-    blk = df.groupBy("k", F.floor(F.col("event_id") / 64).alias("b")).count()
-    assert blk.agg(F.max("count")).first()[0] <= 64
-    assert blk.filter("k = 'hot'").count() >= 14
