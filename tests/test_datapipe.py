@@ -1309,6 +1309,79 @@ def test_line_dedup_null_text_never_dropped(spark):
     assert out[1]["clean_text"] == "keep me here"
 
 
+def test_line_dedup_property(spark):
+    """Property test (derandomized): generated multi-line docs vs a
+    pure-Python reference of the CCNet pass — a line is removed iff its
+    normalized (lower/trim) form is >= min_line_chars long and occurs
+    in >= min_df DISTINCT documents; counts exact; NULL text rides
+    through."""
+    from hypothesis import given, settings, strategies as st
+
+    lines_pool = [
+        "Shared Boilerplate Footer.",   # long, repeatable
+        "shared boilerplate footer.",   # same normalized form
+        "Unique-ish line alpha beta.",
+        "Another Body Line here.",
+        "ok",                           # short: always exempt
+        "",                             # blank: exempt
+        "  Spaced Out Line  .",
+    ]
+    doc_st = st.one_of(
+        st.none(),
+        st.lists(st.sampled_from(lines_pool), min_size=0, max_size=5).map(
+            "\n".join
+        ),
+    )
+
+    def ref(docs, min_df=2, min_chars=6):
+        from collections import defaultdict
+
+        df_count = defaultdict(set)
+        for i, t in docs.items():
+            if t is None:
+                continue
+            for ln in t.split("\n"):
+                norm = ln.strip().lower()
+                if len(ln.strip()) >= min_chars:
+                    df_count[norm].add(i)
+        boiler = {k for k, v in df_count.items() if len(v) >= min_df}
+        out = {}
+        for i, t in docs.items():
+            if t is None:
+                out[i] = ("", 0, 0)
+                continue
+            lines = t.split("\n")
+            kept, removed = [], 0
+            for ln in lines:
+                drop = (
+                    len(ln.strip()) >= min_chars
+                    and ln.strip().lower() in boiler
+                )
+                if drop:
+                    removed += 1
+                else:
+                    kept.append(ln)
+            out[i] = ("\n".join(kept), len(lines), removed)
+        return out
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(texts=st.lists(doc_st, min_size=1, max_size=6))
+    def check(texts):
+        docs = dict(enumerate(texts))
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["clean_text"], r["n_lines"], r["n_removed_lines"]
+            )
+            for r in dedup.line_dedup(df).collect()
+        }
+        assert got == ref(docs)
+
+    check()
+
+
 def test_source_overlap_counts_distinct_shared_texts(spark):
     rows = [
         (1, "alpha", "s1"),
