@@ -119,10 +119,12 @@ def rolling_zscore_blocked(
       so the contract oracle keeps ``rolling_zscore`` (reference-exact
       window) and this form is parity-tested to 1e-8.
 
-    Priced-in cost: ~8x the single-window form at 600k rows / 200
-    uniformly-loaded keys (measured; cache write + multi-consumer
-    scans dominate when no key is hot) — use it when a key's history
-    exceeds one task, exactly like edge_agg's bounded ring (+39%) but
+    Priced-in cost (measured at 600k rows / 200 uniformly-loaded
+    keys): ~1.35x the single-window form in the bench shape where both
+    pay the same input scan (4.4 s vs 3.3 s, bench.py
+    ``zscore_blocked``); up to ~8x on a fully-cached input where the
+    single window is nearly free. Use it when a key's history exceeds
+    one task — the same trade as edge_agg's bounded ring (+39%) but
     for sliding windows. The single-window form stays the default.
     """
     if min_samples is None:
