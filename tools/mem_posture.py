@@ -33,7 +33,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from logshipper_spark import aggregate as agg  # noqa: E402
 from logshipper_spark import anomaly, gen, pipeline, route  # noqa: E402
 from logshipper_spark.datapipe import dedup  # noqa: E402
+from logshipper_spark.datapipe import semdedup  # noqa: E402
+from logshipper_spark.datapipe import similarity  # noqa: E402
 from logshipper_spark.datapipe import substr  # noqa: E402
+from logshipper_spark.datapipe import textstats  # noqa: E402
 from logshipper_spark.session import get_spark  # noqa: E402
 
 UI = "http://localhost:4040/api/v1"  # overwritten from sc.uiWebUrl in measure()
@@ -102,6 +105,19 @@ def measure(sf_dir: str) -> dict:
     enriched = pipeline.normalize_and_enrich(spark, tr)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
+    # same input shapes as bench.py: multi-line docs for the cross-doc
+    # line pass, prefix queries for BM25, trained cells for semdedup
+    multi_line = docs.selectExpr(
+        "doc_id",
+        "concat(text, '.', '\n', '(c) ', upper(source),"
+        " ' all rights reserved.', '\n', 'ok') AS text",
+    )
+    bm25_queries = textstats.prefix_queries(docs, mod=37, rem=3, n_tokens=5)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.head()["embedding"])
+    sd_cents = similarity.kmeans_fit(emb, num_cells=16, dim=dim, max_iter=3)
 
     out_dir = tempfile.mkdtemp(prefix="posture_batch_")
 
@@ -149,6 +165,27 @@ def measure(sf_dir: str) -> dict:
                 )
             ),
         ),
+        (
+            "zscore_blocked",
+            n_turns,
+            lambda: (
+                _force(
+                    anomaly.rolling_zscore_blocked(
+                        enriched.filter(
+                            "src_service <> '' AND dst_service <> ''"
+                        ).selectExpr(
+                            "src_service || '|' || dst_service AS edge_key",
+                            "pmod(xxhash64(conv_id), 1000000) * 1024"
+                            " + turn_idx AS event_id",
+                            "latency_us AS value",
+                        ),
+                        key_cols=["edge_key"], value_col="value",
+                        order_col="event_id", block_size=1 << 28,
+                    )
+                ),
+                anomaly.release_cached_rollups(),
+            )[-1],
+        ),
         ("full_batch_single_pass", n_turns, _full_batch),
         (
             "minhash_lsh",
@@ -160,6 +197,25 @@ def measure(sf_dir: str) -> dict:
             n_docs,
             lambda: _force(
                 substr.substr_dup_pairs(docs, w=8, window=4, min_shared=2)
+            ),
+        ),
+        (
+            "line_dedup",
+            n_docs,
+            lambda: _force(dedup.line_dedup(multi_line)),
+        ),
+        (
+            "bm25_topk",
+            n_docs,
+            lambda: _force(
+                textstats.bm25_topk(docs, bm25_queries, k=10, max_df_frac=0.9)
+            ),
+        ),
+        (
+            "semantic_pairs",
+            n_docs,
+            lambda: _force(
+                semdedup.semantic_pairs(emb, sd_cents, threshold=0.9)
             ),
         ),
     ]
@@ -191,6 +247,8 @@ def measure(sf_dir: str) -> dict:
             )
             dedup.release_cached_signatures()
             substr.release_cached_fingerprints()
+            textstats.release_cached_postings()
+            semdedup.release_cached_cells()
             spark.catalog.clearCache()
             tr.cache().count()  # keep the input cached between queries
     finally:
