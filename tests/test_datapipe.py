@@ -749,6 +749,65 @@ def test_mixture_sample_deterministic_per_domain(spark):
 # ── benchmark decontamination (decontam.py) ──
 
 
+def test_decontaminate_property(spark):
+    """Property test (hypothesis, derandomized): for generated corpora
+    over a tiny word alphabet (heavy gram collisions by construction),
+    NULL/empty texts, n, and min_overlap, the verdict table must equal
+    a pure-Python reference: n_overlap = |distinct doc n-grams ∩
+    distinct benchmark n-grams| on lowercased whitespace tokens, every
+    document present in the output."""
+    from hypothesis import given, settings, strategies as st
+
+    from logshipper_spark.datapipe import decontam
+
+    word_st = st.sampled_from(["a", "b", "ab", "C"])
+    text_st = st.one_of(
+        st.none(),
+        st.just(""),
+        st.lists(word_st, min_size=0, max_size=6).map(" ".join),
+    )
+
+    def grams(text, n):
+        toks = (text or "").strip().lower().split()
+        if not (text or "").strip():
+            toks = []
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(
+        doc_texts=st.lists(text_st, min_size=1, max_size=8),
+        bench_texts=st.lists(text_st, min_size=1, max_size=3),
+        n=st.integers(min_value=1, max_value=3),
+        min_overlap=st.integers(min_value=1, max_value=2),
+        sparse=st.booleans(),
+    )
+    def check(doc_texts, bench_texts, n, min_overlap, sparse):
+        docs = spark.createDataFrame(
+            list(enumerate(doc_texts)), "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(bench_texts)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in decontam.decontaminate(
+                docs, bench, n=n, min_overlap=min_overlap,
+                assume_sparse=sparse,
+            ).collect()
+        }
+        bench_grams = set().union(*(grams(t, n) for t in bench_texts))
+        want = {}
+        for i, t in enumerate(doc_texts):
+            k = len(grams(t, n) & bench_grams)
+            want[i] = (k, k >= min_overlap)
+        assert got == want
+
+    check()
+
+
 def test_decontaminate_exact_overlap(spark):
     """Overlap = count of DISTINCT benchmark n-grams in the doc; docs
     below n tokens can never be contaminated; repeats in either the

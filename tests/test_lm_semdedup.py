@@ -144,6 +144,82 @@ def test_semantic_dedup_no_pairs_all_keep(spark):
     assert all(r["keep"] == 1 and r["component"] == r["vec_id"] for r in out)
 
 
+def test_semantic_pairs_property(spark):
+    """Property test (hypothesis, derandomized): for generated
+    integer-grid vectors and centroids, semantic_pairs must equal a
+    pure-Python reference that mirrors the exact float semantics —
+    left-fold squared-L2 cell argmin with 6-dp HALF_UP rounding and
+    index tie-break, staged per-row norms, left-fold dot, cosine
+    rounded to 6 dp, zero-norm guard → 0.0. Rounding mirrors Spark's
+    Round (BigDecimal on the shortest decimal repr, HALF_UP) via
+    Decimal(repr(x)).quantize."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    def fold(vals):
+        s = 0.0
+        for v in vals:
+            s = s + v
+        return s
+
+    def cell(v, cents):
+        best_i, best_d = 0, None
+        for i, c in enumerate(cents):
+            d = r6(fold((a - b) * (a - b) for a, b in zip(v, c)))
+            if best_d is None or d < best_d:
+                best_i, best_d = i, d
+        return best_i
+
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    @given(
+        data=st.data(),
+        dim=st.integers(min_value=2, max_value=3),
+        threshold=st.sampled_from([0.5, 0.9, 0.99]),
+    )
+    def check(data, dim, threshold):
+        vec_st = st.lists(
+            st.integers(-3, 3).map(float), min_size=dim, max_size=dim
+        )
+        vecs = data.draw(st.lists(vec_st, min_size=2, max_size=10))
+        cents = data.draw(st.lists(vec_st, min_size=1, max_size=3))
+        df = spark.createDataFrame(
+            list(enumerate(vecs)), "vec_id long, embedding array<double>"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in semdedup.semantic_pairs(
+                df, cents, threshold=threshold
+            ).collect()
+        }
+        semdedup.release_cached_cells()
+        import math
+
+        cells = [cell(v, cents) for v in vecs]
+        nrms = [math.sqrt(fold(x * x for x in v)) for v in vecs]
+        want = {}
+        for a in range(len(vecs)):
+            for b in range(a + 1, len(vecs)):
+                if cells[a] != cells[b]:
+                    continue
+                n2 = nrms[a] * nrms[b]
+                cos = r6(
+                    fold(x * y for x, y in zip(vecs[a], vecs[b])) / n2
+                    if n2 > 0
+                    else 0.0
+                )
+                if cos >= threshold:
+                    want[(a, b)] = cos
+        assert got == want
+
+    check()
+
+
 # ── shard planning ──
 
 
