@@ -3182,10 +3182,14 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(1, len(lines))) AS pos,
                          lines
                   FROM l),
-            x AS (SELECT doc_id, pos, lines[pos] AS line,
-                         lower(trim(lines[pos])) AS norm,
-                         length(trim(lines[pos])) >= 6 AS eligible
-                  FROM e),
+            x AS (SELECT doc_id, pos, line, lower(trim(bare)) AS norm,
+                         length(trim(bare)) >= 6 AS eligible
+                  FROM (SELECT doc_id, pos, lines[pos] AS line,
+                               CASE WHEN right(lines[pos], 1) = chr(13)
+                                    THEN left(lines[pos],
+                                              length(lines[pos]) - 1)
+                                    ELSE lines[pos] END AS bare
+                        FROM e)),
             dup AS (
               SELECT norm
               FROM (SELECT DISTINCT norm, doc_id FROM x WHERE eligible)

@@ -645,7 +645,8 @@ def line_dedup(
 ) -> DataFrame:
     """Cross-document duplicated-line removal (the CCNet §3.1 /
     RefinedWeb boilerplate pass): any line whose normalized form
-    (lower-cased, trimmed) occurs in >= ``min_df`` DISTINCT documents
+    (one trailing ``\\r`` stripped — CRLF ≡ LF — then lower-cased,
+    space-trimmed) occurs in >= ``min_df`` DISTINCT documents
     is boilerplate — nav bars, cookie banners, copyright footers — and
     is removed from every document it appears in. Complements
     ``filters.c4_line_clean`` (per-document rule filter, map-only) and
@@ -684,9 +685,19 @@ def line_dedup(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
     )
-    norm = F.lower(F.trim(F.col("_line")))
-    keyed = lines.withColumn(
-        "_eligible", F.length(F.trim(F.col("_line"))) >= min_line_chars
+    # normalization sees CRLF and LF documents identically: one
+    # trailing \r is stripped before the lower/trim key (trim removes
+    # spaces only), so a Windows crawl matches the same boilerplate as
+    # its Unix twin. Reassembly still uses the ORIGINAL line bytes.
+    # Cheap endswith gate, no per-line regex (CLAUDE.md r2 lesson).
+    bare = F.when(
+        F.col("_line").endswith("\r"),
+        F.expr("substring(_line, 1, length(_line) - 1)"),
+    ).otherwise(F.col("_line"))
+    keyed = lines.withColumn("_bare", bare)
+    norm = F.lower(F.trim(F.col("_bare")))
+    keyed = keyed.withColumn(
+        "_eligible", F.length(F.trim(F.col("_bare"))) >= min_line_chars
     ).withColumn("_k", dedup_key(norm))
     dup_keys = (
         keyed.filter(F.col("_eligible"))

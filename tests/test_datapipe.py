@@ -1371,17 +1371,20 @@ def test_line_dedup_null_text_never_dropped(spark):
 def test_line_dedup_property(spark):
     """Property test (derandomized): generated multi-line docs vs a
     pure-Python reference of the CCNet pass — a line is removed iff its
-    normalized (lower/trim) form is >= min_line_chars long and occurs
-    in >= min_df DISTINCT documents; counts exact; NULL text rides
+    normalized (trailing-\\r-stripped, lower/trim) form is >=
+    min_line_chars long and occurs in >= min_df DISTINCT documents;
+    counts exact; CRLF and LF twins share one form; NULL text rides
     through."""
     from hypothesis import given, settings, strategies as st
 
     lines_pool = [
         "Shared Boilerplate Footer.",   # long, repeatable
         "shared boilerplate footer.",   # same normalized form
+        "Shared Boilerplate Footer.\r",  # CRLF twin: same normalized form
         "Unique-ish line alpha beta.",
         "Another Body Line here.",
         "ok",                           # short: always exempt
+        "ok\r",                         # short after \r strip: exempt
         "",                             # blank: exempt
         "  Spaced Out Line  .",
     ]
@@ -1392,6 +1395,12 @@ def test_line_dedup_property(spark):
         ),
     )
 
+    def trimmed(ln):
+        # mirror the operator exactly: ONE trailing \r stripped, then
+        # space-only trim (not Python strip(), which eats \t too)
+        bare = ln[:-1] if ln.endswith("\r") else ln
+        return bare.strip(" ")
+
     def ref(docs, min_df=2, min_chars=6):
         from collections import defaultdict
 
@@ -1400,9 +1409,8 @@ def test_line_dedup_property(spark):
             if t is None:
                 continue
             for ln in t.split("\n"):
-                norm = ln.strip().lower()
-                if len(ln.strip()) >= min_chars:
-                    df_count[norm].add(i)
+                if len(trimmed(ln)) >= min_chars:
+                    df_count[trimmed(ln).lower()].add(i)
         boiler = {k for k, v in df_count.items() if len(v) >= min_df}
         out = {}
         for i, t in docs.items():
@@ -1413,8 +1421,8 @@ def test_line_dedup_property(spark):
             kept, removed = [], 0
             for ln in lines:
                 drop = (
-                    len(ln.strip()) >= min_chars
-                    and ln.strip().lower() in boiler
+                    len(trimmed(ln)) >= min_chars
+                    and trimmed(ln).lower() in boiler
                 )
                 if drop:
                     removed += 1
