@@ -113,11 +113,24 @@ def rolling_zscore_blocked(
       convention). Cumulative sum-of-squares is a long — exact up to
       ~9.2e18 (e.g. 10^6-scale values for ~10^6 rows/key per the
       p99/edge-sum posture; cast wider upstream beyond that);
-    - stddev is recomposed as sqrt(E[x²] − mean²) from exact integer
-      sums — ALGEBRAICALLY equal to the window stddev_pop but may
-      differ in the last float ulp from Spark's incremental moments,
-      so the contract oracle keeps ``rolling_zscore`` (reference-exact
-      window) and this form is parity-tested to 1e-8.
+    - variance comes from the EXACT integer identity
+      ``n·Σx² − (Σx)²`` evaluated in decimal(38,0) over the windowed
+      sums (small — window-bounded), then ONE double division: no
+      E[x²]−mean² float cancellation, so stddev is the true population
+      stddev to double rounding even for large-mean/tight-spread keys
+      where the naive recomposition collapses (requires
+      window·window·max(v)² < 10³⁸ — any realistic quantized metric).
+      The contract oracle keeps ``rolling_zscore`` (reference-exact
+      window) and this form is parity-tested to 1e-8;
+    - NULL values and NULL keys ride through like the single-window
+      form: n_samples/mean/stddev count only non-null values (a
+      separate non-null prefix lane), and both internal joins run on a
+      struct-wrapped key (struct equality is null-safe AND shares the
+      windows' hash partitioning) so NULL-key rows are scored, never
+      dropped. A NULL
+      ``order_col`` violates the uniqueness contract (those rows
+      collapse into one block with undefined relative order) but still
+      flows through.
 
     Priced-in cost (measured at 600k rows / 200 uniformly-loaded
     keys): ~1.35x the single-window form in the bench shape where both
@@ -130,54 +143,89 @@ def rolling_zscore_blocked(
     if min_samples is None:
         min_samples = window_size // 2
     v = F.col(value_col).cast("long")
-    d = df.withColumn("_v", v).withColumn(
-        "_blk", F.floor(F.col(order_col) / block_size)
+    # _jk wraps the key columns in ONE struct: struct equality is
+    # null-safe (NULL fields compare equal), so a NULL-key group joins
+    # its own offset/boundary rows through plain equi-joins — and the
+    # windows, groupBy, and joins all hash-partition on the same
+    # column, so the exchange is planned once and reused (an
+    # eqNullSafe join condition would force an extra full-data
+    # exchange: its required distribution differs from the windows')
+    d = (
+        df.withColumn("_jk", F.struct(*[F.col(c) for c in key_cols]))
+        .withColumn("_v", v)
+        .withColumn("_blk", F.floor(F.col(order_col) / block_size))
     )
     w_loc = (
-        Window.partitionBy(*key_cols, "_blk")
+        Window.partitionBy("_jk", "_blk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # running-sum lanes: row count (rank / lag distance), NON-NULL
+    # value count (the n_samples/mean denominator — F.count/F.avg/
+    # stddev_pop skip NULLs in the single-window form), value sum and
+    # sum of squares (F.sum skips NULLs; coalesce the all-NULL-prefix
+    # case to 0 so the cum arithmetic never NULL-poisons).
     local = (
         d.withColumn("_c_loc", F.count(F.lit(1)).over(w_loc))
-        .withColumn("_s_loc", F.sum("_v").over(w_loc))
-        .withColumn("_q_loc", F.sum(F.col("_v") * F.col("_v")).over(w_loc))
+        .withColumn("_n_loc", F.count("_v").over(w_loc))
+        .withColumn(
+            "_s_loc", F.coalesce(F.sum("_v").over(w_loc), F.lit(0))
+        )
+        .withColumn(
+            "_q_loc",
+            F.coalesce(
+                F.sum(F.col("_v") * F.col("_v")).over(w_loc), F.lit(0)
+            ),
+        )
     )
     # in-block lag at distance N: same partitioning+order as w_loc, so
     # it rides the SAME sort (one WindowExec chain, no extra exchange).
     # Non-null iff the r−N row lives in this block — then its prefix is
     # this block's offset + its local running sums, and the expensive
     # cross-block fetch is skipped entirely.
-    w_ord = Window.partitionBy(*key_cols, "_blk").orderBy(order_col)
+    w_ord = Window.partitionBy("_jk", "_blk").orderBy(order_col)
     local = (
         local.withColumn("_c_lag", F.lag("_c_loc", window_size).over(w_ord))
+        .withColumn("_n_lag", F.lag("_n_loc", window_size).over(w_ord))
         .withColumn("_s_lag", F.lag("_s_loc", window_size).over(w_ord))
         .withColumn("_q_lag", F.lag("_q_loc", window_size).over(w_ord))
     )
-    totals = d.groupBy(*key_cols, "_blk").agg(
+    totals = d.groupBy("_jk", "_blk").agg(
         F.count("*").alias("_c_tot"),
-        F.sum("_v").alias("_s_tot"),
-        F.sum(F.col("_v") * F.col("_v")).alias("_q_tot"),
+        F.count("_v").alias("_n_tot"),
+        F.coalesce(F.sum("_v"), F.lit(0)).alias("_s_tot"),
+        F.coalesce(F.sum(F.col("_v") * F.col("_v")), F.lit(0)).alias(
+            "_q_tot"
+        ),
     )
     w_off = (
-        Window.partitionBy(*key_cols)
+        Window.partitionBy("_jk")
         .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        *key_cols,
+        "_jk",
         "_blk",
         F.coalesce(F.sum("_c_tot").over(w_off), F.lit(0)).alias("_c_off"),
+        F.coalesce(F.sum("_n_tot").over(w_off), F.lit(0)).alias("_n_off"),
         F.coalesce(F.sum("_s_tot").over(w_off), F.lit(0)).alias("_s_off"),
         F.coalesce(F.sum("_q_tot").over(w_off), F.lit(0)).alias("_q_off"),
     )
     pre = (
-        local.join(offsets, [*key_cols, "_blk"])
+        local.join(offsets, ["_jk", "_blk"])
         .withColumn("_r", F.col("_c_off") + F.col("_c_loc"))
+        .withColumn("_nn", F.col("_n_off") + F.col("_n_loc"))
         .withColumn("_cum", F.col("_s_off") + F.col("_s_loc"))
         .withColumn("_cumq", F.col("_q_off") + F.col("_q_loc"))
         # prefix at r−N resolved in-block where the lag hit (offsets
         # are the SAME block's, so offset + lagged local sums is exact)
+        .withColumn(
+            "_nn_l",
+            F.when(
+                F.col("_c_lag").isNotNull(),
+                F.col("_n_off") + F.col("_n_lag"),
+            ),
+        )
         .withColumn(
             "_cum_l",
             F.when(
@@ -192,9 +240,11 @@ def rolling_zscore_blocked(
                 F.col("_q_off") + F.col("_q_lag"),
             ),
         )
+        .withColumn("_resolved", F.col("_c_lag").isNotNull())
         .drop(
-            "_blk", "_c_loc", "_s_loc", "_q_loc", "_c_off", "_s_off",
-            "_q_off", "_c_lag", "_s_lag", "_q_lag",
+            "_blk", "_c_loc", "_n_loc", "_s_loc", "_q_loc", "_c_off",
+            "_n_off", "_s_off", "_q_off", "_c_lag", "_n_lag", "_s_lag",
+            "_q_lag",
         )
     )
     # pre feeds up to three consumers (resolved rows, boundary rows,
@@ -209,14 +259,15 @@ def rolling_zscore_blocked(
     # the full prefix frame: no full-data sort-merge join, the big side
     # streams. Rows with _r <= N need no prefix at all (cum_l = 0).
     resolved = pre.filter(
-        F.col("_cum_l").isNotNull() | (F.col("_r") <= window_size)
+        F.col("_resolved") | (F.col("_r") <= window_size)
     )
     boundary = pre.filter(
-        F.col("_cum_l").isNull() & (F.col("_r") > window_size)
-    ).drop("_cum_l", "_cumq_l")
+        ~F.col("_resolved") & (F.col("_r") > window_size)
+    ).drop("_nn_l", "_cum_l", "_cumq_l")
     lagref = pre.select(
-        *key_cols,
+        "_jk",
         F.col("_r").alias("_rprev"),
+        F.col("_nn").alias("_nn_l"),
         F.col("_cum").alias("_cum_l"),
         F.col("_cumq").alias("_cumq_l"),
     )
@@ -226,23 +277,34 @@ def rolling_zscore_blocked(
     # instead of OOM-broadcasting half the corpus
     bd = (
         boundary.withColumn("_rprev", F.col("_r") - F.lit(window_size))
-        .join(lagref, [*key_cols, "_rprev"], "left")
+        .join(lagref, ["_jk", "_rprev"], "left")
         .drop("_rprev")
     )
     j = resolved.unionByName(bd)
-    n = F.least(F.col("_r"), F.lit(window_size)).cast("long")
+    # windowed aggregates from exact integer prefix differences;
+    # n_samples counts NON-NULL values (single-window parity)
+    nn = (F.col("_nn") - F.coalesce(F.col("_nn_l"), F.lit(0))).cast("long")
     wsum = F.col("_cum") - F.coalesce(F.col("_cum_l"), F.lit(0))
     wsumq = F.col("_cumq") - F.coalesce(F.col("_cumq_l"), F.lit(0))
-    mean = wsum / n
-    var = F.greatest(wsumq / n - mean * mean, F.lit(0.0))
-    std = F.sqrt(var)
+    mean = F.when(nn > 0, wsum / nn)
+    # exact integer variance identity in decimal(38,0): nn·Σx² − (Σx)²
+    # (≥ 0 by Cauchy–Schwarz, computed exactly — no float cancellation)
+    dec = "decimal(38,0)"
+    varnum = nn.cast(dec) * wsumq.cast(dec) - wsum.cast(dec) * wsum.cast(
+        dec
+    )
+    var = F.greatest(varnum.cast("double"), F.lit(0.0)) / (nn * nn)
+    std = F.when(nn > 0, F.sqrt(var)).otherwise(F.lit(0.0))
     z = F.when(std == 0.0, F.lit(0.0)).otherwise((F.col("_v") - mean) / std)
     out = (
         j.withColumn("mean", mean)
         .withColumn("stddev", std)
-        .withColumn("n_samples", n)
+        .withColumn("n_samples", nn)
         .withColumn("zscore", z)
-        .drop("_v", "_r", "_cum", "_cumq", "_rprev", "_cum_l", "_cumq_l")
+        .drop(
+            "_jk", "_v", "_r", "_nn", "_cum", "_cumq", "_resolved",
+            "_nn_l", "_cum_l", "_cumq_l",
+        )
     )
     gated = (F.col("n_samples") >= min_samples) & (
         F.abs(F.col("zscore")) > threshold

@@ -227,3 +227,84 @@ def _assert_blocked_parity(got, want):
         assert g["is_anomaly"] == w["is_anomaly"], key
     # the spike is flagged by both forms
     assert got[("hot", 950)]["is_anomaly"]
+
+
+def test_rolling_zscore_blocked_null_keys_and_values_parity(spark):
+    """NULL keys and NULL values must ride through the blocked form
+    exactly like the single-window form: NULL-key rows are scored (the
+    internal joins are null-safe — an equi-join would silently drop
+    them), n_samples/mean/stddev count only non-null values, and no
+    row ever disappears."""
+    from logshipper_spark.anomaly import (
+        release_cached_rollups,
+        rolling_zscore,
+        rolling_zscore_blocked,
+    )
+
+    rows = []
+    for i in range(300):  # NULL key group spanning several 64-id blocks
+        rows.append((None, i, None if i % 7 == 0 else 100 + (i * 13) % 40))
+    for i in range(150):  # named key with interleaved NULL values
+        rows.append(("a", i, None if i % 5 == 0 else 500 + (i * 3) % 9))
+    rows.append(("b", 0, None))  # all-NULL key: n_samples 0, mean NULL
+    df = spark.createDataFrame(rows, "k string, event_id long, value long")
+    kw = dict(key_cols=["k"], value_col="value", window_size=20)
+    want = {
+        (r["k"], r["event_id"]): r
+        for r in rolling_zscore(df, order_cols=["event_id"], **kw).collect()
+    }
+    fast = rolling_zscore_blocked(df, order_col="event_id", block_size=64, **kw)
+    got = {(r["k"], r["event_id"]): r for r in fast.collect()}
+    release_cached_rollups()
+    assert set(got) == set(want)  # nothing dropped, nothing duplicated
+    for key, g in got.items():
+        w = want[key]
+        assert g["n_samples"] == w["n_samples"], key
+        assert g["mean"] == w["mean"], key  # exact (incl. None == None)
+        if w["stddev"] is None:
+            assert g["stddev"] is None, key
+        else:
+            assert abs(g["stddev"] - w["stddev"]) <= 1e-8 * max(1.0, w["stddev"]), key
+        if w["zscore"] is None:
+            assert g["zscore"] is None, key
+        else:
+            assert abs(g["zscore"] - w["zscore"]) <= 1e-6, key
+        assert g["is_anomaly"] == w["is_anomaly"], key
+    assert got[("b", 0)]["n_samples"] == 0
+    assert got[("b", 0)]["mean"] is None
+
+
+def test_rolling_zscore_blocked_large_mean_tight_spread_stddev(spark):
+    """Catastrophic-cancellation regression: values ~3e7 with spread
+    ~sqrt(2) make the naive E[x²]−mean² double recomposition lose ~all
+    precision (wsumq ≈ 9e16 > 2^53). The exact decimal identity
+    nn·Σx² − (Σx)² must stay within 1e-8 of the single-window
+    stddev_pop (and of the true value)."""
+    import statistics
+
+    from logshipper_spark.anomaly import (
+        release_cached_rollups,
+        rolling_zscore,
+        rolling_zscore_blocked,
+    )
+
+    vals = [30_000_000 + (i * 37) % 5 for i in range(400)]
+    df = spark.createDataFrame(
+        [("m", i, v) for i, v in enumerate(vals)],
+        "k string, event_id long, value long",
+    )
+    kw = dict(key_cols=["k"], value_col="value", window_size=100)
+    want = {
+        r["event_id"]: r
+        for r in rolling_zscore(df, order_cols=["event_id"], **kw).collect()
+    }
+    fast = rolling_zscore_blocked(df, order_col="event_id", block_size=64, **kw)
+    got = {r["event_id"]: r for r in fast.collect()}
+    release_cached_rollups()
+    for i, g in got.items():
+        w = want[i]
+        assert g["mean"] == w["mean"], i
+        assert abs(g["stddev"] - w["stddev"]) <= 1e-8 * max(1.0, w["stddev"]), i
+    # spot-check against the true population stddev at a full window
+    true_std = statistics.pstdev(vals[300 - 99 : 301])
+    assert abs(got[300]["stddev"] - true_std) <= 1e-9 * max(1.0, true_std)

@@ -175,12 +175,12 @@ def measure(sf_dir: str) -> dict:
                             "src_service <> '' AND dst_service <> ''"
                         ).selectExpr(
                             "src_service || '|' || dst_service AS edge_key",
-                            "pmod(xxhash64(conv_id), 1000000) * 1024"
-                            " + turn_idx AS event_id",
+                            "cast(substring(conv_id, 6) AS long)"
+                            " * 1024 + turn_idx AS event_id",
                             "latency_us AS value",
                         ),
                         key_cols=["edge_key"], value_col="value",
-                        order_col="event_id", block_size=1 << 28,
+                        order_col="event_id", block_size=1 << 22,
                     )
                 ),
                 anomaly.release_cached_rollups(),
