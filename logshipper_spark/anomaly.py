@@ -153,7 +153,13 @@ def rolling_zscore_blocked(
     d = (
         df.withColumn("_jk", F.struct(*[F.col(c) for c in key_cols]))
         .withColumn("_v", v)
-        .withColumn("_blk", F.floor(F.col(order_col) / block_size))
+        # never-null block id: NULL order_col rows land in block -1
+        # (they sort first, like the window's ASC-nulls-first) instead
+        # of vanishing through the offset equi-join on _blk
+        .withColumn(
+            "_blk",
+            F.coalesce(F.floor(F.col(order_col) / block_size), F.lit(-1)),
+        )
     )
     w_loc = (
         Window.partitionBy("_jk", "_blk")
@@ -420,42 +426,60 @@ def edge_metric_feed(
     """
     key_cols = key_cols or ["src_service", "dst_service", "operation"]
     order_cols = order_cols or [ts_col]
-    is_err = (F.col(status_col) >= 500).cast("long")
+    # NULL status counts as non-error (0), matching the oracle's
+    # CASE WHEN ... THEN 1 ELSE 0 END — and keeping the running sums
+    # null-free so the two-phase offsets can never NULL-poison a block
+    is_err = F.coalesce((F.col(status_col) >= 500).cast("long"), F.lit(0))
     # window expressions can't live inside a generator's projection —
     # materialize the running rate as a column first, then explode
     if two_phase:
-        blk = F.window(F.col(ts_col), block_duration)["start"]
-        with_blk = df.withColumn("_blk", blk)
+        # struct-wrapped edge key (null-safe equality, shares the
+        # windows' hash partitioning) + never-null block id: NULL-key
+        # or NULL-ts rows must keep flowing like the single-window form
+        # the coalesce must sit INSIDE window(): Spark's TimeWindowing
+        # rule injects an `input IS NOT NULL` filter, so a NULL ts fed
+        # directly to window() silently drops the row; the sentinel
+        # timestamp sorts before all real data, matching the window
+        # form's ASC-nulls-first ordering
+        blk = F.window(
+            F.coalesce(
+                F.col(ts_col), F.to_timestamp(F.lit("0001-01-01 00:00:00"))
+            ),
+            block_duration,
+        )["start"]
+        with_blk = df.withColumn(
+            "_ek", F.struct(*[F.col(c) for c in key_cols])
+        ).withColumn("_blk", blk)
         w_loc = (
-            Window.partitionBy(*key_cols, "_blk")
+            Window.partitionBy("_ek", "_blk")
             .orderBy(*order_cols)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         local = with_blk.withColumn("_err_loc", F.sum(is_err).over(w_loc)).withColumn(
             "_cnt_loc", F.count(F.lit(1)).over(w_loc)
         )
-        totals = with_blk.groupBy(*key_cols, "_blk").agg(
+        totals = with_blk.groupBy("_ek", "_blk").agg(
             F.sum(is_err).alias("_err_tot"), F.count("*").alias("_cnt_tot")
         )
         w_off = (
-            Window.partitionBy(*key_cols)
+            Window.partitionBy("_ek")
             .orderBy("_blk")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offsets = totals.select(
-            *key_cols,
+            "_ek",
             "_blk",
             F.coalesce(F.sum("_err_tot").over(w_off), F.lit(0)).alias("_err_off"),
             F.coalesce(F.sum("_cnt_tot").over(w_off), F.lit(0)).alias("_cnt_off"),
         )
         with_rate = (
-            local.join(offsets, [*key_cols, "_blk"])
+            local.join(offsets, ["_ek", "_blk"])
             .withColumn(
                 "_rate",
                 (F.col("_err_off") + F.col("_err_loc"))
                 / (F.col("_cnt_off") + F.col("_cnt_loc")),
             )
-            .drop("_blk", "_err_loc", "_cnt_loc", "_err_off", "_cnt_off")
+            .drop("_ek", "_blk", "_err_loc", "_cnt_loc", "_err_off", "_cnt_off")
         )
     else:
         w = (

@@ -187,27 +187,54 @@ def block_running_sum(
     pattern (skew.py:33): blocks are ranges of the ordering key, so a
     local rowsBetween cumsum per (group, block) plus a per-block offset
     table (~rows/block_size rows) reproduces the unbounded window
-    without any task scanning a group's full history."""
-    d = df.withColumn("_blk", F.floor(F.col(order_col) / block_size))
+    without any task scanning a group's full history.
+
+    Single-window parity holds for the edge shapes too: the offset
+    join runs on a struct-wrapped group key (struct equality is
+    null-safe, so a NULL group keeps its rows instead of vanishing
+    through the equi-join — and the struct shares the windows' hash
+    partitioning, so no extra exchange), and a non-null-count lane
+    reproduces SUM's NULL semantics exactly (NULL until the group's
+    first non-null value, then the running sum of non-nulls — a bare
+    offset+local sum would NULL-poison every row of a block whose own
+    prefix is all-NULL even when earlier blocks carried values)."""
+    d = df.withColumn("_gk", F.struct(F.col(group_col))).withColumn(
+        "_blk",
+        F.coalesce(F.floor(F.col(order_col) / block_size), F.lit(-1)),
+    )
     local_w = (
-        Window.partitionBy(group_col, "_blk")
+        Window.partitionBy("_gk", "_blk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    with_local = d.withColumn("_run", F.sum(val_col).over(local_w))
-    sums = d.groupBy(group_col, "_blk").agg(F.sum(val_col).alias("_s"))
+    with_local = d.withColumn(
+        "_run", F.coalesce(F.sum(val_col).over(local_w), F.lit(0))
+    ).withColumn("_nnr", F.count(val_col).over(local_w))
+    sums = d.groupBy("_gk", "_blk").agg(
+        F.coalesce(F.sum(val_col), F.lit(0)).alias("_s"),
+        F.count(val_col).alias("_n"),
+    )
     off_w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy("_gk")
         .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = sums.withColumn(
-        "_off", F.coalesce(F.sum("_s").over(off_w), F.lit(0))
-    ).drop("_s")
+    offsets = sums.select(
+        "_gk",
+        "_blk",
+        F.coalesce(F.sum("_s").over(off_w), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_noff"),
+    )
     return (
-        with_local.join(offsets, [group_col, "_blk"])
-        .withColumn(out_col, F.col("_off") + F.col("_run"))
-        .drop("_blk", "_run", "_off")
+        with_local.join(offsets, ["_gk", "_blk"])
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_noff") + F.col("_nnr") > 0,
+                F.col("_off") + F.col("_run"),
+            ),
+        )
+        .drop("_gk", "_blk", "_run", "_nnr", "_off", "_noff")
     )
 
 
@@ -274,25 +301,24 @@ def quantile_bins(
         block_size,
         "_tie",
     ).drop("_one", "_gs")
-    # null-safe score equi-join: NULL scores form their own class and
-    # rank FIRST (Spark's ASC null ordering), exactly like the
-    # single-phase row_number window — a plain equi-join would silently
-    # drop null-score rows and skew every other rank by their count
+    # struct-keyed null-safe equi-joins: struct equality treats NULL
+    # fields as equal, so NULL scores form their own tie class ranking
+    # FIRST (Spark's ASC null ordering) and a NULL GROUP keeps its rows
+    # — a plain equi-join on either column would silently drop them and
+    # skew every other rank by their count
     base = base.select(
-        F.col(g).alias("_bg"),
-        F.col(score_col).alias("_bs"),
+        F.struct(g, score_col).alias("_bgs"),
         "_base",
     )
     if broadcast_scores:
         base = F.broadcast(base)
+    totals = totals.select(F.struct(g).alias("_tg"), "_n")
     out = (
-        ranked.join(
-            base,
-            (F.col(g) == F.col("_bg"))
-            & F.col(score_col).eqNullSafe(F.col("_bs")),
-        )
-        .drop("_bg", "_bs")
-        .join(F.broadcast(totals), g)
+        ranked.withColumn("_bgs", F.struct(g, score_col))
+        .withColumn("_tg", F.struct(g))
+        .join(base, "_bgs")
+        .join(F.broadcast(totals), "_tg")
+        .drop("_bgs", "_tg")
         .withColumn("rank", (F.col("_base") + F.col("_tie")).cast("long"))
         .withColumn(
             out_col, F.expr(f"((rank - 1) * {k}) DIV _n").cast("int")

@@ -45,14 +45,22 @@ def turn_rank_salted(
     each block's starting offset as the running sum of earlier blocks'
     counts (a window over the per-block count table, which has
     ~n_turns/block_size rows — tiny)."""
-    blk = F.floor(F.col(turn_col) / block_size).alias("_blk")
-    local_w = Window.partitionBy(conv_col, "_blk").orderBy(turn_col)
-    with_blk = df.withColumn("_blk", blk)
+    # struct-wrapped conv key (null-safe equality, same hash
+    # partitioning as the windows) + never-null block id: a NULL conv
+    # or NULL turn would otherwise vanish through the offset equi-join
+    # instead of ranking like the single-window row_number
+    blk = F.coalesce(
+        F.floor(F.col(turn_col) / block_size), F.lit(-1)
+    ).alias("_blk")
+    with_blk = df.withColumn("_ck", F.struct(F.col(conv_col))).withColumn(
+        "_blk", blk
+    )
+    local_w = Window.partitionBy("_ck", "_blk").orderBy(turn_col)
     ranked = with_blk.withColumn("_local_rank", F.row_number().over(local_w))
 
-    counts = with_blk.groupBy(conv_col, "_blk").agg(F.count("*").alias("_cnt"))
+    counts = with_blk.groupBy("_ck", "_blk").agg(F.count("*").alias("_cnt"))
     off_w = (
-        Window.partitionBy(conv_col)
+        Window.partitionBy("_ck")
         .orderBy("_blk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -61,9 +69,9 @@ def turn_rank_salted(
     ).drop("_cnt")
 
     return (
-        ranked.join(offsets, [conv_col, "_blk"])
+        ranked.join(offsets, ["_ck", "_blk"])
         .withColumn(out_col, (F.col("_local_rank") + F.col("_off")).cast("int"))
-        .drop("_blk", "_local_rank", "_off")
+        .drop("_ck", "_blk", "_local_rank", "_off")
     )
 
 

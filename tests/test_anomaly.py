@@ -308,3 +308,37 @@ def test_rolling_zscore_blocked_large_mean_tight_spread_stddev(spark):
     # spot-check against the true population stddev at a full window
     true_std = statistics.pstdev(vals[300 - 99 : 301])
     assert abs(got[300]["stddev"] - true_std) <= 1e-9 * max(1.0, true_std)
+
+
+def test_edge_metric_feed_two_phase_null_key_and_ts_parity(spark):
+    """NULL key columns and NULL ts rows must produce the same feed in
+    both forms — the struct-keyed offset join keeps them; a plain
+    equi-join dropped the whole NULL-key group. NULL status counts as
+    non-error in both (the oracle's CASE ... ELSE 0 convention)."""
+    from datetime import datetime, timedelta
+
+    from logshipper_spark.anomaly import edge_metric_feed
+
+    start = datetime(2024, 3, 1)
+    rows = []
+    for i in range(40):  # NULL-src edge spanning several 15-min blocks
+        rows.append((None, "dst", "op", start + timedelta(minutes=2 * i), i,
+                     100 + i, 500 if i % 5 == 0 else None))
+    rows.append(("a", "dst", "op", None, 100, 50, 200))  # NULL ts
+    rows.append(("a", "dst", "op", start, 101, 60, 503))
+    df = spark.createDataFrame(
+        rows,
+        "src_service string, dst_service string, operation string, "
+        "ts timestamp, event_id long, latency_us long, status_code int",
+    )
+    kw = dict(
+        key_cols=["src_service", "dst_service", "operation"],
+        order_cols=["ts", "event_id"],
+    )
+    fast = edge_metric_feed(df, two_phase=True, block_duration="15 minutes", **kw)
+    slow = edge_metric_feed(df, two_phase=False, **kw)
+    key = lambda r: (r["src_service"], r["event_id"], r["metric"])  # noqa: E731
+    got = {key(r): r["value"] for r in fast.collect()}
+    want = {key(r): r["value"] for r in slow.collect()}
+    assert got == want
+    assert len(got) == 2 * len(rows)  # every row emits latency + rate

@@ -1865,7 +1865,8 @@ def test_quantile_bins_matches_single_phase_window(spark):
 
 
 def test_quantile_bins_property(spark):
-    """Property test (derandomized): for generated groups, discrete
+    """Property test (derandomized): for generated groups (including
+    NULL groups — the struct-keyed joins must keep them), discrete
     scores with heavy ties, NULL scores, k, and block sizes, the
     two-phase rank/bin must equal the pure-Python single-sort
     reference (NULLs rank first — Spark ASC null ordering)."""
@@ -1877,7 +1878,7 @@ def test_quantile_bins_property(spark):
     @given(
         rows=st.lists(
             st.tuples(
-                st.sampled_from(["a", "b"]),
+                st.sampled_from(["a", "b", None]),
                 st.one_of(st.none(), st.integers(0, 3)),
             ),
             min_size=1,

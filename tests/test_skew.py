@@ -45,3 +45,19 @@ def test_salted_sink_counts_matches_plain(spark):
     salted = skew.salted_sink_counts(routed, ts_col="ts", salt_buckets=8)
     assert salted.exceptAll(plain.select(*salted.columns)).count() == 0
     assert plain.count() == salted.count()
+
+
+def test_turn_rank_salted_null_conv_and_turn(spark):
+    # a NULL conv (and a NULL turn_idx) must rank like the plain
+    # window (NULLs first), not vanish through the offset equi-join
+    rows = [(None, i) for i in range(10)] + [("c", i) for i in range(5)]
+    rows += [("c", None), (None, None)]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    got = skew.turn_rank_salted(tr, block_size=4)
+    assert got.count() == len(rows)  # nothing dropped
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    expected = tr.withColumn("turn_rank", F.row_number().over(w))
+    assert (
+        got.exceptAll(expected).count() == 0
+        and expected.exceptAll(got).count() == 0
+    )
