@@ -222,7 +222,7 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         "src_service <> '' AND dst_service <> ''"
     ).selectExpr(
         "src_service || '|' || dst_service AS edge_key",
-        "cast(substring(conv_id, 6) AS long) * 1024 + turn_idx"
+        "try_cast(substring(conv_id, 6) AS long) * 1024 + turn_idx"
         " AS event_id",
         "latency_us AS value",
     )

@@ -132,13 +132,13 @@ def rolling_zscore_blocked(
       collapse into one block with undefined relative order) but still
       flows through.
 
-    Priced-in cost (measured at 600k rows / 200 uniformly-loaded
-    keys): ~1.35x the single-window form in the bench shape where both
-    pay the same input scan (4.4 s vs 3.3 s, bench.py
-    ``zscore_blocked``); up to ~8x on a fully-cached input where the
-    single window is nearly free. Use it when a key's history exceeds
-    one task — the same trade as edge_agg's bounded ring (+39%) but
-    for sliding windows. The single-window form stays the default.
+    Priced-in cost (re-measured post-hardening, interleaved ABAB
+    best-of-5 on the cached 600k-row / 200-key bench feed): ~1.45x the
+    single-window form (4.86 s vs 3.34 s; ~9% of that is the non-null
+    lane + struct key — BASELINE.md round-3h). Use it when a key's
+    history exceeds one task — the same trade as edge_agg's bounded
+    ring (+39%) but for sliding windows. The single-window form stays
+    the default.
     """
     if min_samples is None:
         min_samples = window_size // 2
@@ -150,16 +150,15 @@ def rolling_zscore_blocked(
     # column, so the exchange is planned once and reused (an
     # eqNullSafe join condition would force an extra full-data
     # exchange: its required distribution differs from the windows')
+    from .skew import group_key_struct, null_safe_block
+
+    # null-safe group key + never-null block id (skew.py invariant):
+    # NULL-key and NULL-order rows must flow through the offset
+    # equi-join, not vanish
     d = (
-        df.withColumn("_jk", F.struct(*[F.col(c) for c in key_cols]))
+        df.withColumn("_jk", group_key_struct(*key_cols))
         .withColumn("_v", v)
-        # never-null block id: NULL order_col rows land in block -1
-        # (they sort first, like the window's ASC-nulls-first) instead
-        # of vanishing through the offset equi-join on _blk
-        .withColumn(
-            "_blk",
-            F.coalesce(F.floor(F.col(order_col) / block_size), F.lit(-1)),
-        )
+        .withColumn("_blk", null_safe_block(F.col(order_col), block_size))
     )
     w_loc = (
         Window.partitionBy("_jk", "_blk")
@@ -433,23 +432,23 @@ def edge_metric_feed(
     # window expressions can't live inside a generator's projection —
     # materialize the running rate as a column first, then explode
     if two_phase:
-        # struct-wrapped edge key (null-safe equality, shares the
-        # windows' hash partitioning) + never-null block id: NULL-key
-        # or NULL-ts rows must keep flowing like the single-window form
-        # the coalesce must sit INSIDE window(): Spark's TimeWindowing
+        from .skew import group_key_struct
+
+        # null-safe edge key + never-null block id (skew.py invariant).
+        # The coalesce must sit INSIDE window(): Spark's TimeWindowing
         # rule injects an `input IS NOT NULL` filter, so a NULL ts fed
         # directly to window() silently drops the row; the sentinel
-        # timestamp sorts before all real data, matching the window
-        # form's ASC-nulls-first ordering
+        # timestamp (Spark's minimum year) sorts before all real data,
+        # matching the window form's ASC-nulls-first ordering
         blk = F.window(
             F.coalesce(
                 F.col(ts_col), F.to_timestamp(F.lit("0001-01-01 00:00:00"))
             ),
             block_duration,
         )["start"]
-        with_blk = df.withColumn(
-            "_ek", F.struct(*[F.col(c) for c in key_cols])
-        ).withColumn("_blk", blk)
+        with_blk = df.withColumn("_ek", group_key_struct(*key_cols)).withColumn(
+            "_blk", blk
+        )
         w_loc = (
             Window.partitionBy("_ek", "_blk")
             .orderBy(*order_cols)

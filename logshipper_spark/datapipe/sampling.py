@@ -198,9 +198,10 @@ def block_running_sum(
     first non-null value, then the running sum of non-nulls — a bare
     offset+local sum would NULL-poison every row of a block whose own
     prefix is all-NULL even when earlier blocks carried values)."""
-    d = df.withColumn("_gk", F.struct(F.col(group_col))).withColumn(
-        "_blk",
-        F.coalesce(F.floor(F.col(order_col) / block_size), F.lit(-1)),
+    from ..skew import group_key_struct, null_safe_block
+
+    d = df.withColumn("_gk", group_key_struct(group_col)).withColumn(
+        "_blk", null_safe_block(F.col(order_col), block_size)
     )
     local_w = (
         Window.partitionBy("_gk", "_blk")

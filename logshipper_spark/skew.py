@@ -29,6 +29,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Shared invariants of the block-offset two-phase pattern (this
+# module's turn_rank_salted, anomaly.rolling_zscore_blocked /
+# edge_metric_feed, datapipe.sampling.block_running_sum): the offset
+# equi-join must be NULL-SAFE on the group key — a plain equi-join
+# silently drops every NULL-key row the single-window form scores —
+# and the block id must be NEVER NULL or NULL-order rows vanish the
+# same way.
+
+#: block id for NULL ordering keys: sorts before any realistic block
+#: (floor(order/block_size) reaches −2⁶² only for order ids below
+#: −2⁶²·block_size), mirroring the window form's ASC-nulls-first.
+NULL_BLOCK = -(1 << 62)
+
+
+def group_key_struct(*cols: str) -> Column:
+    """The group key wrapped in ONE struct: struct equality treats
+    NULL fields as equal, so windows/groupBys/joins keyed on it keep
+    NULL groups AND share one hash partitioning (an eqNullSafe join
+    condition is also null-safe but its required distribution differs
+    from the windows', forcing an extra full-data exchange)."""
+    return F.struct(*[F.col(c) for c in cols])
+
+
+def null_safe_block(order: Column, block_size: int) -> Column:
+    """``floor(order / block_size)`` with NULL orders in NULL_BLOCK."""
+    return F.coalesce(F.floor(order / block_size), F.lit(NULL_BLOCK))
+
 
 def turn_rank_salted(
     df: DataFrame,
@@ -45,15 +72,11 @@ def turn_rank_salted(
     each block's starting offset as the running sum of earlier blocks'
     counts (a window over the per-block count table, which has
     ~n_turns/block_size rows — tiny)."""
-    # struct-wrapped conv key (null-safe equality, same hash
-    # partitioning as the windows) + never-null block id: a NULL conv
-    # or NULL turn would otherwise vanish through the offset equi-join
-    # instead of ranking like the single-window row_number
-    blk = F.coalesce(
-        F.floor(F.col(turn_col) / block_size), F.lit(-1)
-    ).alias("_blk")
-    with_blk = df.withColumn("_ck", F.struct(F.col(conv_col))).withColumn(
-        "_blk", blk
+    # null-safe group key + never-null block id (module-top invariant):
+    # a NULL conv or NULL turn must rank like the single-window
+    # row_number, not vanish through the offset equi-join
+    with_blk = df.withColumn("_ck", group_key_struct(conv_col)).withColumn(
+        "_blk", null_safe_block(F.col(turn_col), block_size)
     )
     local_w = Window.partitionBy("_ck", "_blk").orderBy(turn_col)
     ranked = with_blk.withColumn("_local_rank", F.row_number().over(local_w))

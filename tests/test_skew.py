@@ -52,6 +52,9 @@ def test_turn_rank_salted_null_conv_and_turn(spark):
     # window (NULLs first), not vanish through the offset equi-join
     rows = [(None, i) for i in range(10)] + [("c", i) for i in range(5)]
     rows += [("c", None), (None, None)]
+    # ids below -block_size: their block (-1250) must still sort AFTER
+    # the NULL sentinel block (-2^62), keeping NULLs-first parity
+    rows += [("c", -5000), (None, -5000)]
     tr = spark.createDataFrame(rows, "conv_id string, turn_idx int")
     got = skew.turn_rank_salted(tr, block_size=4)
     assert got.count() == len(rows)  # nothing dropped

@@ -175,7 +175,7 @@ def measure(sf_dir: str) -> dict:
                             "src_service <> '' AND dst_service <> ''"
                         ).selectExpr(
                             "src_service || '|' || dst_service AS edge_key",
-                            "cast(substring(conv_id, 6) AS long)"
+                            "try_cast(substring(conv_id, 6) AS long)"
                             " * 1024 + turn_idx AS event_id",
                             "latency_us AS value",
                         ),
