@@ -98,6 +98,31 @@ def mixture_rates(
     }
 
 
+def temperature_targets(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture targets from the observed domain
+    histogram: ``share_d ∝ count_d^(1/T)`` — the standard multilingual
+    / multi-source sampling formula (Conneau & Lample 2019 §3.1,
+    XLM-R; also the Gopher/PaLM data-mixing convention). T=1
+    reproduces the natural mixture (every rate from ``mixture_rates``
+    becomes 1.0 — keep everything), T→∞ approaches uniform across
+    domains, T<1 sharpens toward the largest domain. Compose:
+    ``mixture_rates(counts, temperature_targets(counts, T))``. Pure
+    driver-side arithmetic over the tiny histogram, like
+    ``mixture_rates``."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if not counts:
+        raise ValueError("counts must not be empty")
+    if any(c <= 0 for c in counts.values()):
+        raise ValueError("every domain must have a positive count")
+    tot = sum(counts.values())
+    w = {d: (c / tot) ** (1.0 / temperature) for d, c in counts.items()}
+    s = sum(w.values())
+    return {d: v / s for d, v in w.items()}
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

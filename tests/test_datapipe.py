@@ -720,6 +720,35 @@ def test_mixture_rates_binding_domain_keeps_all():
         sampling.mixture_rates({"a": 10}, {"b": 1.0})
 
 
+def test_temperature_targets_hand_cases():
+    import math
+
+    from logshipper_spark.datapipe import sampling
+
+    counts = {"a": 900, "b": 100}
+    # T=1: natural mixture — composing with mixture_rates keeps all
+    t1 = sampling.temperature_targets(counts, 1.0)
+    assert abs(t1["a"] - 0.9) < 1e-12 and abs(t1["b"] - 0.1) < 1e-12
+    assert sampling.mixture_rates(counts, t1) == {"a": 1.0, "b": 1.0}
+    # T=2: shares ∝ sqrt(0.9), sqrt(0.1) = 0.75 / 0.25 exactly
+    t2 = sampling.temperature_targets(counts, 2.0)
+    assert abs(t2["a"] - 0.75) < 1e-12 and abs(t2["b"] - 0.25) < 1e-12
+    r2 = sampling.mixture_rates(counts, t2)
+    # binding domain is the upweighted small one: b keeps 100%,
+    # a downsamples to 300 of 900 (T_out = 100/0.25 = 400)
+    assert r2["b"] == 1.0 and abs(r2["a"] - 1 / 3) < 1e-12
+    # T→∞: approaches uniform
+    tinf = sampling.temperature_targets(counts, 1e9)
+    assert abs(tinf["a"] - 0.5) < 1e-6 and abs(tinf["b"] - 0.5) < 1e-6
+    # T<1 sharpens toward the big domain
+    thalf = sampling.temperature_targets(counts, 0.5)
+    assert thalf["a"] > 0.9 and math.isclose(sum(thalf.values()), 1.0)
+    with pytest.raises(ValueError):
+        sampling.temperature_targets(counts, 0.0)
+    with pytest.raises(ValueError):
+        sampling.temperature_targets({"a": 0}, 1.0)
+
+
 def test_mixture_sample_deterministic_per_domain(spark):
     from logshipper_spark.datapipe import sampling
 
