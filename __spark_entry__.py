@@ -1092,6 +1092,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_dedup(union, cents, threshold=SEMDEDUP_TAU)
 
 
+SEMDEDUP_IDX_PATH = "/tmp/spark_graft_contract/semdedup_index"
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup against a persisted cell-partitioned index
+    (semdedup.write_semantic_index / semantic_dedup_against — the
+    semantic analog of near_dedup_against): every 3rd embedding is the
+    'kept' snapshot, the batch is the full table, so indexed rows drop
+    by exact self-match (cos = 1.0) and semantic near-copies of
+    indexed vectors drop with them while cell-blind survivors stay.
+    The oracle re-derives cell assignment from the materialized
+    centroid bytes for BOTH sides and replays the within-cell cosine
+    NOT EXISTS — fully independent of which pairs actually exist."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.kmeans_fit(
+        emb, num_cells=SEMDEDUP_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    semdedup.write_semantic_index(
+        emb.filter("vec_id % 3 = 0"), SEMDEDUP_IDX_PATH, cents,
+        mode="overwrite",
+    )
+    return semdedup.semantic_dedup_against(
+        emb, SEMDEDUP_IDX_PATH, threshold=SEMDEDUP_TAU
+    ).select("vec_id")
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced output sharding: running byte total in doc_id
     order (block-offset two-phase) cut every 25 kB. Fully independent
@@ -1791,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "lm_bigram": q_lm_bigram,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "shard_plan": q_shard_plan,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
@@ -3596,6 +3625,34 @@ def oracle_sql() -> dict[str, str]:
                                         WHERE a = v.vec_id), v.vec_id))
                         = v.vec_id AS INT) AS keep
             FROM a v
+        """,
+        "semantic_dedup_incremental": f"""
+            WITH cent AS (
+              SELECT cell, centroid
+              FROM read_parquet('{SEMDEDUP_IDX_PATH}/centroids/*.parquet')),
+            s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (
+              SELECT s.vec_id, s.v, cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (s.v[i] - cent.centroid[i])
+                                * (s.v[i] - cent.centroid[i]))), 6) AS dist
+              FROM s CROSS JOIN cent),
+            a AS (
+              SELECT vec_id, v, cell FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) = 1),
+            hits AS (
+              SELECT DISTINCT b.vec_id
+              FROM a b JOIN a i ON i.cell = b.cell AND i.vec_id % 3 = 0
+              WHERE round(
+                      list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                              j -> b.v[j] * i.v[j]))
+                      / (sqrt(list_sum(list_transform(b.v, e -> e * e)))
+                         * sqrt(list_sum(list_transform(i.v, e -> e * e)))), 6)
+                    >= {SEMDEDUP_TAU})
+            SELECT vec_id FROM s
+            WHERE vec_id NOT IN (SELECT vec_id FROM hits)
         """,
         "shard_plan": r"""
             WITH b AS (

@@ -494,6 +494,26 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
 
     times["semantic_pairs"] = _timed(_cold_semantic_pairs, "semantic_pairs")
     semdedup_mod.release_cached_cells()
+    sem_dir = tempfile.mkdtemp(prefix="bench_sem_")
+    try:
+        t0 = time.time()
+        semdedup_mod.write_semantic_index(
+            emb.filter("vec_id % 5 = 0"), sem_dir, sd_cents, mode="overwrite"
+        )
+        times["semantic_index_build"] = round(time.time() - t0, 3)
+
+        def _cold_sem_against() -> None:
+            semdedup_mod.release_cached_cells()  # COLD cell assignment
+            _force(
+                semdedup_mod.semantic_dedup_against(emb, sem_dir, threshold=0.9)
+            )
+
+        times["semantic_dedup_incremental"] = _timed(
+            _cold_sem_against, "semantic_dedup_incremental"
+        )
+    finally:
+        shutil.rmtree(sem_dir, ignore_errors=True)
+    semdedup_mod.release_cached_cells()
     spark.catalog.clearCache()  # dedup builders cache signatures internally
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     try:

@@ -133,3 +133,102 @@ def semantic_dedup(
         .cast("int")
         .alias("keep"),
     )
+
+
+def write_semantic_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "append",
+    codec: str = "zstd",
+) -> None:
+    """Persist a kept corpus snapshot's embeddings as the carry index
+    for INCREMENTAL semantic dedup across crawls — the SemDeDup analog
+    of ``dedup.write_minhash_index``: ``<path>/vectors`` holds
+    ``(vec_id, embedding)`` partitioned by the TRAINED cell (so probes
+    prune directories) and ``<path>/centroids`` the centroid table
+    (always overwritten — appended snapshots MUST be assigned with the
+    same centroids or cells stop being comparable; fit once with
+    ``similarity.kmeans_fit`` and reuse). Append mode accumulates
+    snapshots as a continuous-crawl pipeline keeps batches."""
+    spark = df.sparkSession
+    assign_trained_cells(df, centroids, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        "cell",
+    ).write.mode(mode).option("compression", codec).partitionBy(
+        "cell"
+    ).parquet(path + "/vectors")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").option("compression", codec).parquet(
+        path + "/centroids"
+    )
+
+
+def semantic_dedup_against(
+    df: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental cross-snapshot SEMANTIC dedup: drop every batch row
+    whose cosine against ANY indexed vector in the same trained cell
+    reaches ``threshold`` ('is this new document a semantic duplicate
+    of anything ever kept'). Batch-internal near-dups are not
+    collapsed — compose with ``semantic_dedup`` for that, exactly like
+    ``dedup.near_dedup_against`` composes with ``minhash_lsh_pairs``.
+
+    The index is self-describing: centroids load from
+    ``<path>/centroids`` (num_cells rows — a driver-side literal), the
+    batch assigns cells map-only, and the index scan carries a literal
+    ``cell IN (batch's occupied cells)`` filter — at 100 TB the probe
+    reads only the directories the batch actually touches, and the
+    candidate join is bounded per task by cell population, never index
+    size (the SemDeDup cluster-bounding argument, applied
+    incrementally). Same cosine convention as ``semantic_pairs``
+    (staged per-row norms, 6-dp rounding, zero-norm → 0.0), so the
+    cell-blindness trade is identical and the contract oracle
+    re-derives every decision from the materialized centroid bytes."""
+    spark = df.sparkSession
+    cent_rows = spark.read.parquet(path + "/centroids").collect()
+    cents = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
+    centroids = [cents[i] for i in range(len(cents))]
+    nrm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    batch = assign_trained_cells(df, centroids, vec_col).select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        nrm.alias("_bn"),
+        "cell",
+    ).persist()
+    _CELL_CACHE.append(batch)
+    probe_cells = [r["cell"] for r in batch.select("cell").distinct().collect()]
+    inrm = F.sqrt(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    idx = (
+        spark.read.schema("vec_id long, embedding array<double>")
+        .parquet(path + "/vectors")  # hive layout appends the cell col
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col("embedding").alias("_iv"), inrm.alias("_in"), "cell")
+    )
+    dot = F.aggregate(
+        F.zip_with("_bv", "_iv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    n2 = F.col("_bn") * F.col("_in")
+    cos = F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0))
+    hits = (
+        batch.join(idx, "cell")
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

@@ -369,3 +369,75 @@ def test_banded_buckets_matches_lsh_pairs_path(spark):
     }
     assert (0, 100) in pairs
     dedup.release_cached_signatures()
+
+
+# ── incremental semantic dedup (write_semantic_index / _against) ──
+
+
+def test_semantic_dedup_against_index_roundtrip(spark, tmp_path):
+    """Index two kept vectors; a batch near-copy of an indexed vector
+    drops, an orthogonal newcomer survives, a near-copy landing in a
+    DIFFERENT cell survives (the documented cell-blindness trade), and
+    appending a snapshot extends the drop reach."""
+    import math
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    path = str(tmp_path / "semidx")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    kept = spark.createDataFrame(
+        [(0, unit(2.0)), (1, unit(88.0))],
+        "vec_id long, embedding array<double>",
+    )
+    semdedup.write_semantic_index(kept, path, cents, mode="overwrite")
+
+    batch = spark.createDataFrame(
+        [
+            (100, unit(3.0)),    # ~cos 0.9998 vs idx 0 → drop
+            (101, unit(44.0)),   # cell 0, far from idx 0 → keep
+            (102, unit(46.0)),   # cell 1, near 101 but 101 isn't indexed → keep
+            (103, unit(87.0)),   # ~idx 1 → drop
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semdedup.semantic_dedup_against(batch, path, threshold=0.99)
+    semdedup.release_cached_cells()
+    assert {r["vec_id"] for r in out.collect()} == {101, 102}
+    # append the surviving snapshot: 101/102 now indexed, so their
+    # near-copies drop on the next batch
+    semdedup.write_semantic_index(out, path, cents, mode="append")
+    batch2 = spark.createDataFrame(
+        [(200, unit(44.5)), (201, unit(2.5))],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = semdedup.semantic_dedup_against(batch2, path, threshold=0.99)
+    semdedup.release_cached_cells()
+    assert {r["vec_id"] for r in out2.collect()} == set()
+
+
+def test_semantic_dedup_against_prunes_probe_cells(spark, tmp_path):
+    """The index scan must carry a literal cell IN filter bounded by
+    the batch's occupied cells (directory pruning at 100 TB)."""
+    path = str(tmp_path / "semidx2")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    kept = spark.createDataFrame(
+        [(0, [1.0, 0.01]), (1, [0.01, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    semdedup.write_semantic_index(kept, path, cents, mode="overwrite")
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.02])], "vec_id long, embedding array<double>"
+    )  # occupies cell 0 only
+    out = semdedup.semantic_dedup_against(batch, path, threshold=0.999999)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    semdedup.release_cached_cells()
+    # the literal probe filter must reach the index scan's partition
+    # pruning (single probed cell collapses isin to an equality)
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert m and re.search(r"cell#\d+ (= 0|IN \(0\))", m.group(0)), m
+    # and the survivor logic still holds (cos(10, 0) < threshold)
+    assert {r["vec_id"] for r in out.collect()} == {10}
