@@ -171,10 +171,12 @@ def write_semantic_index(
 
 def semantic_dedup_against(
     df: DataFrame,
-    path: str,
+    path: str | None = None,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index_df: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Incremental cross-snapshot SEMANTIC dedup: drop every batch row
     whose cosine against ANY indexed vector in the same trained cell
@@ -193,11 +195,19 @@ def semantic_dedup_against(
     incrementally). Same cosine convention as ``semantic_pairs``
     (staged per-row norms, 6-dp rounding, zero-norm → 0.0), so the
     cell-blindness trade is identical and the contract oracle
-    re-derives every decision from the materialized centroid bytes."""
+    re-derives every decision from the materialized centroid bytes.
+
+    Pass ``index_df`` (``(vec_id, embedding, cell)`` — e.g. the
+    partitioned read restricted to COMMITTED batch partitions) and
+    ``centroids`` to skip the path reads — the streaming twin
+    (``streaming.streaming_semantic_dedup``) does, exactly like
+    ``near_dedup_against``'s ``sigs_df``; the probe-cell filter still
+    applies and still prunes the upstream partitioned scan."""
     spark = df.sparkSession
-    cent_rows = spark.read.parquet(path + "/centroids").collect()
-    cents = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
-    centroids = [cents[i] for i in range(len(cents))]
+    if centroids is None:
+        cent_rows = spark.read.parquet(path + "/centroids").collect()
+        cents = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
+        centroids = [cents[i] for i in range(len(cents))]
     nrm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
     )
@@ -212,11 +222,12 @@ def semantic_dedup_against(
     inrm = F.sqrt(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda s, x: s + x * x)
     )
-    idx = (
-        spark.read.schema("vec_id long, embedding array<double>")
-        .parquet(path + "/vectors")  # hive layout appends the cell col
-        .filter(F.col("cell").isin(probe_cells))
-        .select(F.col("embedding").alias("_iv"), inrm.alias("_in"), "cell")
+    if index_df is None:
+        index_df = spark.read.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(path + "/vectors")  # hive layout appends the cell col
+    idx = index_df.filter(F.col("cell").isin(probe_cells)).select(
+        F.col("embedding").alias("_iv"), inrm.alias("_in"), "cell"
     )
     dot = F.aggregate(
         F.zip_with("_bv", "_iv", lambda x, y: x * y),

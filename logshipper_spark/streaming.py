@@ -363,6 +363,111 @@ def streaming_near_dedup(
     return writer.start()
 
 
+def streaming_semantic_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    schema: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    available_now: bool = True,
+    chaos=None,
+):
+    """Streaming SEMANTIC dedup for continuous embedding ingestion —
+    the SemDeDup twin of ``streaming_near_dedup``: each micro-batch
+    drops vectors whose within-cell cosine reaches ``threshold``
+    against (a) anything already kept by prior batches, via the
+    cell-partitioned vector index
+    (``datapipe.semdedup.semantic_dedup_against``), or (b) a LOWER-id
+    semantic near-dup inside the same batch. Survivors land under
+    ``out_dir/batch_id=N`` and their (vector, cell) rows append to the
+    index as ``batch_id=N`` partitions (sub-partitioned by cell, so
+    later probes still prune directories).
+
+    ``centroids`` are the offline-trained cells
+    (``similarity.kmeans_fit`` on a bootstrap sample) and MUST stay
+    fixed for an index's lifetime — assignments across batches are
+    only comparable under one centroid set.
+
+    Exactly-once: identical commit protocol to ``streaming_near_dedup``
+    — idempotent per-batch ``batch_id=N`` overwrites, the marker
+    appends LAST, replays read only COMMITTED partitions, so a crash in
+    the commit gap never lets a batch see its own half-written state.
+    ``chaos`` fires after commit, before the checkpoint epoch.
+
+    State posture at 100 TB: the index holds one (id, vector) row per
+    KEPT document — dim×8 bytes each, the minimum any exact-cosine
+    carry state needs; per-batch work is the cell-bounded candidate
+    join, never index × batch."""
+    import os
+
+    from .datapipe import semdedup as sdd
+
+    vec_schema = f"{id_col} long, {vec_col} array<double>"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = near_dedup_committed(spark, index_dir)
+        if batch_id in committed:
+            return
+        survivors = batch_df
+        if committed:
+            idx = (
+                spark.read.schema(vec_schema)
+                .parquet(os.path.join(index_dir, "vectors"))
+                .filter(F.col("batch_id").isin(sorted(committed)))
+                .select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                    "cell",
+                )
+            )
+            survivors = sdd.semantic_dedup_against(
+                survivors,
+                threshold=threshold,
+                vec_col=vec_col,
+                id_col=id_col,
+                index_df=idx,
+                centroids=centroids,
+            )
+        # batch-internal losers: lower-id keeper rule, same as the
+        # near-dup stream (pairs emit id_a < id_b)
+        pairs = sdd.semantic_pairs(
+            batch_df, centroids, threshold, vec_col, id_col
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = survivors.join(losers, id_col, "left_anti").persist()
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        sdd.assign_trained_cells(survivors, centroids, vec_col).select(
+            id_col, vec_col, "cell"
+        ).write.mode("overwrite").option("compression", "zstd").partitionBy(
+            "cell"
+        ).parquet(os.path.join(index_dir, "vectors", f"batch_id={batch_id}"))
+        # marker LAST — the restart point
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "_commits"))
+        survivors.unpersist()
+        sdd.release_cached_cells()
+        if chaos is not None:
+            chaos(batch_id)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_substr_screen(
     spark: SparkSession,
     input_dir: str,
