@@ -64,11 +64,18 @@ def semantic_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster cosine pairs ≥ threshold: ``(id_a, id_b, cosine)``
     with id_a < id_b. Column-renamed self-join on the cell id (never
     alias-qualified — the renamed form survives checkpointing in
-    iterative callers)."""
+    iterative callers).
+
+    Pass ``cells_df`` (``df`` + its ``cell`` column, i.e. an
+    ``assign_trained_cells`` result the CALLER persists and releases)
+    to skip the in-op assignment+cache — the one-assignment-per-batch
+    pattern ``streaming_semantic_dedup`` shares across its three
+    consumers."""
     # norms are staged PER ROW before the self-join: computing them
     # inside the pair expression would redo 2x dim multiply-adds per
     # CANDIDATE PAIR instead of per row (~3x the pair-stage cost —
@@ -76,11 +83,17 @@ def semantic_pairs(
     nrm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
     )
-    cells = assign_trained_cells(df, centroids, vec_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-        nrm.alias("nrm"), "cell",
-    ).persist()
-    _CELL_CACHE.append(cells)
+    if cells_df is None:
+        cells = assign_trained_cells(df, centroids, vec_col).select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+            nrm.alias("nrm"), "cell",
+        ).persist()
+        _CELL_CACHE.append(cells)
+    else:
+        cells = cells_df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+            nrm.alias("nrm"), "cell",
+        )
     a = cells.select(
         F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
         F.col("nrm").alias("nrm_a"), "cell",
@@ -177,6 +190,7 @@ def semantic_dedup_against(
     id_col: str = "vec_id",
     index_df: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental cross-snapshot SEMANTIC dedup: drop every batch row
     whose cosine against ANY indexed vector in the same trained cell
@@ -202,8 +216,15 @@ def semantic_dedup_against(
     ``centroids`` to skip the path reads — the streaming twin
     (``streaming.streaming_semantic_dedup``) does, exactly like
     ``near_dedup_against``'s ``sigs_df``; the probe-cell filter still
-    applies and still prunes the upstream partitioned scan."""
+    applies and still prunes the upstream partitioned scan. ``cells_df``
+    (caller-persisted ``assign_trained_cells`` result, like
+    ``semantic_pairs``) skips the in-op batch assignment+cache."""
     spark = df.sparkSession
+    if path is None and (centroids is None or index_df is None):
+        raise ValueError(
+            "semantic_dedup_against needs `path`, or BOTH `index_df` "
+            "and `centroids`"
+        )
     if centroids is None:
         cent_rows = spark.read.parquet(path + "/centroids").collect()
         cents = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
@@ -211,13 +232,21 @@ def semantic_dedup_against(
     nrm = F.sqrt(
         F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
     )
-    batch = assign_trained_cells(df, centroids, vec_col).select(
-        F.col(id_col).alias("_bid"),
-        F.col(vec_col).alias("_bv"),
-        nrm.alias("_bn"),
-        "cell",
-    ).persist()
-    _CELL_CACHE.append(batch)
+    if cells_df is None:
+        batch = assign_trained_cells(df, centroids, vec_col).select(
+            F.col(id_col).alias("_bid"),
+            F.col(vec_col).alias("_bv"),
+            nrm.alias("_bn"),
+            "cell",
+        ).persist()
+        _CELL_CACHE.append(batch)
+    else:
+        batch = cells_df.select(
+            F.col(id_col).alias("_bid"),
+            F.col(vec_col).alias("_bv"),
+            nrm.alias("_bn"),
+            "cell",
+        )
     probe_cells = [r["cell"] for r in batch.select("cell").distinct().collect()]
     inrm = F.sqrt(
         F.aggregate(F.col("embedding"), F.lit(0.0), lambda s, x: s + x * x)

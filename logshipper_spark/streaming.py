@@ -413,6 +413,13 @@ def streaming_semantic_dedup(
         committed = near_dedup_committed(spark, index_dir)
         if batch_id in committed:
             return
+        # ONE cell assignment per batch (the near-dup stream's
+        # one-signature rule): the LOCALLY-persisted frame serves the
+        # index probe, the batch-internal pair search, and the index
+        # append — never the module cache, whose global release would
+        # yank frames out from under concurrent queries
+        cells = sdd.assign_trained_cells(batch_df, centroids, vec_col).persist()
+        cells.count()
         survivors = batch_df
         if committed:
             idx = (
@@ -432,19 +439,20 @@ def streaming_semantic_dedup(
                 id_col=id_col,
                 index_df=idx,
                 centroids=centroids,
+                cells_df=cells,
             )
         # batch-internal losers: lower-id keeper rule, same as the
         # near-dup stream (pairs emit id_a < id_b)
         pairs = sdd.semantic_pairs(
-            batch_df, centroids, threshold, vec_col, id_col
+            batch_df, centroids, threshold, vec_col, id_col, cells_df=cells
         )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = survivors.join(losers, id_col, "left_anti").persist()
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
-        sdd.assign_trained_cells(survivors, centroids, vec_col).select(
-            id_col, vec_col, "cell"
+        cells.select(id_col, vec_col, "cell").join(
+            survivors.select(id_col), id_col
         ).write.mode("overwrite").option("compression", "zstd").partitionBy(
             "cell"
         ).parquet(os.path.join(index_dir, "vectors", f"batch_id={batch_id}"))
@@ -453,7 +461,7 @@ def streaming_semantic_dedup(
             "append"
         ).parquet(os.path.join(index_dir, "_commits"))
         survivors.unpersist()
-        sdd.release_cached_cells()
+        cells.unpersist()
         if chaos is not None:
             chaos(batch_id)
 
