@@ -33,6 +33,7 @@ from logshipper_spark import (
     skew, template, transform,
 )
 from logshipper_spark.datapipe import (
+    compaction,
     curate,
     decontam,
     dedup,
@@ -1016,6 +1017,55 @@ def q_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+MH_CIDX_PATH = "/tmp/spark_graft_contract/mh_cidx"
+MH_CBATCH_SIGS_PATH = "/tmp/spark_graft_contract/mh_cidx_batch_sigs.parquet"
+
+
+def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based index compaction (datapipe.compaction): two 'crawl
+    snapshots' land as streaming-layout batch partitions (batch_id=0:
+    doc_id%5==0, batch_id=1: doc_id%5==1) with commit markers,
+    ``compact_minhash_index`` folds them into ``epoch=1``, and the
+    probe (all documents) runs near_dedup_against over the LIVE VIEW —
+    which after compaction reads ONLY the epoch files. The oracle
+    re-derives banding / signature-agreement estimate / anti-join from
+    the ORIGINAL pre-compaction batch-partition signature bytes, so a
+    hash match proves the compacted view is semantically identical to
+    the uncompacted state (what makes vacuum safe)."""
+    import shutil
+
+    shutil.rmtree(MH_CIDX_PATH, ignore_errors=True)  # markers are append-mode
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    for batch_id, part in ((0, "doc_id % 5 = 0"), (1, "doc_id % 5 = 1")):
+        sigs = docs.filter(part).select(
+            "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+        )
+        sigs.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{MH_CIDX_PATH}/sigs/batch_id={batch_id}"
+        )
+        dedup.banded_buckets(sigs).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(f"{MH_CIDX_PATH}/bands/batch_id={batch_id}")
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{MH_CIDX_PATH}/_commits")
+    res = compaction.compact_minhash_index(spark, MH_CIDX_PATH)
+    if not (res["compacted"] and res["epoch"] == 1):
+        raise RuntimeError(f"compaction did not land: {res}")
+    docs.select(
+        "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        MH_CBATCH_SIGS_PATH
+    )
+    idx_sigs, idx_bands = compaction.read_minhash_index(spark, MH_CIDX_PATH)
+    batch_sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
+        MH_CBATCH_SIGS_PATH
+    )
+    return dedup.near_dedup_against(
+        docs, idx_sigs, idx_bands, threshold=0.5, sigs_df=batch_sigs
+    ).select("doc_id")
+
+
 UNIGRAM_LM_PATH = "/tmp/spark_graft_contract/unigram_lm.parquet"
 
 
@@ -1816,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "dedup_incremental": q_dedup_incremental,
         "near_dedup_incremental": q_near_dedup_incremental,
+        "index_compaction": q_index_compaction,
         "lm_score": q_lm_score,
         "lm_bigram": q_lm_bigram,
         "semantic_dedup": q_semantic_dedup,
@@ -3481,6 +3532,36 @@ def oracle_sql() -> dict[str, str]:
             -- banding re-derived as SLICE EQUALITY (band-hash equality
             -- minus xxhash collisions, which the est filter absorbs):
             -- 32 hashes / 8 bands = 4-wide slices, 1-based inclusive
+            bb AS (
+              SELECT doc_id, band, sig[band * 4 + 1 : band * 4 + 4] AS chunk, sig
+              FROM bsig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+            ib AS (
+              SELECT doc_id, band, sig[band * 4 + 1 : band * 4 + 4] AS chunk, sig
+              FROM isig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),
+            cand AS (
+              SELECT DISTINCT b.doc_id AS nid, i.doc_id AS iid,
+                     b.sig AS ns, i.sig AS isg
+              FROM bb b JOIN ib i USING (band, chunk)),
+            est AS (
+              SELECT nid,
+                     list_sum(list_transform(range(1, 33),
+                       j -> CASE WHEN ns[j] = isg[j] THEN 1 ELSE 0 END)) / 32.0
+                       AS e
+              FROM cand),
+            drops AS (SELECT DISTINCT nid FROM est WHERE e >= 0.5)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT nid FROM drops)
+        """,
+        "index_compaction": f"""
+            -- index side read from the ORIGINAL pre-compaction batch
+            -- partitions: a hash match proves the compacted epoch the
+            -- Spark side probed is identical to the uncompacted state
+            WITH isig AS (
+              SELECT doc_id, sig
+              FROM read_parquet('{MH_CIDX_PATH}/sigs/batch_id=*/*.parquet')),
+            bsig AS (
+              SELECT doc_id, sig
+              FROM read_parquet('{MH_CBATCH_SIGS_PATH}/*.parquet')),
             bb AS (
               SELECT doc_id, band, sig[band * 4 + 1 : band * 4 + 4] AS chunk, sig
               FROM bsig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bands),

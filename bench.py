@@ -469,6 +469,31 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         )
     finally:
         shutil.rmtree(mh_dir, ignore_errors=True)
+    from logshipper_spark.datapipe import compaction as compaction_mod
+
+    cmp_dir = tempfile.mkdtemp(prefix="bench_cmp_")
+    try:
+        # 4 committed streaming-layout batch partitions, then one
+        # epoch fold + vacuum (one-time, like the index builds)
+        for b in range(4):
+            bs = docs.filter(f"doc_id % 4 = {b}").select(
+                "doc_id", dedup.minhash_signature(F.col("text")).alias("sig")
+            )
+            bs.write.mode("overwrite").parquet(f"{cmp_dir}/sigs/batch_id={b}")
+            dedup.banded_buckets(bs).write.mode("overwrite").parquet(
+                f"{cmp_dir}/bands/batch_id={b}"
+            )
+            spark.createDataFrame([(b,)], "batch_id long").write.mode(
+                "append"
+            ).parquet(f"{cmp_dir}/_commits")
+        t0 = time.time()
+        compaction_mod.compact_minhash_index(spark, cmp_dir)
+        compaction_mod.vacuum_index(
+            spark, cmp_dir, compaction_mod.MINHASH_TABLES
+        )
+        times["index_compaction"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(cmp_dir, ignore_errors=True)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

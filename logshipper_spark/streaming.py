@@ -217,19 +217,13 @@ def near_dedup_committed(spark: SparkSession, index_dir: str) -> set[int]:
     a near-dup of itself). Only the path-missing case (no marker yet)
     yields the empty set; a transient read error PROPAGATES and fails
     the batch — failing open here would silently disable the dedup
-    filter and pollute the index with duplicates."""
-    import os
+    filter and pollute the index with duplicates.
 
-    path = spark._jvm.org.apache.hadoop.fs.Path(
-        os.path.join(index_dir, "_commits")
-    )
-    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return set()
-    df = spark.read.schema("batch_id long").parquet(
-        os.path.join(index_dir, "_commits")
-    )
-    return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
+    Delegates to ``datapipe.compaction.committed_batches`` — the marker
+    protocol is shared with the compaction layer."""
+    from .datapipe import compaction
+
+    return compaction.committed_batches(spark, index_dir)
 
 
 def streaming_near_dedup(
@@ -273,10 +267,8 @@ def streaming_near_dedup(
     bounded band equi-join, never index × batch."""
     import os
 
+    from .datapipe import compaction
     from .datapipe import dedup as ddp
-
-    sig_schema = f"{id_col} long, sig array<long>"
-    band_schema = f"{id_col} long, band int, bucket long"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         committed = near_dedup_committed(spark, index_dir)
@@ -290,21 +282,16 @@ def streaming_near_dedup(
             ddp.minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
         ).persist()
         sigs.count()
-        # (a) cross-snapshot drops vs committed index partitions
+        # (a) cross-snapshot drops vs the committed live view (epoch
+        # snapshot + committed batch tail — compaction/vacuum
+        # transparent, datapipe.compaction)
         survivors = batch_df
         if committed:
-            idx_sigs = (
-                spark.read.schema(sig_schema)
-                .parquet(os.path.join(index_dir, "sigs"))
-                .filter(F.col("batch_id").isin(sorted(committed)))
-                .select(F.col(id_col).alias("doc_id"), "sig")
+            idx_sigs, idx_bands = compaction.read_minhash_index(
+                spark, index_dir, id_col=id_col
             )
-            idx_bands = (
-                spark.read.schema(band_schema)
-                .parquet(os.path.join(index_dir, "bands"))
-                .filter(F.col("batch_id").isin(sorted(committed)))
-                .select(F.col(id_col).alias("doc_id"), "band", "bucket")
-            )
+            idx_sigs = idx_sigs.withColumnRenamed(id_col, "doc_id")
+            idx_bands = idx_bands.withColumnRenamed(id_col, "doc_id")
             survivors = ddp.near_dedup_against(
                 survivors,
                 idx_sigs,
@@ -405,9 +392,8 @@ def streaming_semantic_dedup(
     join, never index × batch."""
     import os
 
+    from .datapipe import compaction
     from .datapipe import semdedup as sdd
-
-    vec_schema = f"{id_col} long, {vec_col} array<double>"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         committed = near_dedup_committed(spark, index_dir)
@@ -422,15 +408,14 @@ def streaming_semantic_dedup(
         cells.count()
         survivors = batch_df
         if committed:
-            idx = (
-                spark.read.schema(vec_schema)
-                .parquet(os.path.join(index_dir, "vectors"))
-                .filter(F.col("batch_id").isin(sorted(committed)))
-                .select(
-                    F.col(id_col).alias("vec_id"),
-                    F.col(vec_col).alias("embedding"),
-                    "cell",
-                )
+            # committed live view (epoch snapshot + batch tail, both
+            # cell-partitioned — probe filters still prune directories)
+            idx = compaction.read_semantic_index(
+                spark, index_dir, id_col=id_col, vec_col=vec_col
+            ).select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                "cell",
             )
             survivors = sdd.semantic_dedup_against(
                 survivors,
@@ -513,6 +498,7 @@ def streaming_substr_screen(
     hash-join of the batch's fingerprints against it."""
     import os
 
+    from .datapipe import compaction
     from .datapipe import substr as sub
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -524,12 +510,8 @@ def streaming_substr_screen(
         fp = sub.fingerprint_table(batch_df, text_col, id_col, w, window).persist()
         fp.count()
         if committed:
-            idx = (
-                spark.read.schema("gram_hash long")
-                .parquet(os.path.join(index_dir, "grams"))
-                .filter(F.col("batch_id").isin(sorted(committed)))
-                .select("gram_hash")
-            )
+            # committed live view (compaction/vacuum transparent)
+            idx = compaction.read_fingerprint_index(spark, index_dir)
         else:
             idx = spark.createDataFrame([], "gram_hash long")
         cont = sub.substr_contamination(
