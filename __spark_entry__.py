@@ -37,6 +37,7 @@ from logshipper_spark.datapipe import (
     curate,
     decontam,
     dedup,
+    dsir,
     filters,
     lm,
     multimodal,
@@ -1114,6 +1115,60 @@ def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.lm_score_bigram(docs, bi_back, tok_back, uni_oov, fb_oov)
 
 
+DSIR_MODEL_PATH = "/tmp/spark_graft_contract/dsir_model.parquet"
+DSIR_FEATS_PATH = "/tmp/spark_graft_contract/dsir_feats.parquet"
+DSIR_GUMBEL_PATH = "/tmp/spark_graft_contract/dsir_gumbel.parquet"
+DSIR_BUCKETS, DSIR_SEED, DSIR_GSEED, DSIR_K = 4096, 3, 13, 100
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (datapipe.dsir): target = the
+    src0/src1 slice, raw = all documents; hashed unigram+bigram bucket
+    model → per-doc integer log-weight sums → hash-Gumbel top-k
+    selection. The per-doc feature buckets and the Gumbel noise are
+    materialized (xxhash64 has no DuckDB twin — sample_split
+    precedent); the oracle RECOUNTS both corpus histograms from the
+    feature bytes, joins the model on (bucket, cnt_target, cnt_raw)
+    with a poison value on mismatch, and re-derives every weight sum,
+    key, and the global top-k rank independently. Target ⊆ raw means
+    no scored feature is OOV, so the oracle needs no cross-engine
+    transcendental; the OOV lane is unit-tested (test_dsir)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    model, oov = dsir.fit_dsir(target, docs, num_buckets=DSIR_BUCKETS, seed=DSIR_SEED)
+    dsir.write_dsir_model(model, DSIR_MODEL_PATH)
+    docs.select(
+        "doc_id", dsir.tokens(F.lower(F.col("text"))).alias("_toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            dsir.feature_buckets(F.col("_toks"), DSIR_BUCKETS, DSIR_SEED)
+        ).alias("bucket"),
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        DSIR_FEATS_PATH
+    )
+    docs.select(
+        "doc_id",
+        dsir.gumbel_hash(F.col("doc_id"), DSIR_GSEED).alias("ghash"),
+        dsir.gumbel_log2_micro(F.col("doc_id"), DSIR_GSEED).alias("g_micro"),
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        DSIR_GUMBEL_PATH
+    )
+    back = spark.read.schema(
+        "bucket long, cnt_target long, cnt_raw long, lr_micro long"
+    ).parquet(DSIR_MODEL_PATH)
+    g_back = spark.read.schema("doc_id long, ghash long, g_micro long").parquet(
+        DSIR_GUMBEL_PATH
+    )
+    w = dsir.dsir_weights(docs, back, oov, num_buckets=DSIR_BUCKETS, seed=DSIR_SEED)
+    sel = dsir.dsir_select(
+        w.join(g_back.select("doc_id", "g_micro"), "doc_id"),
+        DSIR_K,
+        gumbel_col="g_micro",
+    )
+    return sel.select("doc_id", "n_feats", "logw_micro", "key_micro", "selected")
+
+
 SEMDEDUP_CENT_PATH = "/tmp/spark_graft_contract/semdedup_centroids.parquet"
 SEMDEDUP_CELLS, SEMDEDUP_TAU = 8, 0.95
 
@@ -1869,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_compaction": q_index_compaction,
         "lm_score": q_lm_score,
         "lm_bigram": q_lm_bigram,
+        "dsir": q_dsir,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "shard_plan": q_shard_plan,
@@ -3661,6 +3717,55 @@ def oracle_sql() -> dict[str, str]:
                                    + 1e-9, 4)
                    END AS bits_per_token
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "dsir": f"""
+            -- feature buckets + Gumbel noise materialized (xxhash64
+            -- has no DuckDB twin); BOTH corpus histograms recounted
+            -- from the feature bytes, the model joined on every count
+            -- (poison value on mismatch), weights/keys/top-k re-derived
+            WITH feats AS (
+              SELECT doc_id, bucket
+              FROM read_parquet('{DSIR_FEATS_PATH}/*.parquet')),
+            model AS (
+              SELECT bucket, cnt_target, cnt_raw, lr_micro
+              FROM read_parquet('{DSIR_MODEL_PATH}/*.parquet')),
+            tcnt AS (
+              SELECT f.bucket, count(*) AS c
+              FROM feats f JOIN documents d USING (doc_id)
+              WHERE d.source IN ('src0', 'src1')
+              GROUP BY f.bucket),
+            rcnt AS (
+              SELECT bucket, count(*) AS c FROM feats GROUP BY bucket),
+            chk AS (
+              SELECT m.bucket, m.lr_micro
+              FROM model m
+              JOIN rcnt r ON m.bucket = r.bucket AND m.cnt_raw = r.c
+              LEFT JOIN tcnt t ON m.bucket = t.bucket
+              WHERE m.cnt_target = COALESCE(t.c, 0)),
+            w AS (
+              SELECT d.doc_id,
+                     CAST(count(f.bucket) AS BIGINT) AS n_feats,
+                     CAST(COALESCE(SUM(
+                       CASE WHEN f.bucket IS NULL THEN NULL
+                            ELSE COALESCE(c.lr_micro, 999999999999) END), 0)
+                       AS BIGINT) AS logw_micro
+              FROM documents d
+              LEFT JOIN feats f USING (doc_id)
+              LEFT JOIN chk c ON f.bucket = c.bucket
+              GROUP BY d.doc_id),
+            keyed AS (
+              SELECT w.doc_id, w.n_feats, w.logw_micro,
+                     CAST(w.logw_micro + g.g_micro AS BIGINT) AS key_micro
+              FROM w
+              JOIN read_parquet('{DSIR_GUMBEL_PATH}/*.parquet') g
+                USING (doc_id)),
+            ranked AS (
+              SELECT *, row_number()
+                        OVER (ORDER BY key_micro DESC, doc_id ASC) AS rn
+              FROM keyed)
+            SELECT doc_id, n_feats, logw_micro, key_micro,
+                   CASE WHEN rn <= {DSIR_K} THEN 1 ELSE 0 END AS selected
+            FROM ranked
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE cent AS (

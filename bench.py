@@ -368,6 +368,15 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         _lm_bigram_fit_score, "lm_bigram_fit_score"
     )
     lm_mod.release_cached_counts()
+    from logshipper_spark.datapipe import dsir as dsir_mod
+
+    def _dsir_fit_select() -> None:
+        target = docs.filter("source IN ('src0', 'src1')")
+        model, oov = dsir_mod.fit_dsir(target, docs)
+        w = dsir_mod.dsir_weights(docs, model, oov)
+        _force(dsir_mod.dsir_select(w, 1000))
+
+    times["dsir_fit_select"] = _timed(_dsir_fit_select, "dsir_fit_select")
     from logshipper_spark.datapipe import bpe as bpe_mod
     from logshipper_spark.datapipe import tokenize as tokenize_mod
 
