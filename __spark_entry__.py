@@ -42,6 +42,7 @@ from logshipper_spark.datapipe import (
     lm,
     multimodal,
     packing,
+    pruning,
     sampling,
     semdedup,
     similarity,
@@ -1225,6 +1226,32 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+PRUNE_CENT_PATH = "/tmp/spark_graft_contract/prune_centroids.parquet"
+PRUNE_PERMILLE = 300
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype density pruning (datapipe.pruning): k-means cells
+    over embeddings, per-cell distance-to-centroid rank (id tie-break),
+    keep the hardest 30% per cell. The oracle re-derives assignment,
+    integer-grid distance, rank, n_cell, and the integer keep rule from
+    the materialized centroid bytes — a plain row_number window, so it
+    also proves the block-offset ranking == single-window semantics."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.kmeans_fit(
+        emb, num_cells=SEMDEDUP_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        PRUNE_CENT_PATH
+    )
+    scores = pruning.prototype_scores(emb, cents)
+    return pruning.prototype_prune(scores, PRUNE_PERMILLE, hardest=True)
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced output sharding: running byte total in doc_id
     order (block-offset two-phase) cut every 25 kB. Fully independent
@@ -1927,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "prototype_prune": q_prototype_prune,
         "shard_plan": q_shard_plan,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
@@ -3811,6 +3839,37 @@ def oracle_sql() -> dict[str, str]:
                                         WHERE a = v.vec_id), v.vec_id))
                         = v.vec_id AS INT) AS keep
             FROM a v
+        """,
+        "prototype_prune": f"""
+            WITH cent AS (
+              SELECT cell, centroid
+              FROM read_parquet('{PRUNE_CENT_PATH}/*.parquet')),
+            s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (
+              SELECT s.vec_id, cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (s.v[i] - cent.centroid[i])
+                                * (s.v[i] - cent.centroid[i]))), 6) AS dist
+              FROM s CROSS JOIN cent),
+            a AS (
+              SELECT vec_id, cell,
+                     CAST(round(dist * {pruning.GRID}, 0) AS BIGINT)
+                       AS dist_micro
+              FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) = 1),
+            r AS (
+              SELECT vec_id, cell, dist_micro,
+                     row_number() OVER (PARTITION BY cell
+                                        ORDER BY dist_micro, vec_id) AS rank,
+                     count(*) OVER (PARTITION BY cell) AS n_cell
+              FROM a)
+            SELECT vec_id, cell, dist_micro, rank, n_cell,
+                   CASE WHEN rank > n_cell
+                                 - (n_cell * {PRUNE_PERMILLE}) // 1000
+                        THEN 1 ELSE 0 END AS keep
+            FROM r
         """,
         "semantic_dedup_incremental": f"""
             WITH cent AS (

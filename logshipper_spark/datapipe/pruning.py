@@ -1,0 +1,114 @@
+"""SSL-prototype data pruning (Sorscher, Geirhos et al., NeurIPS 2022
+"Beyond neural scaling laws: beating power law scaling via data
+pruning"): cluster the embedding space with k-means, score every
+example by its distance to the assigned prototype (centroid), and keep
+a per-cluster fraction — the HARDEST (farthest, most atypical)
+examples when data is abundant, the EASIEST (closest, most typical)
+when data is scarce. Pruning per cluster keeps sparse clusters
+represented instead of letting one dense mode dominate the keep-list
+(the paper's self-supervised metric needs no labels, which is why it
+became a standard 100 TB-corpus curation pass; SemDeDup — semdedup.py
+— is the dedup-flavored sibling over the same cell machinery).
+
+The LogShipper reference has no embedding layer; this extends the
+datapipe's embedding family (similarity.py k-means/IVF, semdedup.py)
+with the published pruning recipe.
+
+Determinism / oracle posture: centroids come from the deterministic
+``similarity.kmeans_fit`` (maximin seeding, no rand()) and are
+driver-literals at scoring time; the per-vector distance is rounded to
+6 dp inside ``nearest_centroid_struct`` (the proven semantic-dedup
+cross-engine convention) and then scaled to an integer grid, so ranks
+and keep decisions are integer-exact and partition-independent. The
+contract oracle re-derives assignment, distance, rank, and the keep
+rule from the materialized centroid bytes.
+
+Scale posture (100 TB):
+- scoring is MAP-ONLY: cell + distance come from one
+  multiply-add pass over num_cells driver-literal centroids per row.
+- ranking reuses ``sampling.quantile_bins``'s block-offset machinery:
+  no task ever scans a whole cell (a cell of a 10^12-vector corpus can
+  hold 10^10 rows). The per-cell distinct-score table is bounded by
+  the quantization ``grid`` — at 100 TB choose a coarser grid (1e3–1e4
+  points spans the unit-normalized distance range) so the base-rank
+  side stays broadcastable; metric precision beyond the grid is noise,
+  not signal.
+- the keep rule is integer arithmetic on (rank, n_cell) — exact, no
+  per-cell collect, no sort of a full cell anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import quantile_bins
+from .similarity import nearest_centroid_struct
+
+GRID = 1_000_000
+
+
+def prototype_scores(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    grid: int = GRID,
+) -> DataFrame:
+    """Per-vector prototypicality: ``(id, cell, dist_micro)`` where
+    cell is the nearest trained centroid and dist_micro the squared L2
+    distance to it, 6 dp rounded then scaled onto an integer ``grid``
+    (round-to-nearest — the 6 dp value times 1e6 is within float noise
+    of an integer, so the rounding never sits at a half). Map-only."""
+    best = nearest_centroid_struct(F.col(vec_col), centroids)
+    return df.select(
+        F.col(id_col),
+        best["i"].cast("int").alias("cell"),
+        F.round(best["d"] * grid, 0).cast("long").alias("dist_micro"),
+    )
+
+
+def prototype_prune(
+    scores: DataFrame,
+    keep_permille: int,
+    hardest: bool = True,
+    id_col: str = "vec_id",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Per-cluster fraction pruning over ``prototype_scores`` output:
+    adds ``rank`` (1-based by ascending distance within the cell, id
+    tie-break — exact block-offset ranking, no cell-sized sort),
+    ``n_cell``, and ``keep`` (1/0). ``keep_n = (n_cell *
+    keep_permille) DIV 1000`` rows per cell stay: the LAST keep_n
+    ranks when ``hardest`` (the paper's abundant-data policy), the
+    FIRST keep_n otherwise. Integer per-mille avoids any float in the
+    keep rule (engine-exact). Never drops rows — downstream filters on
+    ``keep`` and can audit the pruned tail."""
+    if not 0 <= keep_permille <= 1000:
+        raise ValueError(
+            f"keep_permille must be in [0, 1000], got {keep_permille}"
+        )
+    ranked = quantile_bins(
+        scores,
+        k=1,
+        score_col="dist_micro",
+        id_col=id_col,
+        group_col="cell",
+        block_size=block_size,
+    ).drop("bin")
+    counts = scores.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    out = ranked.join(F.broadcast(counts), "cell")
+    keep_n = F.expr(f"(n_cell * {int(keep_permille)}) DIV 1000")
+    cond = (
+        F.col("rank") > F.col("n_cell") - keep_n
+        if hardest
+        else F.col("rank") <= keep_n
+    )
+    return out.select(
+        id_col,
+        "cell",
+        "dist_micro",
+        "rank",
+        "n_cell",
+        F.when(cond, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )

@@ -347,11 +347,13 @@ def _vec_key(v: Column) -> Column:
     return F.xxhash64(F.concat_ws(",", v.cast("array<string>")))
 
 
-def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
-    """Argmin of squared L2 distance over driver-literal centroids;
-    distances rounded to 6 dp before comparison so an independent
-    re-derivation (the DuckDB oracle) agrees on near-ties, index
-    tie-break. One multiply-add pass per centroid per row."""
+def nearest_centroid_struct(v: Column, centroids: list[list[float]]) -> Column:
+    """``struct(d, i)`` of the nearest driver-literal centroid by
+    squared L2: distances rounded to 6 dp before comparison so an
+    independent re-derivation (the DuckDB oracle) agrees on near-ties,
+    index tie-break. One multiply-add pass per centroid per row. ``d``
+    is the (6 dp) distance to the WINNING centroid — the
+    prototypicality score pruning ranks on (datapipe.pruning)."""
     ds = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -361,7 +363,12 @@ def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
             lambda s, x: s + x,
         )
         ds.append(F.struct(F.round(d, 6).alias("d"), F.lit(i).alias("i")))
-    return F.array_min(F.array(*ds))["i"].cast("int")
+    return F.array_min(F.array(*ds))
+
+
+def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
+    """Argmin cell index of ``nearest_centroid_struct``."""
+    return nearest_centroid_struct(v, centroids)["i"].cast("int")
 
 
 def kmeans_fit(
