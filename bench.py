@@ -528,6 +528,16 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
 
     times["semantic_pairs"] = _timed(_cold_semantic_pairs, "semantic_pairs")
     semdedup_mod.release_cached_cells()
+    from logshipper_spark.datapipe import pruning as pruning_mod
+
+    times["prototype_prune"] = _timed(
+        lambda: _force(
+            pruning_mod.prototype_prune(
+                pruning_mod.prototype_scores(emb, sd_cents), 300
+            )
+        ),
+        "prototype_prune",
+    )
     sem_dir = tempfile.mkdtemp(prefix="bench_sem_")
     try:
         t0 = time.time()

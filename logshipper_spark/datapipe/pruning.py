@@ -60,11 +60,21 @@ def prototype_scores(
     distance to it, 6 dp rounded then scaled onto an integer ``grid``
     (round-to-nearest — the 6 dp value times 1e6 is within float noise
     of an integer, so the rounding never sits at a half). Map-only."""
-    best = nearest_centroid_struct(F.col(vec_col), centroids)
-    return df.select(
+    # stage the struct once: the winning-centroid search is an
+    # interpreted HOF tree (num_cells x dim multiply-adds) that Spark
+    # does NOT common-subexpression-eliminate across output columns —
+    # referencing it from both cell and dist_micro in one projection
+    # plans it twice per row (verified: 2x the aggregate() nodes in the
+    # executed plan), while CollapseProject keeps this non-cheap
+    # multi-referenced alias staged, so two selects = one evaluation
+    staged = df.select(
         F.col(id_col),
-        best["i"].cast("int").alias("cell"),
-        F.round(best["d"] * grid, 0).cast("long").alias("dist_micro"),
+        nearest_centroid_struct(F.col(vec_col), centroids).alias("_best"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_best")["i"].cast("int").alias("cell"),
+        F.round(F.col("_best")["d"] * grid, 0).cast("long").alias("dist_micro"),
     )
 
 
