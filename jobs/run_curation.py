@@ -30,6 +30,14 @@ Stage order (each optional stage drops out cleanly when not requested):
 3. curate() — quality gate, optional Gopher repetition gate, exact
    dedup, optional in-snapshot MinHash near-dup removal (PII/line
    stages already applied in stage 0).
+3b. embedding-space selection over --embeddings (doc_id, embedding):
+   --semdedup (within-cell cosine components, one keeper each) then
+   --prune-permille (SSL-prototype per-cell fraction, hardest by
+   default / --prune-easiest). Each stage refits k-means on what the
+   previous stages kept.
+3c. --dsir-target + --dsir-k: DSIR importance resampling — fit the
+   hashed-ngram model (target vs current survivors), Gumbel-top-k
+   select exactly k documents.
 4. --shard-bytes: join survivors back to their text and write the
    corpus under ``out/corpus/shard=N`` in size-balanced shards
    (packing.shard_plan); one repartition(shard) sizes the write.
@@ -81,7 +89,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="append survivors' keys/signatures to the given indexes")
     ap.add_argument("--shard-bytes", type=int, default=None,
                     help="write the survivor corpus in size-balanced shards")
+    ap.add_argument("--embeddings", default=None,
+                    help="document embeddings parquet (doc_id, embedding "
+                         "array<double>) — enables --semdedup/--prune-permille")
+    ap.add_argument("--cells", type=int, default=64,
+                    help="k-means cells for --semdedup/--prune-permille")
+    ap.add_argument("--semdedup", action="store_true",
+                    help="SemDeDup over --embeddings after the keep-list "
+                         "(within-cell cosine components, one keeper each)")
+    ap.add_argument("--semdedup-tau", type=float, default=0.95)
+    ap.add_argument("--prune-permille", type=int, default=None,
+                    help="SSL-prototype pruning over --embeddings: keep this "
+                         "fraction (per mille) of each k-means cell")
+    ap.add_argument("--prune-easiest", action="store_true",
+                    help="keep the most-prototypical tail instead of the "
+                         "hardest (scarce-data policy)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-corpus parquet (doc_id, text) — DSIR "
+                         "importance resampling toward its hashed-ngram "
+                         "distribution")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="documents to select with --dsir-target")
     args = ap.parse_args(argv)
+    if args.semdedup or args.prune_permille is not None:
+        if not args.embeddings:
+            ap.error("--semdedup/--prune-permille require --embeddings")
+    if bool(args.dsir_target) != (args.dsir_k is not None):
+        ap.error("--dsir-target and --dsir-k go together")
 
     from pyspark.sql import functions as F
 
@@ -221,6 +255,88 @@ def main(argv: list[str] | None = None) -> int:
     # action (CLAUDE.md: cache the shared frame)
     survivors = docs.join(kept.select("doc_id"), "doc_id").persist()
     pinned.append(survivors)
+
+    # 3b. embedding-space selection: SemDeDup then prototype pruning.
+    # Both fit k-means on the CURRENT survivor set (selection stages
+    # compose — each sees only what the previous one kept), assign
+    # cells map-only against the driver-literal centroids, and shrink
+    # the survivor frame by a doc_id semi-join.
+    if args.semdedup or args.prune_permille is not None:
+        from logshipper_spark.datapipe import pruning, semdedup, similarity
+
+        emb_all = spark.read.parquet(args.embeddings).select(
+            "doc_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        head = emb_all.head()
+        if head is None:
+            raise ValueError(f"--embeddings {args.embeddings} is empty")
+        dim = len(head["embedding"])
+
+        def _surviving_embeddings():
+            return survivors.select("doc_id").join(emb_all, "doc_id")
+
+        # both stages anti-join the DROP set rather than semi-joining
+        # the keep set: a survivor with no embedding row cannot be a
+        # semantic dup or sit in any cell — it must ride through, not
+        # silently vanish (never-drop posture for partial-coverage
+        # embedding tables)
+        if args.semdedup:
+            emb_s = _surviving_embeddings().persist()
+            cents = similarity.kmeans_fit(
+                emb_s, num_cells=args.cells, dim=dim
+            )
+            drop_ids = (
+                semdedup.semantic_dedup(
+                    emb_s, cents, threshold=args.semdedup_tau, id_col="doc_id"
+                )
+                .filter("keep = 0")
+                .select("doc_id")
+            )
+            survivors = survivors.join(drop_ids, "doc_id", "left_anti").persist()
+            pinned.append(survivors)
+            summary["after_semdedup"] = survivors.count()
+            semdedup.release_cached_cells()  # post-action, like sigs
+            emb_s.unpersist()
+        if args.prune_permille is not None:
+            emb_s = _surviving_embeddings().persist()
+            cents = similarity.kmeans_fit(
+                emb_s, num_cells=args.cells, dim=dim
+            )
+            scores = pruning.prototype_scores(emb_s, cents, id_col="doc_id")
+            drop_ids = (
+                pruning.prototype_prune(
+                    scores,
+                    args.prune_permille,
+                    hardest=not args.prune_easiest,
+                    id_col="doc_id",
+                )
+                .filter("keep = 0")
+                .select("doc_id")
+            )
+            survivors = survivors.join(drop_ids, "doc_id", "left_anti").persist()
+            pinned.append(survivors)
+            summary["after_prune"] = survivors.count()
+            emb_s.unpersist()
+
+    # 3c. DSIR importance resampling toward the target distribution —
+    # the final selection stage (fit on target vs current survivors,
+    # Gumbel-top-k over integer importance keys)
+    if args.dsir_target:
+        from logshipper_spark.datapipe import dsir as dsir_mod
+
+        target = spark.read.parquet(args.dsir_target)
+        model, oov = dsir_mod.fit_dsir(target, survivors)
+        model = model.persist()
+        pinned.append(model)
+        weights = dsir_mod.dsir_weights(survivors, model, oov)
+        keep_ids = (
+            dsir_mod.dsir_select(weights, args.dsir_k)
+            .filter("selected = 1")
+            .select("doc_id")
+        )
+        survivors = survivors.join(keep_ids, "doc_id").persist()
+        pinned.append(survivors)
+        summary["after_dsir"] = survivors.count()
 
     # 4. size-balanced sharded corpus write (normalized text)
     if args.shard_bytes:
