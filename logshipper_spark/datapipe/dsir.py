@@ -98,12 +98,14 @@ def bucket_counts(
     )
 
 
-def _lr_micro(cnt_t: Column, denom_t: int, cnt_r: Column, denom_r: int) -> Column:
-    """floor((log2((cnt_t+1)/denom_t) - log2((cnt_r+1)/denom_r)) * 1e6
-    + 0.5) as long — the quantized add-one-smoothed log-probability
+def _lr_micro(
+    cnt_t: Column, denom_t: float, cnt_r: Column, denom_r: float, alpha: float
+) -> Column:
+    """floor((log2((cnt_t+a)/denom_t) - log2((cnt_r+a)/denom_r)) * 1e6
+    + 0.5) as long — the quantized Lidstone-smoothed log-probability
     ratio of one bucket."""
-    pt = (cnt_t + F.lit(1)).cast("double") / F.lit(float(denom_t))
-    pr = (cnt_r + F.lit(1)).cast("double") / F.lit(float(denom_r))
+    pt = (cnt_t.cast("double") + F.lit(alpha)) / F.lit(float(denom_t))
+    pr = (cnt_r.cast("double") + F.lit(alpha)) / F.lit(float(denom_r))
     return F.floor((F.log2(pt) - F.log2(pr)) * MICRO + F.lit(0.5)).cast("long")
 
 
@@ -113,13 +115,22 @@ def fit_dsir(
     text_col: str = "text",
     num_buckets: int = NUM_BUCKETS,
     seed: int = 0,
+    alpha: float = 0.01,
 ) -> tuple[DataFrame, int]:
     """Fit the hashed-ngram importance model: returns ``(model,
     oov_lr_micro)`` where model is ``(bucket, cnt_target, cnt_raw,
     lr_micro)`` over every bucket observed in EITHER corpus, with
-    add-one smoothing over all num_buckets cells:
+    Lidstone smoothing over all num_buckets cells:
 
-        p_corpus(b) = (cnt_b + 1) / (T_corpus + num_buckets)
+        p_corpus(b) = (cnt_b + alpha) / (T_corpus + alpha*num_buckets)
+
+    ``alpha`` must be SMALL (default 0.01). Add-one (alpha=1) is wrong
+    at this bucket count when the corpora differ in size: the +B term
+    dominates both denominators unevenly, biasing every common token's
+    ratio away from 0 (so document LENGTH swamps the relevance signal)
+    and flipping target-UNSEEN rare features positive (log2(denom_r /
+    denom_t) > 0 — rewarding garbage). Measured: tools/dsir_eval.py
+    planted-selection precision 0.0 under add-one, 1.0 under 0.01.
 
     ``oov_lr_micro`` is the (constant) ratio of a bucket observed in
     neither corpus — scoring coalesces to it, so a scoring corpus that
@@ -132,8 +143,8 @@ def fit_dsir(
     rc = bucket_counts(raw_df, text_col, num_buckets, seed)
     tot_t = tc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).head()[0]
     tot_r = rc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).head()[0]
-    denom_t = int(tot_t) + num_buckets
-    denom_r = int(tot_r) + num_buckets
+    denom_t = int(tot_t) + alpha * num_buckets
+    denom_r = int(tot_r) + alpha * num_buckets
     model = (
         tc.select("bucket", F.col("cnt").alias("cnt_target"))
         .join(
@@ -148,12 +159,15 @@ def fit_dsir(
         )
         .withColumn(
             "lr_micro",
-            _lr_micro(F.col("cnt_target"), denom_t, F.col("cnt_raw"), denom_r),
+            _lr_micro(
+                F.col("cnt_target"), denom_t, F.col("cnt_raw"), denom_r, alpha
+            ),
         )
     )
     oov = int(
         math.floor(
-            (math.log2(1.0 / denom_t) - math.log2(1.0 / denom_r)) * MICRO + 0.5
+            (math.log2(alpha / denom_t) - math.log2(alpha / denom_r)) * MICRO
+            + 0.5
         )
     )
     return model, oov

@@ -48,8 +48,8 @@ def _py_buckets(spark, df, seed=0):
     return {r["doc_id"]: list(r["b"]) for r in staged.collect()}
 
 
-def _py_model(tb, rb):
-    """Pure-Python fit over python-side bucket lists."""
+def _py_model(tb, rb, alpha=0.01):
+    """Pure-Python Lidstone fit over python-side bucket lists."""
     tc: dict[int, int] = {}
     rc: dict[int, int] = {}
     for bl in tb.values():
@@ -58,13 +58,13 @@ def _py_model(tb, rb):
     for bl in rb.values():
         for b in bl:
             rc[b] = rc.get(b, 0) + 1
-    denom_t = sum(tc.values()) + B
-    denom_r = sum(rc.values()) + B
+    denom_t = sum(tc.values()) + alpha * B
+    denom_r = sum(rc.values()) + alpha * B
     lr = {
         b: math.floor(
             (
-                math.log2((tc.get(b, 0) + 1) / denom_t)
-                - math.log2((rc.get(b, 0) + 1) / denom_r)
+                math.log2((tc.get(b, 0) + alpha) / denom_t)
+                - math.log2((rc.get(b, 0) + alpha) / denom_r)
             )
             * dsir.MICRO
             + 0.5
@@ -72,7 +72,7 @@ def _py_model(tb, rb):
         for b in set(tc) | set(rc)
     }
     oov = math.floor(
-        (math.log2(1.0 / denom_t) - math.log2(1.0 / denom_r)) * dsir.MICRO
+        (math.log2(alpha / denom_t) - math.log2(alpha / denom_r)) * dsir.MICRO
         + 0.5
     )
     return lr, oov
