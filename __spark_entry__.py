@@ -1198,6 +1198,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semantic_dedup(union, cents, threshold=SEMDEDUP_TAU)
 
 
+SEMDECON_CENT_PATH = "/tmp/spark_graft_contract/semdecon_centroids.parquet"
+SEMDECON_CELLS, SEMDECON_TAU = 8, 0.98
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (decontam.semantic_decontaminate):
+    benchmark = every 7th embedding re-identified at +900000 (exact
+    twins guaranteed contaminated), trained cells broadcast with the
+    bench side; per corpus vec the audit row (candidate count, max
+    cosine, nearest bench id, keep). The oracle re-derives BOTH sides'
+    cell assignments from the materialized centroid bytes, the
+    within-cell cosine set, and the argmax/verdict independently."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter("vec_id % 7 = 3").selectExpr(
+        "vec_id + 900000 AS vec_id", "embedding"
+    )
+    cents = similarity.kmeans_fit(
+        emb, num_cells=SEMDECON_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        SEMDECON_CENT_PATH
+    )
+    return decontam.semantic_decontaminate(
+        emb, bench, cents, threshold=SEMDECON_TAU
+    )
+
+
 SEMDEDUP_IDX_PATH = "/tmp/spark_graft_contract/semdedup_index"
 
 
@@ -1607,6 +1638,40 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_components(pairs)
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection (dedup.representatives):
+    planted dup clusters where the members genuinely differ in quality.
+    Every doc i gets a twin i+100000 — EVEN i twins carry 3 extra
+    tokens (twin wins the argmax), ODD i twins share the text (tie →
+    min id, original wins) — and every i%5==0 doc gets a THIRD member
+    i+200000 with 6 extra tokens chained transitively through the twin
+    (component winner). score = whitespace token count; the oracle
+    re-derives the per-component argmax from the same planted layout."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = docs.selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "CASE WHEN doc_id % 2 = 0 THEN text || ' extra extra extra'"
+        " ELSE text END AS text",
+    )
+    third = docs.filter("doc_id % 5 = 0").selectExpr(
+        "doc_id + 200000 AS doc_id",
+        "text || ' six more tokens appended right here' AS text",
+    )
+    union = docs.unionByName(twin).unionByName(third)
+    pairs = docs.selectExpr(
+        "doc_id AS id_a", "doc_id + 100000 AS id_b"
+    ).unionByName(
+        docs.filter("doc_id % 5 = 0").selectExpr(
+            "doc_id + 100000 AS id_a", "doc_id + 200000 AS id_b"
+        )
+    )
+    labels = dedup.near_dup_components(pairs)
+    scores = union.select(
+        "doc_id", textstats.token_count(F.col("text")).cast("long").alias("score")
+    )
+    return dedup.representatives(labels, scores)
+
+
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation keep-list (quality gate + exact dedup) over the corpus
     with planted exact duplicates; the near-dup LSH stage is covered by
@@ -1928,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "curate_full": q_curate_full,
         "dup_components": q_dup_components,
+        "cluster_reps": q_cluster_reps,
         "jaccard_pairs": q_jaccard_pairs,
         "text_stats": q_text_stats,
         "corpus_stats": q_corpus_stats,
@@ -1953,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": q_lm_bigram,
         "dsir": q_dsir,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_decontam": q_semantic_decontam,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "prototype_prune": q_prototype_prune,
         "shard_plan": q_shard_plan,
@@ -2467,6 +2534,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, doc_id AS component FROM documents
             UNION ALL
             SELECT doc_id + 100000 AS doc_id, doc_id AS component FROM documents
+        """,
+        "cluster_reps": r"""
+            -- planted components are ground truth (min member id = i);
+            -- the argmax/keep logic is re-derived with a plain window
+            WITH u AS (
+              SELECT doc_id, text, doc_id AS component FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN text || ' extra extra extra' ELSE text END,
+                     doc_id
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 200000,
+                     text || ' six more tokens appended right here', doc_id
+              FROM documents WHERE doc_id % 5 = 0),
+            s AS (
+              SELECT doc_id, component,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          END AS BIGINT) AS score
+              FROM u),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY component
+                                           ORDER BY score DESC, doc_id ASC)
+                        AS rn
+              FROM s)
+            SELECT doc_id, component, score,
+                   CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+            FROM r
         """,
         "curate": r"""
             WITH all_docs AS (
@@ -3839,6 +3936,61 @@ def oracle_sql() -> dict[str, str]:
                                         WHERE a = v.vec_id), v.vec_id))
                         = v.vec_id AS INT) AS keep
             FROM a v
+        """,
+        "semantic_decontam": f"""
+            -- both sides' cells re-derived from the materialized
+            -- centroid bytes; within-cell cosines, candidate counts,
+            -- argmax (ties -> highest bench id) and verdict re-derived
+            WITH cent AS (
+              SELECT cell, centroid
+              FROM read_parquet('{SEMDECON_CENT_PATH}/*.parquet')),
+            c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (
+              SELECT vec_id + 900000 AS bid, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 7 = 3),
+            cd AS (
+              SELECT c.vec_id, c.v, cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (c.v[i] - cent.centroid[i])
+                                * (c.v[i] - cent.centroid[i]))), 6) AS dist
+              FROM c CROSS JOIN cent),
+            ca AS (
+              SELECT vec_id, v, cell FROM cd
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) = 1),
+            bd AS (
+              SELECT b.bid, b.v, cent.cell,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                           i -> (b.v[i] - cent.centroid[i])
+                                * (b.v[i] - cent.centroid[i]))), 6) AS dist
+              FROM b CROSS JOIN cent),
+            ba AS (
+              SELECT bid, v, cell FROM bd
+              QUALIFY row_number() OVER (PARTITION BY bid
+                                         ORDER BY dist, cell) = 1),
+            j AS (
+              SELECT ca.vec_id, ba.bid,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                                   i -> ca.v[i] * ba.v[i]))
+                           / (sqrt(list_sum(list_transform(ca.v, e -> e * e)))
+                              * sqrt(list_sum(list_transform(ba.v, e -> e * e)))),
+                           6) AS cos
+              FROM ca LEFT JOIN ba ON ca.cell = ba.cell),
+            g AS (
+              SELECT vec_id, CAST(count(bid) AS BIGINT) AS n_candidates,
+                     max(cos) AS max_cos
+              FROM j GROUP BY vec_id),
+            r AS (
+              SELECT vec_id, bid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cos DESC, bid DESC) AS rn
+              FROM j)
+            SELECT g.vec_id, g.n_candidates, g.max_cos,
+                   CASE WHEN g.n_candidates > 0 THEN r.bid END AS near_bench_id,
+                   CASE WHEN COALESCE(g.max_cos, -2) < {SEMDECON_TAU}
+                        THEN 1 ELSE 0 END AS keep
+            FROM g JOIN r ON g.vec_id = r.vec_id AND r.rn = 1
         """,
         "prototype_prune": f"""
             WITH cent AS (

@@ -100,3 +100,90 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str = "vec_id",
+) -> DataFrame:
+    """SEMANTIC train/test decontamination — the embedding complement
+    of ``decontaminate()``'s exact n-gram overlap: a corpus document is
+    contaminated iff its embedding's cosine against ANY benchmark
+    embedding in the same trained k-means cell reaches ``threshold``
+    (paraphrased or lightly-rewritten eval questions that share no
+    8-gram still land next to their source in embedding space). Audit
+    posture like ``filters.url_filter``: never drops rows — output is
+    ``(id, n_candidates, max_cos, near_bench_id, keep)`` per corpus
+    row, with ``max_cos``/``near_bench_id`` NULL when the row's cell
+    holds no benchmark vector.
+
+    Scale posture (100 TB corpus, benchmark = an eval suite, at most
+    ~10^5-10^6 rows): the BENCHMARK side is cell-assigned and
+    **broadcast**, so the corpus scan never shuffles to find
+    candidates; candidate fan-out per row is bounded by the largest
+    cell's benchmark population (SemDeDup's cluster-bounding argument);
+    the per-doc argmax is ``max(struct(cos, bench_id))`` — a hash
+    aggregate with map-side partial combine, so the only corpus-keyed
+    shuffle carries ONE compact row per document (a window would sort
+    instead). For benchmarks too large to broadcast, use
+    ``semdedup.semantic_dedup_against`` (shuffle-join form) instead.
+
+    Same conventions as ``semdedup.semantic_pairs`` — trained-centroid
+    assignment (argmin 6-dp squared L2, index tie-break), staged
+    per-row norms, 6-dp cosine rounding, zero-norm → 0.0 — so the
+    contract oracle re-derives every decision from the materialized
+    centroid bytes. Cosine ties pick the HIGHEST bench id
+    (``max(struct)`` order — deterministic, oracle mirrors it).
+    """
+    from .semdedup import assign_trained_cells
+
+    def nrm(c: str):
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda s, x: s + x * x)
+        )
+
+    b = assign_trained_cells(bench, centroids, vec_col).select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        nrm(vec_col).alias("_bn"),
+        "cell",
+    )
+    c = assign_trained_cells(corpus, centroids, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        nrm(vec_col).alias("_cn"),
+        "cell",
+    )
+    joined = c.join(F.broadcast(b), "cell", "left")
+    dot = F.aggregate(
+        F.zip_with("_cv", "_bv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    n2 = F.col("_cn") * F.col("_bn")
+    cos = F.round(F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0)), 6)
+    cand = joined.withColumn(
+        "_cand",
+        F.when(
+            F.col("_bid").isNotNull(),
+            F.struct(cos.alias("c"), F.col("_bid").alias("b")),
+        ),
+    )
+    out = cand.groupBy(id_col).agg(
+        F.count("_bid").alias("n_candidates"),
+        F.max("_cand").alias("_mx"),
+    )
+    return out.select(
+        id_col,
+        "n_candidates",
+        F.col("_mx.c").alias("max_cos"),
+        F.col("_mx.b").alias("near_bench_id"),
+        (F.coalesce(F.col("_mx.c"), F.lit(-2.0)) < F.lit(threshold))
+        .cast("int")
+        .alias("keep"),
+    )

@@ -791,3 +791,62 @@ def source_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
     )
+
+
+def representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    seed: int = 0,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Quality-aware representative selection over dup components:
+    given ``labels`` (id, component — e.g. ``near_dup_components`` /
+    ``semantic_dedup`` output) and per-doc ``scores``, mark ``keep=1``
+    on exactly one member per component — the HIGHEST-scoring one,
+    ties broken by ascending id. The RefinedWeb/SemDeDup keep rule
+    upgraded from "min id" to "best document": near-dup clusters keep
+    the longest / highest-quality / least-boilerplate variant instead
+    of whichever crawled first.
+
+    Output: ``(id, component, score, keep)`` for EVERY labels row —
+    never drops; downstream filters on ``keep``. Docs missing from
+    ``scores`` rank LAST (nulls-last ordering), so a partial score
+    table still yields one representative per component.
+
+    Scale: a viral template's component can hold millions of members,
+    so the per-component argmax is the salted two-phase top-1
+    (``sampling.topk_per_group`` / ``dsir_select`` pattern): phase 1
+    takes each (component, salt)-bucket's best row, phase 2 ranks the
+    <= salt_buckets survivors per component — no task ever sorts a
+    whole hot component. The winner table (one compact row per
+    component) equi-joins back on ``component``. Component labels must
+    be non-null (CC output always is); score ties are only
+    deterministic cross-engine if ``score_col`` is integer-quantized
+    (micro-units precedent, CLAUDE.md).
+    """
+    sid = F.col(id_col)
+    d = labels.join(scores.select(id_col, score_col), id_col, "left")
+    order = [F.desc_nulls_last(score_col), sid.asc()]
+    salted = d.withColumn(
+        "_salt", F.pmod(F.xxhash64(sid, F.lit(seed + 1)), F.lit(salt_buckets))
+    )
+    local_w = Window.partitionBy("component", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") == 1)
+        .drop("_lr", "_salt")
+    )
+    global_w = Window.partitionBy("component").orderBy(*order)
+    winners = (
+        survivors.withColumn("_gr", F.row_number().over(global_w))
+        .filter(F.col("_gr") == 1)
+        .select(F.col("component"), sid.alias("_win_id"))
+    )
+    return d.join(winners, "component").select(
+        sid,
+        "component",
+        score_col,
+        (sid == F.col("_win_id")).cast("int").alias("keep"),
+    )

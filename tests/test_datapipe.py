@@ -1940,3 +1940,114 @@ def test_quantile_bins_property(spark):
         assert got == want
 
     check()
+
+
+def test_representatives_argmax_per_component(spark):
+    """keep=1 on exactly the highest-scoring member per component
+    (tie -> min id); singletons keep themselves; docs missing from the
+    score table rank last; never drops a labels row."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (9, 9)],
+        ["doc_id", "component"],
+    )
+    scores = spark.createDataFrame(
+        # comp 1: 2 wins on score; comp 5: tie -> min id 5; 9 unscored
+        [(1, 10), (2, 30), (3, 20), (5, 7), (6, 7)],
+        ["doc_id", "score"],
+    )
+    out = dedup.representatives(labels, scores)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert {i: r["keep"] for i, r in rows.items()} == {
+        1: 0, 2: 1, 3: 0, 5: 1, 6: 0, 9: 1,
+    }
+    assert rows[9]["score"] is None
+    # exactly one keeper per component
+    per_comp = out.groupBy("component").agg(F.sum("keep").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_comp)
+
+
+def test_representatives_matches_single_window(spark, docs):
+    """Two-phase salted argmax == the plain single-window answer on a
+    real corpus slice with hash-derived components and scores."""
+    base = docs.select("doc_id").limit(400)
+    labels = base.select(
+        "doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(7)).alias("component")
+    )
+    scores = base.select(
+        "doc_id", F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(5)).alias("score")
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.representatives(labels, scores, salt_buckets=4).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("score"), F.asc("doc_id")
+    )
+    want = {
+        r["doc_id"]: int(r["rn"] == 1)
+        for r in labels.join(scores, "doc_id", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .collect()
+    }
+    assert got == want
+
+
+def test_semantic_decontaminate(spark):
+    """Exact benchmark twins are flagged (cos 1.0), unrelated vectors
+    keep, rows whose cell holds no benchmark vector come back with
+    NULL max_cos and keep=1 — never drops rows."""
+    from logshipper_spark.datapipe import decontam
+
+    # two well-separated directions; centroids put them in cells 0/1
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),      # exact twin of bench 900
+            (1, [0.9, 0.1, 0.0, 0.0]),      # near bench 900 but < tau
+            (2, [0.0, 0.0, 1.0, 0.0]),      # cell with no bench vecs
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0]), (901, [1.0, 0.05, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    out = {
+        r["vec_id"]: r
+        for r in decontam.semantic_decontaminate(
+            corpus, bench, cents, threshold=0.999
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["keep"] == 0 and out[0]["max_cos"] == 1.0
+    assert out[0]["near_bench_id"] == 900 and out[0]["n_candidates"] == 2
+    assert out[1]["keep"] == 1 and 0.9 < out[1]["max_cos"] < 0.999
+    assert out[2]["keep"] == 1 and out[2]["max_cos"] is None
+    assert out[2]["near_bench_id"] is None and out[2]["n_candidates"] == 0
+
+
+def test_semantic_decontaminate_matches_brute_force(spark, embs):
+    """Within-cell screen == brute-force max-cos when bench rows land
+    in their twins' cells (exact twins always do)."""
+    from logshipper_spark.datapipe import decontam, similarity
+
+    emb = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).limit(60)
+    bench = emb.filter("vec_id % 7 = 3").selectExpr(
+        "vec_id + 900 AS vec_id", "embedding"
+    )
+    cents = similarity.kmeans_fit(emb, num_cells=4, dim=64, max_iter=2)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in decontam.semantic_decontaminate(
+            emb, bench, cents, threshold=0.999999
+        ).collect()
+    }
+    want = {r["vec_id"]: 0 for r in emb.filter("vec_id % 7 = 3").collect()}
+    flagged = {i for i, k in out.items() if k == 0}
+    assert flagged == set(want)  # exactly the planted twins
+    assert len(out) == 60
