@@ -1138,6 +1138,7 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("source").isin("src0", "src1"))
     model, oov = dsir.fit_dsir(target, docs, num_buckets=DSIR_BUCKETS, seed=DSIR_SEED)
     dsir.write_dsir_model(model, DSIR_MODEL_PATH)
+    dsir.release_cached_models()  # the weights below read the parquet back
     docs.select(
         "doc_id", dsir.tokens(F.lower(F.col("text"))).alias("_toks")
     ).select(

@@ -375,6 +375,7 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         model, oov = dsir_mod.fit_dsir(target, docs)
         w = dsir_mod.dsir_weights(docs, model, oov)
         _force(dsir_mod.dsir_select(w, 1000))
+        dsir_mod.release_cached_models()
 
     times["dsir_fit_select"] = _timed(_dsir_fit_select, "dsir_fit_select")
     from logshipper_spark.datapipe import bpe as bpe_mod

@@ -337,6 +337,7 @@ def main(argv: list[str] | None = None) -> int:
         survivors = survivors.join(keep_ids, "doc_id").persist()
         pinned.append(survivors)
         summary["after_dsir"] = survivors.count()
+        dsir_mod.release_cached_models()
 
     # 4. size-balanced sharded corpus write (normalized text)
     if args.shard_bytes:

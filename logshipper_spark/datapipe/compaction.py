@@ -114,6 +114,25 @@ def compaction_state(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     return (int(best["epoch"]), int(best["covered"]))
 
 
+def _pinned_scan(
+    spark: SparkSession, path: str, schema: str, need_cols: list[str]
+) -> DataFrame | None:
+    """Pinned-schema scan of a hive-layout directory. The partition
+    columns (``batch_id``, ``cell``) materialize from DIRECTORY NAMES
+    only when the listing finds at least one data file — a committed
+    but EMPTY partition set (an all-dup micro-batch writes zero files
+    under ``partitionBy``, and vacuum can leave only such batches)
+    yields just the pinned schema, and filtering/selecting the missing
+    column would throw UNRESOLVED_COLUMN on every subsequent read.
+    Returns None for that case — the branch's committed content is
+    empty (the all-dropped-batch corollary of the CLAUDE.md empty-dir
+    gotcha)."""
+    df = spark.read.schema(schema).parquet(path)
+    if any(c not in df.columns for c in need_cols):
+        return None
+    return df
+
+
 def _live_view(
     spark: SparkSession,
     index_dir: str,
@@ -127,24 +146,32 @@ def _live_view(
     committed batch tail, pinned schema, ``batch_id`` stripped.
     ``part_cols`` are hive partition columns BELOW the batch level
     (e.g. the semantic index's ``cell``) — they ride along from
-    directory names on both branches."""
+    directory names on both branches (empty-listing-safe via
+    ``_pinned_scan``)."""
     epoch, covered = state
     cols = [f.split()[0] for f in schema.split(",")] + part_cols
     parts: list[DataFrame] = []
     if epoch > 0:
-        parts.append(
-            spark.read.schema(schema)
-            .parquet(os.path.join(index_dir, f"{table}_compact", f"epoch={epoch}"))
-            .select(*cols)
+        ep = _pinned_scan(
+            spark,
+            os.path.join(index_dir, f"{table}_compact", f"epoch={epoch}"),
+            schema,
+            part_cols,
         )
+        if ep is not None:
+            parts.append(ep.select(*cols))
     tail = sorted(b for b in committed if b > covered)
     if tail:
-        parts.append(
-            spark.read.schema(schema)
-            .parquet(os.path.join(index_dir, table))
-            .filter(F.col("batch_id").isin(tail))
-            .select(*cols)
+        tl = _pinned_scan(
+            spark,
+            os.path.join(index_dir, table),
+            schema,
+            ["batch_id"] + part_cols,
         )
+        if tl is not None:
+            parts.append(
+                tl.filter(F.col("batch_id").isin(tail)).select(*cols)
+            )
     if not parts:
         empty_schema = schema + "".join(f", {c} int" for c in part_cols)
         return spark.createDataFrame([], empty_schema)
@@ -208,13 +235,18 @@ def _compact(
     tables: list[tuple[str, str, list[str]]],
     codec: str = "zstd",
     chaos=None,
+    transforms: dict | None = None,
 ) -> dict:
     """Fold the committed live view of every ``(table, schema,
     partition_cols)`` into ``<table>_compact/epoch=E+1``, then append
     the ``(epoch, covered)`` marker LAST. Idempotent: a crash before
     the marker leaves readers on the old view and a rerun overwrites
     the same epoch directories. ``chaos`` (tests) fires after the data
-    rewrite, before the marker — the crash-in-the-commit-gap drill."""
+    rewrite, before the marker — the crash-in-the-commit-gap drill.
+    ``transforms`` maps a table name to a DataFrame→DataFrame rewrite
+    applied to its live view before the epoch write (the fingerprint
+    family's cross-batch ``distinct``) — the commit protocol itself
+    stays in exactly one place."""
     committed = committed_batches(spark, index_dir)
     epoch, covered = compaction_state(spark, index_dir)
     tail = sorted(b for b in committed if b > covered)
@@ -227,6 +259,8 @@ def _compact(
             spark, index_dir, table, schema, part_cols, committed,
             (epoch, covered),
         )
+        if transforms and table in transforms:
+            view = transforms[table](view)
         writer = view.write.mode("overwrite").option("compression", codec)
         if part_cols:
             writer = writer.partitionBy(*part_cols)
@@ -286,26 +320,12 @@ def compact_fingerprint_index(
     rewrite also collapses cross-batch repeats of a gram hash (each
     batch wrote its own distinct set) — the one family where
     compaction SHRINKS state, not just file count."""
-    committed = committed_batches(spark, index_dir)
-    epoch, covered = compaction_state(spark, index_dir)
-    tail = sorted(b for b in committed if b > covered)
-    if not tail:
-        return {"epoch": epoch, "covered": covered, "compacted": False}
-    view = _live_view(
-        spark, index_dir, "grams", "gram_hash long", [], committed,
-        (epoch, covered),
-    ).distinct()
-    view.write.mode("overwrite").option("compression", codec).parquet(
-        os.path.join(index_dir, "grams_compact", f"epoch={epoch + 1}")
+    return _compact(
+        spark, index_dir,
+        [("grams", "gram_hash long", [])],
+        codec, chaos,
+        transforms={"grams": lambda v: v.distinct()},
     )
-    if chaos is not None:
-        chaos(epoch + 1)
-    spark.createDataFrame(
-        [(epoch + 1, max(tail))], "epoch long, covered long"
-    ).write.mode("append").parquet(
-        os.path.join(index_dir, "_compact_commits")
-    )
-    return {"epoch": epoch + 1, "covered": max(tail), "compacted": True}
 
 
 def vacuum_index(

@@ -56,6 +56,20 @@ from .textstats import tokens
 
 MICRO = 1_000_000
 NUM_BUCKETS = 65_536
+
+# fit_dsir persists its joined bucket-count table (≤ 2*num_buckets
+# rows) so the totals action and the returned model share one corpus
+# scan; lazy builders cannot unpersist their own intermediates, so
+# eager call sites release after materializing the model.
+_MODEL_CACHE: list[DataFrame] = []
+
+
+def release_cached_models() -> None:
+    """Unpersist count frames cached by ``fit_dsir``."""
+    while _MODEL_CACHE:
+        _MODEL_CACHE.pop().unpersist()
+
+
 # 2^40 hash buckets for the Gumbel uniform: (h + 0.5) / 2^40 lies in
 # the OPEN interval (0, 1), so -ln(-ln(u)) is always finite
 _GUMBEL_DENOM = 1 << 40
@@ -138,14 +152,16 @@ def fit_dsir(
 
     Two bounded-cardinality count shuffles + one join over ≤
     2*num_buckets rows; the transcendental runs once per observed
-    bucket and is materialized (module docstring)."""
+    bucket and is materialized (module docstring). Each corpus is
+    scanned exactly ONCE: the joined count table is persisted (≤
+    2*num_buckets tiny rows) before the totals action, so the
+    denominators and the returned model share one materialization —
+    eager call sites release it with ``release_cached_models()`` after
+    the model is written/collected (the lm.py cache-ownership
+    discipline)."""
     tc = bucket_counts(target_df, text_col, num_buckets, seed)
     rc = bucket_counts(raw_df, text_col, num_buckets, seed)
-    tot_t = tc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).head()[0]
-    tot_r = rc.agg(F.coalesce(F.sum("cnt"), F.lit(0))).head()[0]
-    denom_t = int(tot_t) + alpha * num_buckets
-    denom_r = int(tot_r) + alpha * num_buckets
-    model = (
+    base = (
         tc.select("bucket", F.col("cnt").alias("cnt_target"))
         .join(
             rc.select("bucket", F.col("cnt").alias("cnt_raw")),
@@ -157,12 +173,20 @@ def fit_dsir(
             F.coalesce("cnt_target", F.lit(0)).cast("long").alias("cnt_target"),
             F.coalesce("cnt_raw", F.lit(0)).cast("long").alias("cnt_raw"),
         )
-        .withColumn(
-            "lr_micro",
-            _lr_micro(
-                F.col("cnt_target"), denom_t, F.col("cnt_raw"), denom_r, alpha
-            ),
-        )
+        .persist()
+    )
+    _MODEL_CACHE.append(base)
+    tot = base.agg(
+        F.coalesce(F.sum("cnt_target"), F.lit(0)).alias("t"),
+        F.coalesce(F.sum("cnt_raw"), F.lit(0)).alias("r"),
+    ).head()
+    denom_t = int(tot["t"]) + alpha * num_buckets
+    denom_r = int(tot["r"]) + alpha * num_buckets
+    model = base.withColumn(
+        "lr_micro",
+        _lr_micro(
+            F.col("cnt_target"), denom_t, F.col("cnt_raw"), denom_r, alpha
+        ),
     )
     oov = int(
         math.floor(

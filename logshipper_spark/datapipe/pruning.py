@@ -98,16 +98,19 @@ def prototype_prune(
         raise ValueError(
             f"keep_permille must be in [0, 1000], got {keep_permille}"
         )
-    ranked = quantile_bins(
+    # n_cell rides out of quantile_bins (it aggregates the group total
+    # for the bin arithmetic anyway) — a separate scores.groupBy would
+    # re-run the whole nearest-centroid scan, the operator's dominant
+    # map cost, a second time
+    out = quantile_bins(
         scores,
         k=1,
         score_col="dist_micro",
         id_col=id_col,
         group_col="cell",
         block_size=block_size,
+        n_col="n_cell",
     ).drop("bin")
-    counts = scores.groupBy("cell").agg(F.count("*").alias("n_cell"))
-    out = ranked.join(F.broadcast(counts), "cell")
     keep_n = F.expr(f"(n_cell * {int(keep_permille)}) DIV 1000")
     cond = (
         F.col("rank") > F.col("n_cell") - keep_n

@@ -273,6 +273,7 @@ def quantile_bins(
     block_size: int = 4096,
     out_col: str = "bin",
     broadcast_scores: bool = True,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Exact k-quantile binning (curriculum / quality-stratification
     buckets): adds ``rank`` (1-based position under (score, id) order
@@ -300,7 +301,12 @@ def quantile_bins(
     For a near-continuous score, set ``broadcast_scores=False`` (the
     base-rank join falls back to a shuffle join) and note the
     per-group distinct-score window degenerates toward a group-sized
-    sort — quantize the score first instead."""
+    sort — quantize the score first instead.
+
+    ``n_col`` keeps the group-size total (already computed for the bin
+    arithmetic) as an output column — callers that need it
+    (prototype_prune's keep rule) would otherwise re-aggregate the
+    input, re-running its whole subtree."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     g = group_col or "_g"
@@ -349,8 +355,9 @@ def quantile_bins(
         .withColumn(
             out_col, F.expr(f"((rank - 1) * {k}) DIV _n").cast("int")
         )
-        .drop("_base", "_tie", "_n")
+        .drop("_base", "_tie")
     )
+    out = out.withColumnRenamed("_n", n_col) if n_col else out.drop("_n")
     return out if group_col else out.drop("_g")
 
 

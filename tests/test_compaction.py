@@ -318,3 +318,47 @@ def test_streaming_substr_screen_across_compaction(spark, tmp_path):
         for r in spark.read.schema(schema).parquet(out_dir).collect()
     )
     assert kept == [1, 11]  # 10 is wholly boilerplate vs the epoch
+
+
+def test_empty_batch_partitions_never_poison_the_live_view(spark, tmp_path):
+    """An all-dup micro-batch writes ZERO data files under its
+    committed partition (partitionBy of an empty frame); a pinned-
+    schema scan of such a listing materializes no hive columns, and
+    the batch_id/cell references used to throw UNRESOLVED_COLUMN on
+    every later read — permanently wedging the stream. The live view
+    must instead read as empty (or just the non-empty parts)."""
+    idx = str(tmp_path / "sem_idx")
+
+    def write_sem_batch(df, batch_id):
+        df.write.mode("overwrite").option("compression", "zstd").partitionBy(
+            "cell"
+        ).parquet(os.path.join(idx, "vectors", f"batch_id={batch_id}"))
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(os.path.join(idx, "_commits"))
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, cell int"
+    )
+    # batch 0 committed with zero files: read, compact, vacuum, re-read
+    write_sem_batch(empty, 0)
+    assert compaction.read_semantic_index(spark, idx).count() == 0
+    st = compaction.compact_semantic_index(spark, idx)
+    assert st["compacted"] is True  # empty epoch committed is fine
+    compaction.vacuum_index(spark, idx, compaction.SEMANTIC_TABLES)
+    assert compaction.read_semantic_index(spark, idx).count() == 0
+    # a later real batch lands next to the empty epoch and is visible
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, cell int",
+    )
+    write_sem_batch(vecs, 1)
+    live = compaction.read_semantic_index(spark, idx)
+    assert {r["vec_id"] for r in live.collect()} == {1, 2}
+    # and an empty batch AFTER real data stays invisible but harmless
+    write_sem_batch(empty, 2)
+    st = compaction.compact_semantic_index(spark, idx)
+    assert st["compacted"] is True
+    compaction.vacuum_index(spark, idx, compaction.SEMANTIC_TABLES)
+    live = compaction.read_semantic_index(spark, idx)
+    assert {r["vec_id"] for r in live.collect()} == {1, 2}

@@ -196,6 +196,7 @@ def main() -> int:
     ).count()
     joined.unpersist()
     dedup.release_cached_signatures()
+    dsir.release_cached_models()
 
     print("| metric | value |")
     print("|---|---|")
