@@ -3610,7 +3610,11 @@ def oracle_sql() -> dict[str, str]:
             w AS (
               SELECT doc_id, sents, len(sents) AS n,
                 CASE WHEN len(sents) = 0 THEN 0
-                     ELSE 1 + (greatest(len(sents) - 4, 0) + 2 - 1) // 2
+                     -- ceil(n/st) cap: identity for stride <= max
+                     -- (these params) but the spec for gapped strides
+                     ELSE least(
+                       1 + (greatest(len(sents) - 4, 0) + 2 - 1) // 2,
+                       (len(sents) + 2 - 1) // 2)
                 END AS num
               FROM s),
             e AS (

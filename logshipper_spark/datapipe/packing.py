@@ -110,11 +110,25 @@ def assemble_chunks(
     key (each layout row carries only slice arithmetic, so the id
     arrays ride the join once); the regroup shuffles on (group,
     chunk_id) and per-task state is bounded by the chunk budget —
-    never by a document or the corpus."""
-    j = layout.join(
-        ids_df.select(F.col(order_col), F.col(ids_col).alias("_ids")),
-        order_col,
-    ).select(
+    never by a document or the corpus.
+
+    ``pack_chunks`` only requires ``order_col`` unique WITHIN a group,
+    so when ``ids_df`` carries ``group_col`` the join keys on BOTH
+    columns — joining on the document key alone would fan a cross-group
+    id collision into every colliding group's chunks (corrupt chunks,
+    no error). An ``ids_df`` without the group column asserts global
+    uniqueness instead."""
+    if group_col in ids_df.columns:
+        keys = [group_col, order_col]
+        picked = ids_df.select(
+            F.col(group_col), F.col(order_col), F.col(ids_col).alias("_ids")
+        )
+    else:
+        keys = [order_col]
+        picked = ids_df.select(
+            F.col(order_col), F.col(ids_col).alias("_ids")
+        )
+    j = layout.join(picked, keys).select(
         group_col,
         "chunk_id",
         "chunk_pos",
@@ -234,11 +248,14 @@ def sentence_chunks(
     sentences (``SENTENCE_PATTERN`` + trim, empties dropped), then emit
     windows of up to ``max_sentences`` sentences starting every
     ``stride`` sentences, as ``(id, chunk_idx, chunk_text,
-    n_sentences)``. Window count = 1 + ceil(max(0, n - max_sentences) /
-    stride) for non-empty docs, 0 for sentence-less docs — when
-    ``stride <= max_sentences`` every sentence lands in >=1 window and
-    consecutive windows overlap by ``max_sentences - stride``
-    sentences.
+    n_sentences)``. Window count = min(1 + ceil(max(0, n -
+    max_sentences) / stride), ceil(n / stride)) for non-empty docs, 0
+    for sentence-less docs — when ``stride <= max_sentences`` every
+    sentence lands in >=1 window and consecutive windows overlap by
+    ``max_sentences - stride`` sentences (there the min never binds);
+    when ``stride > max_sentences`` (gapped sampling) the ceil(n/st)
+    cap stops the last start from landing past the sentence array,
+    which would otherwise emit phantom empty chunks.
 
     Scale posture: pure per-row array work (regexp_extract_all →
     transform/filter → sequence → slice explode) — a map-only stage
@@ -264,9 +281,13 @@ def sentence_chunks(
     ).withColumn("_n", F.size("_sents").cast("long"))
     n = F.col("_n")
     ms, st = F.lit(max_sentences), F.lit(stride)
-    num = F.lit(1) + F.floor(
-        (F.greatest(n - ms, F.lit(0)) + st - F.lit(1)) / st
-    ).cast("long")
+    num = F.least(
+        F.lit(1)
+        + F.floor(
+            (F.greatest(n - ms, F.lit(0)) + st - F.lit(1)) / st
+        ).cast("long"),
+        F.floor((n + st - F.lit(1)) / st).cast("long"),
+    )
     wins = F.when(n > 0, F.sequence(F.lit(0).cast("long"), num - 1)).otherwise(
         F.array().cast("array<long>")
     )

@@ -255,6 +255,16 @@ def semantic_dedup_against(
         index_df = spark.read.schema(
             "vec_id long, embedding array<double>"
         ).parquet(path + "/vectors")  # hive layout appends the cell col
+        if "cell" not in index_df.columns:
+            # zero data files under the dir (an empty kept set was
+            # indexed, or every partition was vacuumed): hive partition
+            # columns materialize only when the listing finds a file,
+            # and the probe filter below would throw UNRESOLVED_COLUMN.
+            # The committed index is simply empty (compaction.
+            # _pinned_scan guards the same case for the batch layout).
+            index_df = spark.createDataFrame(
+                [], "vec_id long, embedding array<double>, cell int"
+            )
     idx = index_df.filter(F.col("cell").isin(probe_cells)).select(
         F.col("embedding").alias("_iv"), inrm.alias("_in"), "cell"
     )

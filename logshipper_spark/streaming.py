@@ -190,10 +190,15 @@ def streaming_exact_dedup(
     (key, event-time) pairs. ``schema`` is required: streaming parquet
     sources cannot infer schemas (and an empty first listing would
     throw — CLAUDE.md round-2 gotcha)."""
+    from .datapipe.dedup import dedup_key
+
     stream = spark.readStream.schema(schema).parquet(input_dir)
-    keyed = stream.withColumn(
-        "_h0", F.xxhash64(F.col(text_col), F.lit(0))
-    ).withColumn("_h1", F.xxhash64(F.col(text_col), F.lit(1)))
+    # the SAME key builder the batch family groups on (dedup.dedup_key)
+    # — seed/normalization changes there must stay comparable with the
+    # streaming state and any shared write_key_index/dedup_against
+    keyed = stream.withColumn("_k", dedup_key(F.col(text_col))).select(
+        "*", F.col("_k.h0").alias("_h0"), F.col("_k.h1").alias("_h1")
+    ).drop("_k")
     deduped = (
         keyed.withWatermark(ts_col, ttl)
         .dropDuplicatesWithinWatermark(["_h0", "_h1"])

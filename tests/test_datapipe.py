@@ -1725,7 +1725,9 @@ def _sentence_chunks_reference(text, ms, st):
     n = len(sents)
     if n == 0:
         return []
-    num = 1 + math.ceil(max(0, n - ms) / st)
+    # ceil(n/st) cap: for stride > max_sentences the uncapped count
+    # puts the last start past the array (phantom empty chunks)
+    num = min(1 + math.ceil(max(0, n - ms) / st), math.ceil(n / st))
     return [
         (
             i,
@@ -2051,3 +2053,70 @@ def test_semantic_decontaminate_matches_brute_force(spark, embs):
     flagged = {i for i, k in out.items() if k == 0}
     assert flagged == set(want)  # exactly the planted twins
     assert len(out) == 60
+
+
+def test_assemble_chunks_cross_group_id_collision(spark):
+    """order_col only needs to be unique WITHIN a group: two sources
+    sharing doc_id=7 must not cross-pollute each other's chunks."""
+    from logshipper_spark.datapipe import packing
+
+    ids = spark.createDataFrame(
+        [
+            ("a", 7, [1, 2, 3], 3),
+            ("b", 7, [9, 8], 2),
+        ],
+        "source string, doc_id long, ids array<long>, n long",
+    )
+    layout = packing.pack_chunks(ids, budget=10, tokens_col="n")
+    out = {
+        (r["source"], r["chunk_id"]): list(r["ids"])
+        for r in packing.assemble_chunks(ids, layout).collect()
+    }
+    assert out == {("a", 0): [1, 2, 3], ("b", 0): [9, 8]}
+
+
+def test_sentence_chunks_gapped_stride_no_empty_chunks(spark):
+    """stride > max_sentences (gapped sampling) must not emit phantom
+    empty trailing chunks when the last start lands past the array."""
+    from logshipper_spark.datapipe import packing
+
+    # 10 sentences; ms=2, st=5 -> starts 0 and 5 only (old formula
+    # emitted a third, empty, chunk starting at sentence 11)
+    text = " ".join(f"sentence number {i}." for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["n_sentences"])
+        for r in packing.sentence_chunks(
+            df, max_sentences=2, stride=5
+        ).collect()
+    )
+    assert rows == [(0, 2), (1, 2)]
+    # boundary: 11 sentences -> a real 1-sentence tail chunk at start 10
+    text11 = " ".join(f"sentence number {i}." for i in range(11))
+    df11 = spark.createDataFrame([(1, text11)], "doc_id long, text string")
+    rows11 = sorted(
+        (r["chunk_idx"], r["n_sentences"])
+        for r in packing.sentence_chunks(
+            df11, max_sentences=2, stride=5
+        ).collect()
+    )
+    assert rows11 == [(0, 2), (1, 2), (2, 1)]
+
+
+def test_semantic_dedup_against_empty_index_dir(spark, tmp_path):
+    """An indexed EMPTY kept set (zero data files under partitionBy)
+    must read as an empty index, not throw UNRESOLVED_COLUMN on the
+    probe-cell filter."""
+    from logshipper_spark.datapipe import semdedup
+
+    idx = str(tmp_path / "sem")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    semdedup.write_semantic_index(empty, idx, cents, mode="overwrite")
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept = semdedup.semantic_dedup_against(batch, idx)
+    assert {r["vec_id"] for r in kept.collect()} == {1, 2}
+    semdedup.release_cached_cells()
