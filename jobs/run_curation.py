@@ -236,6 +236,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     keep.write.mode("overwrite").parquet(os.path.join(args.out, "keep_list"))
     dedup.release_cached_signatures()  # minhash sig cache, post-action
+    curate.release_cached_frames()  # curate's shared keep-list/src
     # pin the schema: an all-dropped snapshot writes an EMPTY parquet
     # dir, and schema inference on one throws (CLAUDE.md gotcha)
     kept = spark.read.schema(keep.schema).parquet(

@@ -25,6 +25,22 @@ from .filters import c4_line_clean, pii_scrub, repetition_stats
 from .substr import merge_spans, remove_dup_spans, substr_dup_spans
 from .textstats import quality_score
 
+# curate persists frames consumed TWICE: the exact-dedup keep-list
+# feeds both the minhash signature build and the loser anti-join, and
+# the scrubbed/cleaned src feeds both substring-span detection and span
+# removal — unpersisted, the upstream regex/quality/groupBy chains run
+# twice per action (the round-2 minhash self-join trap). A lazy builder
+# cannot unpersist its own intermediates; eager call sites release via
+# ``release_cached_frames()`` after their action (the
+# dedup.release_cached_signatures discipline).
+_CURATE_CACHE: list[DataFrame] = []
+
+
+def release_cached_frames() -> None:
+    """Unpersist shared frames cached by ``curate``."""
+    while _CURATE_CACHE:
+        _CURATE_CACHE.pop().unpersist()
+
 
 def curate(
     df: DataFrame,
@@ -82,8 +98,12 @@ def curate(
             .select(F.col(id_col), F.col("clean_text").alias(text_col))
         )
     if substr_dedup:
+        # src is consumed by BOTH span detection and span removal —
+        # persist so the scrub/line-clean regex chains run once
+        src = src.select(F.col(id_col), F.col(text_col)).persist()
+        _CURATE_CACHE.append(src)
         spans = substr_dup_spans(
-            src.select(F.col(id_col), F.col(text_col)),
+            src,
             text_col,
             id_col,
             w=substr_w,
@@ -91,7 +111,7 @@ def curate(
         )
         merged = merge_spans(spans, w=substr_w, merge_gap=substr_window)
         src = remove_dup_spans(
-            src.select(F.col(id_col), F.col(text_col)), merged, text_col, id_col
+            src, merged, text_col, id_col
         ).select(F.col(id_col), F.col("text_deduped").alias(text_col))
     scored = src.select(
         F.col(id_col).alias("doc_id"),
@@ -122,6 +142,11 @@ def curate(
     )
 
     if near_dup:
+        # kept is consumed by BOTH the signature build and the anti-
+        # join's left side — persist so the quality projection and the
+        # 128-bit dedup groupBy run once
+        kept = kept.persist()
+        _CURATE_CACHE.append(kept)
         pairs = minhash_lsh_pairs(
             kept.select("doc_id", F.col("_text").alias("text")),
             k=minhash_k,

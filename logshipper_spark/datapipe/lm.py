@@ -91,10 +91,10 @@ def _cached_unigram_counts_and_denom(
 
 
 def _nlp_micro(cnt_col, denom: int):
-    """floor(-log2((cnt+1)/denom) * 1e6 + 0.5) as long — the quantized
-    add-one-smoothed negative log-probability."""
-    p = (cnt_col + F.lit(1)).cast("double") / F.lit(float(denom))
-    return F.floor(-F.log2(p) * MICRO + F.lit(0.5)).cast("long")
+    """Quantized add-one-smoothed negative log-probability: delegates
+    the floor(-log2(p)*1e6 + 0.5) formula to ``_quant`` so the unigram
+    and bigram models can never desynchronize on rounding/smoothing."""
+    return _quant((cnt_col + F.lit(1)).cast("double") / F.lit(float(denom)))
 
 
 def fit_unigram_lm(

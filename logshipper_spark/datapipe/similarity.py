@@ -403,9 +403,12 @@ def kmeans_fit(
     assign everything (the standard IVF practice)."""
     dim = dim if dim is not None else _vec_dim(df, vec_col)
     v = F.col(vec_col)
-    fit_df = df
+    # NULL vectors can't seed (NoneType on the driver) and would skew
+    # the mean lanes (F.sum skips them while count(*) doesn't) — the
+    # _vec_dim convention applied to the fit frame
+    fit_df = df.filter(v.isNotNull())
     if sample_mod:
-        fit_df = df.filter(F.pmod(_vec_key(v), F.lit(sample_mod)) == 0)
+        fit_df = fit_df.filter(F.pmod(_vec_key(v), F.lit(sample_mod)) == 0)
     base = (
         fit_df.select(v.alias("_v"))
         .withColumn("_k", _vec_key(F.col("_v")))
@@ -433,14 +436,30 @@ def kmeans_fit(
         assigned = base.select(
             _nearest_centroid(F.col("_v"), centroids).alias("cell"), "_v"
         )
+        # per-dimension sums quantized to integer micros and summed in
+        # decimal(38,0): plain double F.sum is partition-merge-order
+        # dependent, so the same data could yield ulp-different
+        # centroids run-to-run and flip a 6-dp nearest-centroid tie —
+        # integer sums make Lloyd exactly reproducible (the lm.py /
+        # anomaly.py order-independent-sum convention); 1e-6 grid is
+        # the repo-wide 6-dp distance convention
         sums = assigned.groupBy("cell").agg(
             F.array(
-                *[F.sum(F.element_at("_v", i + 1)) for i in range(dim)]
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("_v", i + 1) * F.lit(1_000_000.0)
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    )
+                    for i in range(dim)
+                ]
             ).alias("_s"),
             F.count("*").alias("_n"),
         )
         new = {
-            r["cell"]: [x / r["_n"] for x in r["_s"]] for r in sums.collect()
+            r["cell"]: [float(x) / (r["_n"] * 1_000_000.0) for x in r["_s"]]
+            for r in sums.collect()
         }
         centroids = [new.get(i, centroids[i]) for i in range(num_cells)]
     base.unpersist()

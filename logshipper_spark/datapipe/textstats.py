@@ -285,7 +285,12 @@ def tfidf_topk(
     from pyspark.sql import Window
 
     n = df.count() if n_docs is None else n_docs
-    tf = term_counts(df, text_col, id_col)
+    # tf feeds BOTH the document-frequency aggregate and the join-back:
+    # unpersisted, the corpus-wide tokenize/sort/fold projection runs
+    # twice (the round-2 minhash trap — same fix as bm25_topk below);
+    # eager call sites release via release_cached_postings()
+    tf = term_counts(df, text_col, id_col).persist()
+    _POSTING_CACHE.append(tf)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("_df"))
     idf = F.log((F.lit(float(n)) + 1.0) / (F.col("_df") + 1.0)) + 1.0
     scored = tf.join(dfreq, "token").withColumn(
@@ -301,8 +306,8 @@ def tfidf_topk(
     )
 
 
-# bm25_topk persists the query-filtered posting frame (shared by the
-# df aggregate and the candidate join — without it the corpus-wide
+# bm25_topk / tfidf_topk persist their posting frames (shared by a
+# frequency aggregate and a join-back — without it the corpus-wide
 # tokenize/sort/fold projection runs twice, the round-2 minhash trap).
 # A lazy builder cannot unpersist its own intermediate, so eager call
 # sites release after their action (dedup.release_cached_signatures
@@ -311,7 +316,7 @@ _POSTING_CACHE: list[DataFrame] = []
 
 
 def release_cached_postings() -> None:
-    """Unpersist posting frames cached by ``bm25_topk``."""
+    """Unpersist posting frames cached by ``bm25_topk``/``tfidf_topk``."""
     while _POSTING_CACHE:
         _POSTING_CACHE.pop().unpersist()
 
