@@ -2097,7 +2097,7 @@ _ROLLUP_SQL = f"""
             WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL}),
             out_side AS (
               SELECT src AS service, COUNT(*) AS out_deg,
-                     CAST(SUM(CAST(floor(latency_sum_us / call_count) AS BIGINT) * call_count) AS BIGINT) AS lat_weighted,
+                     CAST(SUM((latency_sum_us // call_count) * call_count) AS BIGINT) AS lat_weighted,
                      CAST(SUM(call_count) AS BIGINT) AS calls,
                      CAST(SUM(error_count) AS BIGINT) AS errors
               FROM base GROUP BY src),
@@ -2110,14 +2110,14 @@ _ROLLUP_SQL = f"""
               FROM out_side o FULL OUTER JOIN in_side i ON o.service = i.service),
             d AS (
               SELECT service, in_deg, out_deg,
-                     CASE WHEN calls > 0 THEN CAST(floor(lat_weighted / calls) AS BIGINT)
+                     CASE WHEN calls > 0 THEN CAST(lat_weighted // calls AS BIGINT)
                           ELSE 0 END AS avg_latency_us,
                      CASE WHEN calls > 0 THEN errors / calls ELSE 0.0 END AS error_rate
               FROM svc)
             SELECT service, in_deg, out_deg, avg_latency_us, error_rate,
                    CAST(0 AS BIGINT) AS anomalies,
                    CAST(0 AS BIGINT) * 2.0 + error_rate * 10.0
-                     + CAST(floor(avg_latency_us / 1000) AS BIGINT) / 100.0 AS risk
+                     + CAST(avg_latency_us // 1000 AS BIGINT) / 100.0 AS risk
             FROM d
 """
 
@@ -2754,7 +2754,7 @@ def oracle_sql() -> dict[str, str]:
             WITH fed AS ({_FED_SQL}), base AS ({_BASE_SQL})
             SELECT src, dst, op, call_count,
                    error_count / call_count AS error_rate,
-                   CAST(floor(latency_sum_us / call_count) AS BIGINT) AS avg_latency_us
+                   CAST(latency_sum_us // call_count AS BIGINT) AS avg_latency_us
             FROM base
         """,
         "service_rollup": _ROLLUP_SQL,

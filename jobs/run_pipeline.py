@@ -30,7 +30,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="generate N synthetic turns instead of reading --input")
     ap.add_argument("--out", required=True, help="output base directory")
     ap.add_argument("--batch-id", type=int, default=0)
-    ap.add_argument("--run-id", default="job")
+    ap.add_argument("--run-id", default=None,
+                    help="logical run id (batch default 'job'; stream "
+                         "default derives from the checkpoint path, so "
+                         "restarts resume and fresh streams never reuse "
+                         "an old run's id)")
     ap.add_argument("--stream", action="store_true",
                     help="streaming mode: drain --input via checkpointed foreachBatch")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream)")
@@ -46,10 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="logshipper-pipeline")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    batch_run_id = args.run_id or "job"
     if args.config:
         cfg = cfgmod.load_config(args.config)
         summary = cfgmod.run_from_config(
-            spark, cfg, args.out, run_id=args.run_id, batch_id=args.batch_id
+            spark, cfg, args.out, run_id=batch_run_id, batch_id=args.batch_id
         )
         print(json.dumps(summary))
         return 0
@@ -74,12 +79,12 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("one of --input / --generate is required")
         return 2
 
-    if args.batch_id in pipeline.completed_batches(spark, args.out, run_id=args.run_id):
+    if args.batch_id in pipeline.completed_batches(spark, args.out, run_id=batch_run_id):
         print(json.dumps({"mode": "batch", "batch_id": args.batch_id,
                           "skipped": "already committed"}))
         return 0
     summary = pipeline.run_batch(
-        spark, tx, args.out, run_id=args.run_id, batch_id=args.batch_id
+        spark, tx, args.out, run_id=batch_run_id, batch_id=args.batch_id
     )
     print(json.dumps(summary))
     return 0

@@ -156,8 +156,11 @@ def derived_edge_metrics(edges: DataFrame) -> DataFrame:
         F.when(calls == 0, F.lit(0.0)).otherwise(F.col("error_count") / calls),
     ).withColumn(
         "avg_latency_us",
+        # `div` (exact long division), not floor(double /): doubles
+        # lose integer precision past 2^53 (~1e9 calls at ~9ms) —
+        # Go's Duration division is exact at any magnitude
         F.when(calls == 0, F.lit(0).cast("long")).otherwise(
-            F.floor(F.col("latency_sum_us") / calls).cast("long")
+            F.expr("latency_sum_us div call_count")
         ),
     )
 
@@ -231,7 +234,9 @@ def service_rollup(edges: DataFrame, anomaly_counts: DataFrame | None = None) ->
     whole milliseconds.
     """
     calls = F.col("call_count")
-    per_edge_avg = F.floor(F.col("latency_sum_us") / calls)  # Go Duration division
+    # Go Duration division — exact long `div`, not floor(double /),
+    # which drifts once latency_sum_us crosses 2^53
+    per_edge_avg = F.expr("latency_sum_us div call_count")
     out_side = edges.groupBy(F.col("src").alias("service")).agg(
         F.count("*").alias("out_deg"),
         F.sum(per_edge_avg * calls).alias("_lat_weighted"),
@@ -244,9 +249,9 @@ def service_rollup(edges: DataFrame, anomaly_counts: DataFrame | None = None) ->
     svc = out_side.join(in_side, "service", "full_outer").fillna(
         0, subset=["out_deg", "in_deg", "_lat_weighted", "_calls", "_errors"]
     )
-    avg_lat = F.when(F.col("_calls") > 0, F.floor(F.col("_lat_weighted") / F.col("_calls"))).otherwise(
-        F.lit(0)
-    ).cast("long")
+    avg_lat = F.when(
+        F.col("_calls") > 0, F.expr("_lat_weighted div _calls")
+    ).otherwise(F.lit(0)).cast("long")
     err_rate = F.when(F.col("_calls") > 0, F.col("_errors") / F.col("_calls")).otherwise(F.lit(0.0))
     svc = svc.withColumn("avg_latency_us", avg_lat).withColumn("error_rate", err_rate)
 
@@ -256,7 +261,7 @@ def service_rollup(edges: DataFrame, anomaly_counts: DataFrame | None = None) ->
         svc = svc.withColumn("anomalies", F.lit(0).cast("long"))
 
     # riskScore (screen1.go:105-108): whole milliseconds, truncated
-    ms = F.floor(F.col("avg_latency_us") / 1000)
+    ms = F.expr("avg_latency_us div 1000")
     svc = svc.withColumn(
         "risk", F.col("anomalies") * 2.0 + F.col("error_rate") * 10.0 + ms / 100.0
     )
@@ -310,12 +315,22 @@ def time_buckets(
     extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Tumbling-window counts (A13; the honest version of the TUI's
-    calls/min approximation, screen2.go:211-217)."""
-    keys = [F.window(F.col(ts_col), duration).alias("w")] + [
-        F.col(k) for k in (extra_keys or [])
-    ]
+    calls/min approximation, screen2.go:211-217).
+
+    NULL timestamps land in a NULL ``window_start`` group (SQL GROUP
+    BY semantics) — the coalesce-to-sentinel sits INSIDE window()
+    because Spark's TimeWindowing rule silently drops NULL inputs."""
+    sentinel = F.to_timestamp(F.lit("0001-01-01 00:00:00"))
+    keys = [
+        F.window(F.coalesce(F.col(ts_col), sentinel), duration).alias("w"),
+        F.col(ts_col).isNull().alias("_ts_null"),
+    ] + [F.col(k) for k in (extra_keys or [])]
     return (
         df.groupBy(*keys)
         .agg(F.count("*").alias("calls"))
-        .select(F.col("w.start").alias("window_start"), *(extra_keys or []), "calls")
+        .select(
+            F.when(~F.col("_ts_null"), F.col("w.start")).alias("window_start"),
+            *(extra_keys or []),
+            "calls",
+        )
     )

@@ -31,7 +31,9 @@ _ROLLUP_CACHE: list[DataFrame] = []
 
 
 def release_cached_rollups() -> None:
-    """Unpersist prefix frames cached by ``rolling_zscore_blocked``."""
+    """Unpersist prefix frames cached by ``rolling_zscore_blocked``
+    (the module-global list — single-query-at-a-time call sites only;
+    concurrent callers pass ``cache_registry`` and drain their own)."""
     while _ROLLUP_CACHE:
         _ROLLUP_CACHE.pop().unpersist()
 
@@ -83,6 +85,7 @@ def rolling_zscore_blocked(
     min_samples: int | None = None,
     threshold: float = DEFAULT_THRESHOLD,
     block_size: int = 4096,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Bounded two-phase form of ``rolling_zscore`` — the 100 TB path
     for a HOT key: the single-window form sorts a key's entire history
@@ -254,10 +257,14 @@ def rolling_zscore_blocked(
     )
     # pre feeds up to three consumers (resolved rows, boundary rows,
     # and the boundary lookup side) — persist it so the prefix
-    # computation doesn't run repeatedly (self-join-recompute trap;
-    # release_cached_rollups() for eager call sites).
+    # computation doesn't run repeatedly (self-join-recompute trap).
+    # Ownership: callers running CONCURRENT queries in one session must
+    # pass their own cache_registry and unpersist it after their
+    # action — release_cached_rollups() drains the module-global list,
+    # which would yank a frame out from under another in-flight query
+    # (the hazard streaming.py's local persists document).
     pre = pre.persist()
-    _ROLLUP_CACHE.append(pre)
+    (_ROLLUP_CACHE if cache_registry is None else cache_registry).append(pre)
     # cross-block fetch ONLY for boundary rows — the first ≤ N rows of
     # each block (their r−N row lives in an earlier block). That set is
     # ~N per (key, block), so it BROADCASTS into a hash join against
@@ -373,11 +380,13 @@ def detect_alerts(
         anom_idx = pdf.index[pdf["is_anomaly"].fillna(False)]
         prev_scored = -1
         for i in anom_idx:
-            # any below-threshold (scored) row between anomalies resets the state
+            # a gap between consecutive anomaly indices always resets
+            # the state: every row in the gap is a SCORED non-anomalous
+            # value (NULL verdicts exist only in the min_samples prefix
+            # of a key, before any anomaly can fire; stddev==0 scores
+            # z=0, a scored non-anomaly)
             if in_anomaly and i > prev_scored + 1:
-                between = pdf["is_anomaly"].iloc[prev_scored + 1 : i]
-                if (~between.fillna(False)).any():
-                    in_anomaly = False
+                in_anomaly = False
             if not in_anomaly:
                 ts_i = pdf[ts_name].iloc[i]
                 if last_alert_ts is None or (ts_i - last_alert_ts).total_seconds() >= cooldown_s:

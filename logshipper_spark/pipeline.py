@@ -246,13 +246,15 @@ def run_batch(
         F.col("rows_out").cast("long"),
         F.lit(None).cast("string").alias("counter"),
         F.lit(None).cast("long").alias("value"),
-        F.current_timestamp().alias("committed_at"),
+        # the run's pinned ingestion clock, NOT wall clock: a replayed
+        # batch re-commits byte-identical lineage (determinism rule)
+        F.lit(ingest_ts).cast("timestamp").alias("committed_at"),
     )
     counter_df = spark.createDataFrame(
         [(run_id, batch_id, "counters", -1, rows_in, None, k, int(v)) for k, v in counters],
         "run_id string, batch_id long, stage string, partition_id int, "
         "rows_in long, rows_out long, counter string, value long",
-    ).withColumn("committed_at", F.current_timestamp())
+    ).withColumn("committed_at", F.lit(ingest_ts).cast("timestamp"))
     if write:
         # one directory per batch, overwritten on replay: a crash after
         # run_batch but before the streaming checkpoint commit replays
@@ -285,12 +287,33 @@ def completed_batches(
     """Batches whose lineage committed — the resume point for restarts.
     With ``run_id``, only batches committed by that logical run count
     (a fresh run over a reused output dir must not skip its own work
-    because an older run left lineage behind)."""
+    because an older run left lineage behind).
+
+    Only the path-missing case yields the empty set; a corrupt or
+    transiently unreadable lineage table PROPAGATES (failing open
+    would silently disable restart-skip forever and mask the
+    corruption — same posture as compaction.committed_batches)."""
+    runs = lineage_runs(spark, out_dir)
+    if run_id is not None:
+        return runs.get(run_id, set())
+    return {b for batches in runs.values() for b in batches}
+
+
+def lineage_runs(spark: SparkSession, out_dir: str) -> dict[str, set[int]]:
+    """Committed batches per run_id — one lineage scan serving both the
+    resume-skip set and the foreign-run guard (batch outputs are keyed
+    by batch_id alone, so two logical runs sharing an out_dir would
+    clobber each other's partitions; callers refuse that loudly)."""
     path = os.path.join(out_dir, "lineage")
-    try:
-        df = spark.read.parquet(path)
-        if run_id is not None:
-            df = df.filter(F.col("run_id") == run_id)
-        return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
-    except Exception:
-        return set()
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return {}
+    # partial pinned schema: an existing-but-empty dir reads as empty
+    # instead of throwing on inference; batch_id is the hive partition
+    # column (naming it in the schema pins its type, no duplicate col)
+    df = spark.read.schema("run_id string, batch_id long").parquet(path)
+    runs: dict[str, set[int]] = {}
+    for r in df.select("run_id", "batch_id").distinct().collect():
+        runs.setdefault(r["run_id"], set()).add(r["batch_id"])
+    return runs

@@ -51,6 +51,7 @@ def sink_counts(
     routed: DataFrame,
     ts_col: str = "ts",
     window_duration: str = "1 minute",
+    null_bucket: bool = True,
 ) -> DataFrame:
     """Per-sink windowed aggregates grouped by conv_id and time bucket
     (north rule): turn counts, tool-call counts, error-pattern counts.
@@ -58,14 +59,39 @@ def sink_counts(
     One shuffle on (sink, conv_id, bucket); partial aggregation is
     map-side (Spark partial+final) so hot conversations cost one
     combiner row per partition, not one shuffled row per turn.
+
+    ``null_bucket=True`` (batch default): a NULL timestamp lands in a
+    NULL ``window_start`` group — SQL GROUP BY semantics — instead of
+    being silently dropped (Spark's TimeWindowing rule injects an
+    ``input IS NOT NULL`` filter), so SUM(turn_count) per sink always
+    reconciles with the pipeline's sink_rows counters.
+    ``null_bucket=False``: plain ``window(ts)`` — required by the
+    native streaming path, where the watermark must ride the raw
+    event-time column (a coalesce strips its eventTime metadata).
     """
     is_error = is_error_pattern()
-    return (
-        routed.groupBy(
-            "sink",
-            "conv_id",
+    if null_bucket:
+        # sentinel INSIDE window() (TimeWindowing NULL-drop gotcha);
+        # the extra _ts_null key never splits a real group — all rows
+        # of a non-sentinel bucket have _ts_null = false
+        sentinel = F.to_timestamp(F.lit("0001-01-01 00:00:00"))
+        w = F.window(F.coalesce(F.col(ts_col), sentinel), window_duration)
+        keys = [
+            F.col("sink"),
+            F.col("conv_id"),
+            w.alias("w"),
+            F.col(ts_col).isNull().alias("_ts_null"),
+        ]
+        start = F.when(~F.col("_ts_null"), F.col("w.start"))
+    else:
+        keys = [
+            F.col("sink"),
+            F.col("conv_id"),
             F.window(F.col(ts_col), window_duration).alias("w"),
-        )
+        ]
+        start = F.col("w.start")
+    return (
+        routed.groupBy(*keys)
         .agg(
             F.count("*").alias("turn_count"),
             F.count_if(F.col("tool") != "").alias("tool_call_count"),
@@ -74,7 +100,7 @@ def sink_counts(
         .select(
             "sink",
             "conv_id",
-            F.col("w.start").alias("window_start"),
+            start.alias("window_start"),
             "turn_count",
             "tool_call_count",
             "error_pattern_count",

@@ -25,6 +25,9 @@ channel capacity (pipeline.go:49-52).
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,7 +51,7 @@ def run_stream(
     input_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    run_id: str = "stream",
+    run_id: str | None = None,
     ingest_ts: str = DEFAULT_INGEST_TS,
     rules: list[tuple[str, str, int]] | None = None,
     max_files_per_trigger: int | None = None,
@@ -72,13 +75,45 @@ def run_stream(
     crash-in-the-commit-gap window deterministically (the case where a
     naive design would double-commit counters on replay).
     """
+    if run_id is None:
+        # Derived from the checkpoint path: a RESTART of the same
+        # logical stream (same checkpoint) keeps its run_id, so
+        # replayed epochs skip via lineage; a FRESH stream (new
+        # checkpoint) over a reused out_dir gets a distinct run_id and
+        # never skips its own batch 0 because an older run's lineage
+        # is lying around (completed_batches' run_id contract). A
+        # shared constant default would silently drop the new run's
+        # first epochs.
+        digest = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()
+        run_id = f"stream-{digest[:12]}"
     rules = rules or gen.routing_rules()
+    # per-run constants built ONCE, not per micro-batch: the lookup
+    # dims (and their driver-side collects inside resolve_services)
+    # and the committed-batch set (one lineage scan at start; this
+    # process is the only lineage writer afterwards, so the local set
+    # stays exact and each epoch costs zero extra driver jobs)
+    lookup_roles = gen.lookup_roles(spark)
+    lookup_hosts = gen.lookup_hosts(spark)
+    runs = pipeline.lineage_runs(spark, out_dir)
+    foreign = sorted(set(runs) - {run_id})
+    if foreign:
+        # batch outputs are keyed by batch_id alone — a second logical
+        # stream over the same out_dir would OVERWRITE the first run's
+        # batch_id=N partitions (and with a shared run_id would
+        # silently SKIP its own first epochs). Refuse loudly.
+        raise ValueError(
+            f"out_dir {out_dir!r} already holds lineage from run(s) "
+            f"{foreign}; an output dir belongs to ONE logical stream — "
+            f"use a fresh out_dir, or resume the original stream with "
+            f"its checkpoint/run_id"
+        )
+    done = runs.get(run_id, set())
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # epoch replay after a crash-between-commit: outputs are
         # idempotent anyway (per-batch overwrite), but skipping avoids
         # redoing the work
-        if batch_id in pipeline.completed_batches(spark, out_dir, run_id=run_id):
+        if batch_id in done:
             return
         pipeline.run_batch(
             spark,
@@ -89,7 +124,10 @@ def run_stream(
             ingest_ts=ingest_ts,
             rules=rules,
             write=True,
+            lookup_roles=lookup_roles,
+            lookup_hosts=lookup_hosts,
         )
+        done.add(batch_id)
         if chaos is not None:
             chaos(batch_id)
 
@@ -577,23 +615,15 @@ def streaming_sink_counts(
         spark, stream, ingest_ts=ingest_ts, skip_turn_rank=True
     )
     routed = route.routed_rows(enriched, rules or gen.routing_rules())
-    is_error = route.is_error_pattern()
-    counts = (
-        routed.withWatermark("ts", watermark)
-        .groupBy(
-            "sink",
-            "conv_id",
-            F.window(F.col("ts"), window_duration).alias("w"),
-        )
-        .agg(
-            F.count("*").alias("turn_count"),
-            F.count_if(F.col("tool") != "").alias("tool_call_count"),
-            F.count_if(is_error).alias("error_pattern_count"),
-        )
-        .select(
-            "sink", "conv_id", F.col("w.start").alias("window_start"),
-            "turn_count", "tool_call_count", "error_pattern_count",
-        )
+    # ONE aggregate definition shared with the batch path; the
+    # watermark rides the raw ts column (null_bucket=False — a
+    # coalesce would strip the eventTime metadata), so NULL-ts rows
+    # are dropped here like any beyond-watermark late row
+    counts = route.sink_counts(
+        routed.withWatermark("ts", watermark),
+        ts_col="ts",
+        window_duration=window_duration,
+        null_bucket=False,
     )
     writer = (
         counts.writeStream.format("parquet")

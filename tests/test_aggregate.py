@@ -244,6 +244,17 @@ def test_time_buckets(spark):
     assert out == {("c1", 0): 2, ("c1", 1): 1, ("c2", 0): 1}
 
 
+def test_time_buckets_null_ts_keeps_row(spark):
+    """NULL ts → NULL window_start group, never a dropped row."""
+    df = spark.createDataFrame(
+        [("c1", datetime(2024, 3, 1, 0, 0, 30)), ("c1", None)],
+        "conv_id string, ts timestamp",
+    )
+    rows = agg.time_buckets(df, ts_col="ts", extra_keys=["conv_id"]).collect()
+    assert sum(r["calls"] for r in rows) == 2
+    assert {r["window_start"] is None for r in rows} == {True, False}
+
+
 def test_top_k(spark):
     df = spark.createDataFrame(
         [("a", 5), ("b", 9), ("c", 9), ("d", 1)], "name string, v int"

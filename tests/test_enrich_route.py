@@ -178,3 +178,27 @@ def test_sink_counts(spark):
     assert d["tool_call_count"] == 1
     assert d["error_pattern_count"] == 1
     assert counts[("sink_errors", "c1")]["turn_count"] == 1
+
+
+def test_sink_counts_null_ts_keeps_row(spark):
+    """A NULL timestamp lands in a NULL window_start bucket (SQL GROUP
+    BY semantics) instead of being silently dropped by Spark's
+    TimeWindowing IS NOT NULL filter — SUM(turn_count) must always
+    reconcile with the routed row count."""
+    ts = datetime(2024, 3, 1, 0, 0, 30)
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "info", 200, "", "json", ts),
+            ("c1", 1, "info", 200, "", "json", None),
+        ],
+        "conv_id string, turn_idx int, level string, status_code int, "
+        "tool string, format string, ts timestamp",
+    )
+    routed = route.routed_rows(df, gen.routing_rules())
+    counts = route.sink_counts(routed).collect()
+    total = sum(r["turn_count"] for r in counts if r["sink"] == "sink_default")
+    assert total == routed.filter("sink = 'sink_default'").count() == 2
+    null_rows = [r for r in counts if r["window_start"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["turn_count"] == 1
+    real = [r for r in counts if r["window_start"] is not None]
+    assert all(r["window_start"].year == 2024 for r in real)

@@ -19,6 +19,24 @@ def _write_input(spark, path, n_turns, n_files):
     return tr
 
 
+def test_run_stream_refuses_foreign_out_dir(spark, tmp_path):
+    """Batch outputs are keyed by batch_id alone, so a NEW logical
+    stream (fresh checkpoint) over a reused out_dir would overwrite the
+    old run's batch_id=N partitions — run_stream refuses loudly. A
+    restart with the SAME checkpoint keeps its derived run_id and
+    resumes (covered by the drain/resume and chaos tests)."""
+    import pytest
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    _write_input(spark, input_dir, 500, 1)
+    q = streaming.run_stream(spark, input_dir, out_dir, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert len(pipeline.completed_batches(spark, out_dir)) == 1
+    with pytest.raises(ValueError, match="ONE logical stream"):
+        streaming.run_stream(spark, input_dir, out_dir, str(tmp_path / "ck2"))
+
+
 def test_stream_drains_and_resumes(spark, tmp_path):
     input_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
