@@ -44,10 +44,17 @@ from .schemas import (
 # full date+time prefix (json.go:190-196); the gate keeps Spark's more
 # liberal ISO parser from accepting date-only strings Go would reject.
 _TS_STRING_RE = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}"
-_NUM_RE = r"^-?\d+(\.\d+)?$"
+# optional exponent: a JSON NUMBER like 2e2 / 1.5e3 / 1.7e9 reaches
+# from_json's map<string,string> as its lexeme, and the reference's
+# json.Unmarshal float64 path accepts scientific notation (truncating
+# to int downstream) — rejecting the exponent here silently zeroed
+# status/latency and discarded epoch timestamps for such lines
+_NUM_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
 _INT_RE = r"^-?\d+$"
-# duration regex, reference: internal/parse/json.go:130
-_DURATION_RE = r"^([\d.]+)\s*(ms|s|µs|us|ns)?$"
+# duration regex, reference: internal/parse/json.go:130 (exponent
+# admitted for the bare-number case — Go's float64 path, not its
+# string-duration regex)
+_DURATION_RE = r"^([\d.]+(?:[eE][+-]?\d+)?)\s*(ms|s|µs|us|ns)?$"
 
 # alias groups (reference: internal/parse/json.go)
 TS_KEYS = ["ts", "time", "@timestamp", "timestamp", "datetime"]  # json.go:183

@@ -59,6 +59,28 @@ def test_status_code(spark):
         assert _parse_one(spark, payload)["status_code"] == want
 
 
+def test_scientific_notation_numbers(spark):
+    """Scientific-notation JSON numbers reach from_json's
+    map<string,string> as their lexeme ("2e2"); the reference's
+    json.Unmarshal float64 path accepts them (truncating to int), so
+    the numeric gates must too — raw lines, not json.dumps, to pin the
+    exponent spelling on the wire."""
+    cases = [
+        ('{"status": 2e2}', "status_code", 200),
+        ('{"status_code": 1.99e2}', "status_code", 199),
+        ('{"duration_ms": 1.45e2}', "latency_us", 145_000),
+        ('{"latency": 5e2}', "latency_us", 500_000),  # bare number → ms
+        ('{"latency_s": 1.5e0}', "latency_us", 1_500_000),  # *_s key → s
+    ]
+    for line, field, want in cases:
+        got = _parse_one(spark, line)
+        assert got[field] == want, (line, field, got[field])
+    ts = _parse_one(spark, '{"timestamp": 1.7e9, "service": "s"}')
+    assert str(ts["event_ts"]) == "2023-11-14 22:13:20"
+    ts_ms = _parse_one(spark, '{"timestamp": 1.700000000123e12, "service": "s"}')
+    assert str(ts_ms["event_ts"]) == "2023-11-14 22:13:20.123000"
+
+
 # ── parse_test.go:77-97 operation synthesis ──
 def test_operation_synthesis(spark):
     cases = [
