@@ -2599,9 +2599,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
             n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM s),
             p AS (
+              -- zero-norm guard mirrors dedup.embedding_near_dup_pairs
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(list_sum(list_transform(range(1, len(a.v) + 1),
-                                                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+                     round(CASE WHEN a.nrm * b.nrm > 0
+                                THEN list_sum(list_transform(range(1, len(a.v) + 1),
+                                              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
+                                ELSE 0.0 END, 6)
                        AS cosine
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
@@ -4011,7 +4014,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s CROSS JOIN cent),
             a AS (
               SELECT vec_id, cell,
-                     CAST(round(dist * {pruning.GRID}, 0) AS BIGINT)
+                     CAST(round(dist * {pruning.GRID} + 1e-9, 0) AS BIGINT)
                        AS dist_micro
               FROM d
               QUALIFY row_number() OVER (PARTITION BY vec_id

@@ -32,10 +32,22 @@ from . import textstats
 from .filters import word_ngrams
 
 
-def doc_grams(df: DataFrame, n: int, text_col: str = "text"):
-    """Per-row DISTINCT lowercase word n-grams as an array column."""
-    toks = textstats.tokens(F.lower(F.col(text_col)))
-    return F.array_distinct(word_ngrams(toks, n))
+def _exploded_grams(df: DataFrame, n: int, text_col: str, *keep_cols: str) -> DataFrame:
+    """``keep_cols + (gram)`` — one row per DISTINCT lowercase word
+    n-gram per input row. The token array is STAGED in its own
+    projection first: ``word_ngrams`` references its input ~2(n-1)+1
+    times across the zip_with levels, and Spark inlines (and, for
+    interpreted HOFs, re-evaluates) a nested expression at every
+    reference — staging makes each reference a cheap attribute read
+    (CollapseProject keeps non-cheap multi-referenced aliases staged;
+    same convention as dsir.feature_buckets)."""
+    staged = df.select(
+        *keep_cols, textstats.tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    return staged.select(
+        *keep_cols,
+        F.explode(F.array_distinct(word_ngrams(F.col("_toks"), n))).alias("gram"),
+    )
 
 
 def benchmark_grams(
@@ -44,10 +56,7 @@ def benchmark_grams(
     """Distinct word n-grams of the benchmark corpus — one column
     `gram`. Small by construction (eval suites); intended to be
     broadcast by decontaminate()."""
-    return (
-        bench.select(F.explode(doc_grams(bench, n, text_col)).alias("gram"))
-        .distinct()
-    )
+    return _exploded_grams(bench, n, text_col).distinct()
 
 
 def decontaminate(
@@ -77,9 +86,7 @@ def decontaminate(
     contamination may be dense; the verdict join then shuffles on
     id_col instead of risking a driver-size broadcast."""
     grams = F.broadcast(benchmark_grams(bench, n, text_col))
-    posting = docs.select(
-        F.col(id_col), F.explode(doc_grams(docs, n, text_col)).alias("gram")
-    )
+    posting = _exploded_grams(docs, n, text_col, id_col)
     counts = (
         posting.join(grams, "gram")
         .groupBy(id_col)

@@ -46,19 +46,27 @@ def dedup_key(text: Column) -> Column:
 
 
 def write_key_index(
-    df: DataFrame, path: str, text_col: str = "text", mode: str = "append"
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "append",
+    codec: str = "zstd",
 ) -> None:
     """Persist the distinct 128-bit dedup keys of a corpus snapshot as
     a compact parquet key index (two BIGINT columns, 16 bytes/doc):
     the state a continuously-ingesting pipeline carries between crawls
     so each new batch dedups against everything already kept. Append
     mode accumulates snapshots; dedup_against() tolerates the
-    resulting cross-snapshot repeats."""
+    resulting cross-snapshot repeats. ``codec`` defaults to zstd like
+    the sibling index writers — the session-default lz4 frames are
+    Spark-only, and a persisted carry-state index should stay readable
+    by non-Spark tooling (DuckDB, pyarrow)."""
     (
         df.select(dedup_key(F.col(text_col)).alias("k"))
         .select("k.h0", "k.h1")
         .distinct()
         .write.mode(mode)
+        .option("compression", codec)
         .parquet(path)
     )
 
@@ -436,9 +444,14 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     ``max_iter`` rounds rather than returning wrong labels.
     """
     edges = pairs.select("id_a", "id_b")
+    # checkpoint the symmetrized edge list ONCE: every round's eager
+    # localCheckpoint of `new` scans sym, and without this the entire
+    # upstream pair search (for semantic_dedup that's the cell
+    # self-join + per-pair cosines — the dominant cost) re-executes
+    # once per round instead of once total
     sym = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
@@ -467,7 +480,9 @@ def near_dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
         ).localCheckpoint()
         changed = new.filter(F.col("_new") != F.col("comp")).limit(1).count()
-        labels = new.select("id", F.col("_new").alias("comp")).localCheckpoint()
+        # `new` is already checkpointed — labels is a cheap projection
+        # over it, so no second materialization is needed
+        labels = new.select("id", F.col("_new").alias("comp"))
         if changed == 0:
             converged = True
             break
@@ -626,7 +641,12 @@ def embedding_near_dup_pairs(
     dot = F.aggregate(
         F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    # zero-norm guard: all-zero vectors (failed encodes) share the
+    # all-'0' bucket and 0/0 = NaN, which Spark orders ABOVE every
+    # threshold (NaN >= t is true) — without the guard they'd emit as
+    # false near-dup pairs. Same guard as semdedup.semantic_pairs.
+    nprod = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(nprod > 0, dot / nprod).otherwise(F.lit(0.0))
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -58,8 +58,12 @@ def prototype_scores(
     """Per-vector prototypicality: ``(id, cell, dist_micro)`` where
     cell is the nearest trained centroid and dist_micro the squared L2
     distance to it, 6 dp rounded then scaled onto an integer ``grid``
-    (round-to-nearest — the 6 dp value times 1e6 is within float noise
-    of an integer, so the rounding never sits at a half). Map-only."""
+    (round-to-nearest, +1e-9 nudge before the round: with ``grid`` =
+    1e6 the 6 dp value times 1e6 is within float noise of an integer,
+    but any coarser grid — the 1e3–1e4 settings recommended below —
+    puts real values exactly on .5 halves, where Spark's HALF_UP and
+    an independent re-derivation can disagree; the nudge breaks every
+    half upward on both engines). Map-only."""
     # stage the struct once: the winning-centroid search is an
     # interpreted HOF tree (num_cells x dim multiply-adds) that Spark
     # does NOT common-subexpression-eliminate across output columns —
@@ -74,7 +78,9 @@ def prototype_scores(
     return staged.select(
         F.col(id_col),
         F.col("_best")["i"].cast("int").alias("cell"),
-        F.round(F.col("_best")["d"] * grid, 0).cast("long").alias("dist_micro"),
+        F.round(F.col("_best")["d"] * grid + F.lit(1e-9), 0)
+        .cast("long")
+        .alias("dist_micro"),
     )
 
 
