@@ -97,6 +97,17 @@ def _nlp_micro(cnt_col, denom: int):
     return _quant((cnt_col + F.lit(1)).cast("double") / F.lit(float(denom)))
 
 
+def _oov_micro(p: float) -> int:
+    """Driver-side twin of ``_quant`` for the scalar OOV constants:
+    the same floor(-log2(p)*1e6 + 0.5) in Python floats (IEEE doubles,
+    same arithmetic as the JVM expression). One definition so the
+    unigram oov / uni_oov / fb_oov constants can never desynchronize
+    from each other or from the column quantizer."""
+    import math
+
+    return int(math.floor(-math.log2(p) * MICRO + 0.5))
+
+
 def fit_unigram_lm(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> tuple[DataFrame, int]:
@@ -112,13 +123,12 @@ def fit_unigram_lm(
     log2 is evaluated once per distinct token and quantized to integer
     micro-bits (module docstring) — the model is the ONLY place a
     transcendental runs."""
-    import math
 
     counts, denom = _cached_unigram_counts_and_denom(df, text_col)
     model = counts.filter(F.col("cnt") >= min_count).select(
         "token", "cnt", _nlp_micro(F.col("cnt"), denom).alias("nlp_micro")
     )
-    oov = int(math.floor(-math.log2(1.0 / denom) * MICRO + 0.5))
+    oov = _oov_micro(1.0 / denom)
     return model, oov
 
 
@@ -203,12 +213,11 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     map-side-combined groupBy, same shuffle shape as unigram_counts."""
     from .filters import word_ngrams
 
+    # stage the token array: word_ngrams references its input ~3x at
+    # n=2 and HOF trees get no CSE (CLAUDE.md round-3 gotcha)
     return (
-        df.select(
-            F.explode(word_ngrams(tokens(F.lower(F.col(text_col))), 2)).alias(
-                "gram"
-            )
-        )
+        df.select(tokens(F.lower(F.col(text_col))).alias("_toks"))
+        .select(F.explode(word_ngrams(F.col("_toks"), 2)).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -252,7 +261,6 @@ def fit_bigram_lm(
     + one groupBy prev over the DISTINCT-gram table (already tiny
     relative to the corpus); transcendentals run once per distinct
     gram/token and are materialized."""
-    import math
 
     if not 0.0 < lam < 1.0:
         raise ValueError(f"lam must be in (0, 1), got {lam}")
@@ -290,8 +298,8 @@ def fit_bigram_lm(
         _quant(p_uni_tok).alias("uni_nlp_micro"),
         _quant(F.lit(1.0 - lam) * p_uni_tok).alias("fb_nlp_micro"),
     )
-    uni_oov = int(math.floor(-math.log2(1.0 / denom) * MICRO + 0.5))
-    fb_oov = int(math.floor(-math.log2((1.0 - lam) / denom) * MICRO + 0.5))
+    uni_oov = _oov_micro(1.0 / denom)
+    fb_oov = _oov_micro((1.0 - lam) / denom)
     return bi_model, tok_model, uni_oov, fb_oov
 
 

@@ -115,9 +115,13 @@ def assemble_chunks(
     ``pack_chunks`` only requires ``order_col`` unique WITHIN a group,
     so when ``ids_df`` carries ``group_col`` the join keys on BOTH
     columns — joining on the document key alone would fan a cross-group
-    id collision into every colliding group's chunks (corrupt chunks,
-    no error). An ``ids_df`` without the group column asserts global
-    uniqueness instead."""
+    id collision into every colliding group's chunks. An ``ids_df``
+    without the group column requires globally unique document keys;
+    either way a duplicate join key fans layout rows out and lands two
+    pieces on one ``chunk_pos`` — the assembly detects that (two
+    pieces at one position) and raises rather than emitting silently
+    corrupt over-length chunks. The check is a linear pass over each
+    chunk's already-collected piece list — no extra shuffle."""
     if group_col in ids_df.columns:
         keys = [group_col, order_col]
         picked = ids_df.select(
@@ -138,15 +142,33 @@ def assemble_chunks(
             (F.col("doc_end") - F.col("doc_begin")).cast("int"),
         ).alias("_piece"),
     )
-    flat = F.flatten(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("chunk_pos", "_piece"))),
-            lambda s: s["_piece"],
-        )
+    pieces = F.sort_array(F.collect_list(F.struct("chunk_pos", "_piece")))
+    agged = j.groupBy(group_col, "chunk_id").agg(pieces.alias("_pieces"))
+    poses = F.transform(F.col("_pieces"), lambda s: s["chunk_pos"])
+    dup_free = F.size(poses) == F.size(F.array_distinct(poses))
+    guard = F.when(dup_free, F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "assemble_chunks: duplicate document key in ids_df "
+                    "fanned two pieces onto one chunk_pos (group="
+                ),
+                F.col(group_col).cast("string"),
+                F.lit(", chunk_id="),
+                F.col("chunk_id").cast("string"),
+                F.lit(") — document keys must be unique per group"),
+            )
+        ).cast("boolean")
     )
     return (
-        j.groupBy(group_col, "chunk_id")
-        .agg(flat.alias("ids"))
+        agged.filter(guard)
+        .select(
+            group_col,
+            "chunk_id",
+            F.flatten(F.transform(F.col("_pieces"), lambda s: s["_piece"])).alias(
+                "ids"
+            ),
+        )
         .select(
             group_col,
             "chunk_id",

@@ -36,7 +36,14 @@ def bernoulli_sample(
     df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 0
 ) -> DataFrame:
     """Keep each row iff hash_bucket(key) < rate * BUCKETS — a
-    reproducible Bernoulli(rate) sample, map-only."""
+    reproducible Bernoulli(rate) sample, map-only.
+
+    COMPOSITION: every op in this module reads the same hash stream
+    for a given (key, seed), so stacking two of them over the same key
+    with the same seed correlates the decisions — e.g. a 0.5 sample of
+    a 0.8 train split (both seed 0) keeps bucket < 500k out of
+    bucket < 800k = 62.5% of the split, not 50%. Pass a distinct
+    ``seed`` per independent decision (report.py uses seed+1)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     thresh = int(round(rate * BUCKETS))
@@ -51,9 +58,19 @@ def train_val_test_split(
     out_col: str = "split",
 ) -> DataFrame:
     """Label every row with a split name by cumulative hash-bucket
-    thresholds (insertion order of `weights`). Weights must sum to 1
-    (±1e-9); the final split absorbs integer-rounding residue so the
-    labeling is exhaustive and disjoint by construction. Map-only."""
+    thresholds (insertion order of `weights`). Weights must be
+    nonnegative and sum to 1 (±1e-9); the final split absorbs
+    integer-rounding residue so the labeling is exhaustive and
+    disjoint by construction. Map-only.
+
+    Downstream sampling of a split must use a different ``seed``
+    than the split itself — see the composition note on
+    ``bernoulli_sample``."""
+    if not weights:
+        raise ValueError("weights must not be empty")
+    bad = {k: v for k, v in weights.items() if v < 0}
+    if bad:
+        raise ValueError(f"split weights must be nonnegative, got {bad}")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")

@@ -26,7 +26,7 @@ O(log diameter) rounds. Nothing is all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # semantic_pairs persists the per-row (vec, norm, cell) frame shared by
@@ -45,6 +45,29 @@ def release_cached_cells() -> None:
 
 from .dedup import near_dup_components
 from .similarity import _nearest_centroid
+
+
+def _norm(v) -> Column:
+    """Per-row L2 norm — stage it per ROW before any join: inside a
+    pair expression it would redo dim multiply-adds per candidate
+    pair instead of per row."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def _cos(vec_a, vec_b, nrm_a, nrm_b) -> Column:
+    """Zero-norm-guarded cosine from staged vectors + norms: 0/0 = NaN
+    and Spark orders NaN ABOVE every threshold, so degenerate (all
+    zero) vectors must score 0.0, never NaN. The ONE definition of the
+    module's cosine convention — semantic_pairs and
+    semantic_dedup_against must agree expression-for-expression or the
+    incremental path diverges from the batch path."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    n2 = nrm_a * nrm_b
+    return F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0))
 
 
 def assign_trained_cells(
@@ -80,9 +103,7 @@ def semantic_pairs(
     # inside the pair expression would redo 2x dim multiply-adds per
     # CANDIDATE PAIR instead of per row (~3x the pair-stage cost —
     # same lesson as embedding_near_dup_pairs)
-    nrm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
-    )
+    nrm = _norm(F.col(vec_col))
     if cells_df is None:
         cells = assign_trained_cells(df, centroids, vec_col).select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
@@ -102,13 +123,7 @@ def semantic_pairs(
         F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
         F.col("nrm").alias("nrm_b"), "cell",
     )
-    dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    n2 = F.col("nrm_a") * F.col("nrm_b")
-    cos = F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0))
+    cos = _cos("vec_a", "vec_b", F.col("nrm_a"), F.col("nrm_b"))
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -229,9 +244,7 @@ def semantic_dedup_against(
         cent_rows = spark.read.parquet(path + "/centroids").collect()
         cents = {int(r["cell"]): list(r["centroid"]) for r in cent_rows}
         centroids = [cents[i] for i in range(len(cents))]
-    nrm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda s, x: s + x * x)
-    )
+    nrm = _norm(F.col(vec_col))
     if cells_df is None:
         batch = assign_trained_cells(df, centroids, vec_col).select(
             F.col(id_col).alias("_bid"),
@@ -248,9 +261,7 @@ def semantic_dedup_against(
             "cell",
         )
     probe_cells = [r["cell"] for r in batch.select("cell").distinct().collect()]
-    inrm = F.sqrt(
-        F.aggregate(F.col("embedding"), F.lit(0.0), lambda s, x: s + x * x)
-    )
+    inrm = _norm(F.col("embedding"))
     if index_df is None:
         index_df = spark.read.schema(
             "vec_id long, embedding array<double>"
@@ -268,13 +279,7 @@ def semantic_dedup_against(
     idx = index_df.filter(F.col("cell").isin(probe_cells)).select(
         F.col("embedding").alias("_iv"), inrm.alias("_in"), "cell"
     )
-    dot = F.aggregate(
-        F.zip_with("_bv", "_iv", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    n2 = F.col("_bn") * F.col("_in")
-    cos = F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0))
+    cos = _cos("_bv", "_iv", F.col("_bn"), F.col("_in"))
     hits = (
         batch.join(idx, "cell")
         .filter(F.round(cos, 6) >= threshold)

@@ -58,24 +58,46 @@ def release_cached_fingerprints() -> None:
         _FP_CACHE.pop().unpersist()
 
 
+def gram_hashes_from_tokens(toks: Column, w: int = 8) -> Column:
+    """array<long>: xxhash64 of the w-token gram starting at each
+    position of an already-tokenized array. ``toks`` should be a
+    STAGED column reference, not a nested expression — ``word_ngrams``
+    references its input ~2(w-1)+1 times across the zip_with levels
+    and HOF trees get no subexpression elimination, so a nested
+    tokenization subtree would re-evaluate that many times per row
+    (CLAUDE.md round-3 inlining gotcha)."""
+    return F.transform(word_ngrams(toks, w), lambda g: F.xxhash64(g))
+
+
 def gram_hashes(text: Column, w: int = 8) -> Column:
     """array<long>: xxhash64 of the w-token gram starting at each
     position of the lowercased whitespace tokenization. Fewer than w
     tokens → empty array (a doc shorter than the match threshold can
-    never hold a qualifying span)."""
-    return F.transform(word_ngrams(tokens(F.lower(text)), w), lambda g: F.xxhash64(g))
+    never hold a qualifying span). Convenience form for one-off
+    expressions; corpus-scale scans should stage the token array in a
+    prior projection and call ``gram_hashes_from_tokens`` (as
+    ``fingerprint_table`` does) so the split/trim doesn't re-run per
+    word_ngrams reference."""
+    return gram_hashes_from_tokens(tokens(F.lower(text)), w)
+
+
+def _sliding_chain(arr: Column, window: int, m: Column, combine) -> Column:
+    """Fold ``window-1`` shifted zip_with passes of ``combine`` over
+    ``arr`` (the filters.word_ngrams construction): entry j of the
+    result combines arr[j .. j+window-1], with trailing entries
+    holding partial windows (zip_with null-pads the shorter shifted
+    side; least/greatest skip nulls). Callers slice off the partial
+    tail themselves — the min and max chains clip differently."""
+    acc = arr
+    for k in range(1, window):
+        acc = F.zip_with(acc, F.slice(arr, k + 1, m - k), combine)
+    return acc
 
 
 def _window_min_chain(arr: Column, window: int, m: Column) -> Column:
-    """winmin[j] = min(arr[j .. j+window-1]) for j = 1 .. m-window+1,
-    as window-1 shifted zip_with/least passes (each a linear scan —
-    the same construction as filters.word_ngrams, with `least` for
-    `concat`). zip_with null-pads the shorter shifted side and
-    least() skips nulls, so trailing entries would hold partial-window
-    minima; the final slice drops them to keep only full windows."""
-    acc = arr
-    for k in range(1, window):
-        acc = F.zip_with(acc, F.slice(arr, k + 1, m - k), lambda a, b: F.least(a, b))
+    """winmin[j] = min(arr[j .. j+window-1]) for j = 1 .. m-window+1.
+    The final slice drops the partial-window tail entries."""
+    acc = _sliding_chain(arr, window, m, lambda a, b: F.least(a, b))
     return F.when(m >= window, F.slice(acc, 1, m - (window - 1))).otherwise(
         F.array().cast("array<bigint>")
     )
@@ -114,9 +136,7 @@ def winnow_positions(hashes: Column, window: int = 4) -> Column:
     pad = F.array_repeat(F.lit(-0x8000000000000000).cast("bigint"), window - 1)
     padded = F.concat(pad, winmin, pad)
     pm = F.size(padded)
-    acc = padded
-    for k in range(1, window):
-        acc = F.zip_with(acc, F.slice(padded, k + 1, pm - k), lambda a, b: F.greatest(a, b))
+    acc = _sliding_chain(padded, window, pm, lambda a, b: F.greatest(a, b))
     covermax = F.slice(acc, 1, pm - (window - 1))  # length m (when m ≥ window)
     # flag positions achieving a covering-window minimum, then convert
     # flags to 1-based positions with transform's INDEX lambda (the
@@ -146,15 +166,23 @@ def fingerprint_table(
     """(doc_id, pos, gram_hash) winnowed fingerprints — the compact
     per-document sketch the dup search runs on. pos is the 1-based
     token index where the w-gram starts."""
-    hcol = gram_hashes(F.col(text_col), w)
-    # stage the hash array ONCE (HOFs are not CSE'd across projection
-    # columns — CLAUDE.md round-3 gotcha), winnow over the staged
-    # column, and pair each selected position with its hash BEFORE the
-    # explode — exploding positions while still carrying the full hash
-    # array would duplicate an m-length array per output row (O(m²/W)
-    # bytes on long documents).
-    staged = df.select(F.col(id_col).alias("doc_id"), hcol.alias("h")).select(
-        "doc_id", "h", winnow_positions(F.col("h"), window).alias("sel")
+    # stage the token array, then the hash array (HOFs are not CSE'd
+    # across references — CLAUDE.md round-3 gotcha: word_ngrams
+    # references its input ~2(w-1)+1 times, so an unstaged
+    # tokenization would re-split every document that many times),
+    # winnow over the staged column, and pair each selected position
+    # with its hash BEFORE the explode — exploding positions while
+    # still carrying the full hash array would duplicate an m-length
+    # array per output row (O(m²/W) bytes on long documents).
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.lower(F.col(text_col))).alias("_toks"),
+        )
+        .select(
+            "doc_id", gram_hashes_from_tokens(F.col("_toks"), w).alias("h")
+        )
+        .select("doc_id", "h", winnow_positions(F.col("h"), window).alias("sel"))
     )
     picked = F.transform(
         F.col("sel"),
