@@ -2057,8 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TEXTSTATS_SQL = r"""
             WITH base AS (
               SELECT doc_id, text,
-                     regexp_split_to_array(trim(text), '\s+') AS toks,
-                     regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+                     list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> '') AS toks,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '') AS ltoks,
                      length(text) AS n_chars
               FROM documents),
             hits AS (
@@ -2346,7 +2346,7 @@ def oracle_sql() -> dict[str, str]:
             toks AS (
               SELECT doc_id,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                          ELSE list_filter(regexp_split_to_array(text, '\\s+'), tk -> tk <> '')
                      END AS tk
               FROM documents),
             tokpos AS (
@@ -2403,7 +2403,7 @@ def oracle_sql() -> dict[str, str]:
             rtoks AS (
               SELECT doc_id,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                          ELSE list_filter(regexp_split_to_array(text, '\\s+'), tk -> tk <> '')
                      END AS tk
               FROM documents),
             tokpos AS (
@@ -2426,10 +2426,10 @@ def oracle_sql() -> dict[str, str]:
             feat AS (
               SELECT doc_id, text, length(text) AS n_chars,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          ELSE len(list_filter(regexp_split_to_array(text, '\\s+'), tk -> tk <> ''))
                      END AS n_tok,
                      len(list_filter(
-                         regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         list_filter(regexp_split_to_array(lower(text), '\\s+'), tk -> tk <> ''),
                          t -> list_contains(
                            ['the','a','of','and','to','in','is','it','that',
                             'for'], t))) AS h_en,
@@ -2455,7 +2455,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                 END AS tk
               FROM documents),
             dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
@@ -2471,7 +2471,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM toks WHERE doc_id % 37 = 3),
             qt AS (SELECT DISTINCT query_id, unnest(
                      CASE WHEN trim(qtext) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(qtext), '\s+')
+                          ELSE list_filter(regexp_split_to_array(qtext, '\s+'), tk -> tk <> '')
                      END) AS token
                    FROM q),
             cand AS (
@@ -2511,7 +2511,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                     ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                 END AS tk
               FROM documents),
             tp AS (SELECT doc_id, unnest(tk) AS token FROM toks),
@@ -2554,7 +2554,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT doc_id, component,
                      CAST(CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> ''))
                           END AS BIGINT) AS score
               FROM u),
             r AS (
@@ -2573,8 +2573,8 @@ def oracle_sql() -> dict[str, str]:
             feat AS (
               SELECT doc_id, text, length(text) AS n_chars,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> '')) END AS n_tok,
+                     len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> ''),
                          t -> list_contains(
                            ['the','a','of','and','to','in','is','it','that','for'], t)))
                        AS h_en,
@@ -3006,7 +3006,7 @@ def oracle_sql() -> dict[str, str]:
                                list_transform(toks[2:], w -> upper(w[1:1]) || w[2:]), '')
                    END AS camel
             FROM (SELECT doc_id, text,
-                         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                         list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '') AS toks
                   FROM documents)
         """,
         "transform_remap": """
@@ -3149,8 +3149,8 @@ def oracle_sql() -> dict[str, str]:
             feat AS (
               SELECT doc_id, text, length(text) AS n_chars,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-                     len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> '')) END AS n_tok,
+                     len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> ''),
                          t -> list_contains(
                            ['the','a','of','and','to','in','is','it','that','for'], t)))
                        AS h_en,
@@ -3167,7 +3167,7 @@ def oracle_sql() -> dict[str, str]:
             qk AS (
               SELECT doc_id, text, quality,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                      END AS a
               FROM q WHERE quality >= 0.4),
             ng2 AS (
@@ -3199,7 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": r"""
             WITH d AS (
               SELECT doc_id,
-                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+                     list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')) AS toks
               FROM documents WHERE doc_id % 5 = 0),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3288,7 +3288,7 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (
               SELECT doc_id,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                      END AS a
               FROM documents),
             ng2 AS (
@@ -3383,7 +3383,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, source,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> ''))
                      END AS n_tok
               FROM documents),
             r AS (
@@ -3403,14 +3403,16 @@ def oracle_sql() -> dict[str, str]:
                        || 'A good second sentence stands here!' AS text
               FROM documents),
             l AS (
-              SELECT doc_id, text, string_split(text, chr(10)) AS lines
+              -- \r?\n mirrors filters.c4_line_clean's CRLF-aware split
+              SELECT doc_id, text,
+                     regexp_split_to_array(text, '\r?\n') AS lines
               FROM m),
             k AS (
               SELECT doc_id, text, lines,
                      list_filter(lines, s ->
                        right(trim(s), 1) IN ('.', '!', '?', '"', '''')
                        AND (CASE WHEN trim(s) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(s), '\s+'))
+                            ELSE len(list_filter(regexp_split_to_array(s, '\s+'), tk -> tk <> ''))
                             END) >= 3
                        AND NOT (
                          contains(lower(trim(s)), 'javascript')
@@ -3489,7 +3491,7 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
               SELECT doc_id,
                      CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                      END AS a
               FROM documents),
             dg AS (
@@ -3517,7 +3519,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, source,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> ''))
                      END AS n_tok
               FROM documents),
             r AS (
@@ -3544,7 +3546,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "vocab_topk": r"""
             WITH tok AS (
-              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> ''))
                        AS token
               FROM documents WHERE trim(text) <> ''),
             c AS (
@@ -3563,7 +3565,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                      END AS toks
               FROM documents),
             c AS (
@@ -3636,7 +3638,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> '')
                      END AS toks
               FROM documents),
             c AS (
@@ -3697,7 +3699,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT source, doc_id,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> ''))
                      END AS n_tok
               FROM documents),
             r AS (
@@ -3773,7 +3775,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lm_score": f"""
             WITH tok AS (
-              SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), tk -> tk <> ''))
                        AS token
               FROM documents WHERE trim(text) <> ''),
             cnts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
@@ -3801,7 +3803,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      CASE WHEN trim(text) = ''
                           THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\\s+'), tk -> tk <> '')
                      END AS toks
               FROM documents),
             tok AS (SELECT doc_id, unnest(toks) AS token FROM t),

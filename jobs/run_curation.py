@@ -58,6 +58,10 @@ import json
 import os
 import sys
 
+# runnable as plain `python jobs/run_curation.py` too (spark-submit
+# ships the package via --py-files)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
@@ -121,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from logshipper_spark.datapipe import curate, dedup, lm, packing
     from logshipper_spark.datapipe import substr as substr_mod
+    from logshipper_spark.datapipe.compaction import _exists
     from logshipper_spark.datapipe.filters import c4_line_clean, pii_scrub
     from logshipper_spark.session import get_spark
 
@@ -136,9 +141,13 @@ def main(argv: list[str] | None = None) -> int:
     # instead of silently dropping nothing / corrupting the carry state
     domain = (bool(args.scrub_pii), bool(args.line_clean))
 
+    # Hadoop-FS existence (compaction._exists), NOT os.path.exists:
+    # with an hdfs:///s3a:// index path the driver-local check would
+    # return False and silently disable the incremental pre-filters
+    # and the _domain guard on exactly the deployments they exist for
     def _check_domain(idx_path: str) -> None:
         dpath = os.path.join(idx_path, "_domain")
-        if os.path.exists(dpath):
+        if _exists(spark, dpath):
             row = spark.read.schema(
                 "scrub_pii boolean, line_clean boolean"
             ).parquet(dpath).head()
@@ -162,7 +171,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def _write_domain(idx_path: str) -> None:
         dpath = os.path.join(idx_path, "_domain")
-        if not os.path.exists(dpath):
+        if not _exists(spark, dpath):
             spark.createDataFrame(
                 [domain], "scrub_pii boolean, line_clean boolean"
             ).coalesce(1).write.mode("overwrite").parquet(dpath)
@@ -191,12 +200,12 @@ def main(argv: list[str] | None = None) -> int:
         summary["after_normalize"] = docs.count()
 
     # 1. incremental pre-filters vs prior snapshots (same text domain)
-    if args.key_index and os.path.exists(args.key_index):
+    if args.key_index and _exists(spark, args.key_index):
         _check_domain(args.key_index)
         idx = spark.read.schema("h0 long, h1 long").parquet(args.key_index)
         docs = dedup.dedup_against(docs, idx)
         summary["after_key_index"] = docs.count()
-    if args.minhash_index and os.path.exists(args.minhash_index + "/sigs"):
+    if args.minhash_index and _exists(spark, args.minhash_index + "/sigs"):
         _check_domain(args.minhash_index)
         sigs = spark.read.schema("doc_id long, sig array<long>").parquet(
             args.minhash_index + "/sigs"
@@ -342,9 +351,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # 4. size-balanced sharded corpus write (normalized text)
     if args.shard_bytes:
+        # persisted: consumed twice (the corpus write and the shard
+        # count) — unpersisted lineage would re-run the whole
+        # block-offset running-sum chain for a single integer
         plan = packing.shard_plan(survivors, args.shard_bytes).select(
             "doc_id", "shard"
-        )
+        ).persist()
+        pinned.append(plan)
         (
             survivors.join(plan, "doc_id")
             .repartition("shard")

@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# runnable as plain `python jobs/run_pipeline.py` too (spark-submit
+# ships the package via --py-files)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -51,6 +56,19 @@ def main(argv: list[str] | None = None) -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     batch_run_id = args.run_id or "job"
+    if not args.stream:
+        # foreign-run guard, same rule as streaming.run_stream (which
+        # guards itself): batch outputs are keyed by batch_id alone, so
+        # a different --run-id over a reused out dir would silently
+        # clobber the other run's committed sink partitions and lineage
+        runs = pipeline.lineage_runs(spark, args.out)
+        foreign = sorted(set(runs) - {batch_run_id})
+        if foreign:
+            ap.error(
+                f"--out {args.out!r} already holds lineage from run(s) "
+                f"{foreign}; an output dir belongs to ONE logical run — "
+                f"use a fresh --out or the original --run-id"
+            )
     if args.config:
         cfg = cfgmod.load_config(args.config)
         summary = cfgmod.run_from_config(
@@ -79,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("one of --input / --generate is required")
         return 2
 
-    if args.batch_id in pipeline.completed_batches(spark, args.out, run_id=batch_run_id):
+    if args.batch_id in runs.get(batch_run_id, set()):
         print(json.dumps({"mode": "batch", "batch_id": args.batch_id,
                           "skipped": "already committed"}))
         return 0

@@ -344,8 +344,16 @@ def detect_alerts(
 
     Scored via vectorized windows; the sequential replay runs per key
     over Arrow batches and loops only where ``is_anomaly`` is set.
+
+    Rows with a NULL event time are excluded: a time-ordered state
+    machine has no place for them (engines even disagree on where
+    NULLs sort — Spark NULLS FIRST, DuckDB NULLS LAST — and a NULL ts
+    reaching the cooldown arithmetic is pandas NaT, which raises), and
+    ``streaming_alerts`` applies the same rule so stream == batch
+    holds.
     """
     order_cols = order_cols or [ts_col]
+    df = df.filter(F.col(ts_col).isNotNull())
     scored = rolling_zscore(
         df, key_cols, value_col, order_cols, window_size, min_samples, threshold
     )

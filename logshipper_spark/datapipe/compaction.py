@@ -182,13 +182,24 @@ def _live_view(
 
 
 def read_minhash_index(
-    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    committed: set[int] | None = None,
+    state: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Live ``(sigs, bands)`` view of a streaming-layout MinHash index
     (``streaming_near_dedup``'s carry state) — compaction/vacuum
-    transparent. Feed straight into ``dedup.near_dedup_against``."""
-    committed = committed_batches(spark, index_dir)
-    state = compaction_state(spark, index_dir)
+    transparent. Feed straight into ``dedup.near_dedup_against``.
+    ``committed``/``state``: pass pre-scanned values to skip the
+    _commits/_compaction scans — the sole-writer streaming loop scans
+    once at start and maintains the set locally (every read would
+    otherwise re-scan and re-collect a table that grows one row per
+    batch forever)."""
+    if committed is None:
+        committed = committed_batches(spark, index_dir)
+    if state is None:
+        state = compaction_state(spark, index_dir)
     sigs = _live_view(
         spark, index_dir, "sigs", f"{id_col} long, sig array<long>",
         [], committed, state,
@@ -205,13 +216,18 @@ def read_semantic_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    committed: set[int] | None = None,
+    state: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Live ``(id, vector, cell)`` view of a streaming-layout semantic
     index (``streaming_semantic_dedup``'s carry state). The ``cell``
     partitioning survives compaction, so a literal probe-cell filter
-    still prunes directories on both the epoch and the tail scan."""
-    committed = committed_batches(spark, index_dir)
-    state = compaction_state(spark, index_dir)
+    still prunes directories on both the epoch and the tail scan.
+    ``committed``/``state``: see ``read_minhash_index``."""
+    if committed is None:
+        committed = committed_batches(spark, index_dir)
+    if state is None:
+        state = compaction_state(spark, index_dir)
     return _live_view(
         spark, index_dir, "vectors",
         f"{id_col} long, {vec_col} array<double>",
@@ -219,11 +235,19 @@ def read_semantic_index(
     )
 
 
-def read_fingerprint_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_fingerprint_index(
+    spark: SparkSession,
+    index_dir: str,
+    committed: set[int] | None = None,
+    state: tuple[int, int] | None = None,
+) -> DataFrame:
     """Live distinct-fingerprint view of a streaming-layout substring
-    index (``streaming_substr_screen``'s carry state)."""
-    committed = committed_batches(spark, index_dir)
-    state = compaction_state(spark, index_dir)
+    index (``streaming_substr_screen``'s carry state).
+    ``committed``/``state``: see ``read_minhash_index``."""
+    if committed is None:
+        committed = committed_batches(spark, index_dir)
+    if state is None:
+        state = compaction_state(spark, index_dir)
     return _live_view(
         spark, index_dir, "grams", "gram_hash long", [], committed, state
     )
@@ -333,11 +357,20 @@ def vacuum_index(
 ) -> dict:
     """Delete index state superseded by the committed compaction:
     batch partitions with ``batch_id <= covered`` and epoch directories
-    older than the committed epoch. Safe at any time after the marker
-    landed — the live view never references either — and safe to crash
-    mid-way (each delete removes an unreferenced directory; the next
-    vacuum finishes the rest). ``_commits`` rows are NEVER deleted:
-    streaming replay-skip needs the full batch-id set."""
+    older than the committed epoch. No FUTURE live view references
+    either, and crashing mid-way is safe (each delete removes an
+    unreferenced directory; the next vacuum finishes the rest).
+
+    NOT safe against in-flight readers: a streaming micro-batch (or
+    any query) that planned its scan from pre-compaction state still
+    lists the covered partitions, and deleting them mid-execution
+    fails that job with FileNotFoundException (or silently under-scans
+    under ignoreMissingFiles). Run vacuum while the stream is quiesced
+    — e.g. between availableNow drains, or in the same maintenance
+    window as the compact() that produced the marker.
+
+    ``_commits`` rows are NEVER deleted: streaming replay-skip needs
+    the full batch-id set."""
     epoch, covered = compaction_state(spark, index_dir)
     if epoch == 0:
         return {"deleted": 0}

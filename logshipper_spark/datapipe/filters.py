@@ -139,8 +139,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         word_ngrams(F.col("_toks"), 2).alias("_big"),
         word_ngrams(F.col("_toks"), 3).alias("_tri"),
     )
-    big_st = _rep_fold(F.array_sort(F.col("_big")))
-    tri_st = _rep_fold(F.array_sort(F.col("_tri")))
+    # the fold structs are referenced twice each (top + dup) — stage
+    # them too, or the full sort+fold runs twice per n-gram size
+    d3 = d2.select(
+        "*",
+        _rep_fold(F.array_sort(F.col("_big"))).alias("_bst"),
+        _rep_fold(F.array_sort(F.col("_tri"))).alias("_tst"),
+    )
     n_tokens = F.size(F.col("_toks")).cast("long")
     word_chars = F.aggregate(
         F.col("_toks"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -149,18 +154,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(F.col("_toks"), lambda t: t.rlike("[A-Za-z]"))
     ).cast("long")
 
-    out = d2.select(
+    out = d3.select(
         "*",
         n_tokens.alias("n_tokens"),
         word_chars.alias("word_chars"),
         alpha_words.alias("alpha_words"),
         F.size(F.col("_big")).cast("long").alias("n_bigrams"),
-        big_st["top"].alias("top_bigram"),
-        big_st["dup"].alias("dup_bigram"),
+        F.col("_bst")["top"].alias("top_bigram"),
+        F.col("_bst")["dup"].alias("dup_bigram"),
         F.size(F.col("_tri")).cast("long").alias("n_trigrams"),
-        tri_st["top"].alias("top_trigram"),
-        tri_st["dup"].alias("dup_trigram"),
-    ).drop("_toks", "_big", "_tri")
+        F.col("_tst")["top"].alias("top_trigram"),
+        F.col("_tst")["dup"].alias("dup_trigram"),
+    ).drop("_toks", "_big", "_tri", "_bst", "_tst")
     keep = (
         (F.col("n_tokens") >= MIN_WORDS)
         & (F.col("n_tokens") <= MAX_WORDS)
@@ -196,11 +201,15 @@ def c4_line_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
     - `c4_keep`     — document verdict: at least one line survived,
       no `{`/`}` anywhere (code page), no 'lorem ipsum'.
 
-    split → filter → array_join is a single projection: zero shuffle,
-    map-only at 100 TB, fuses with the repetition/PII stage into one
-    scan. Thresholds are module constants so the DuckDB oracle can
-    mirror them literally."""
-    lines = F.split(F.col(text_col), r"\n")
+    split → filter → array_join is a single projection chain: zero
+    shuffle, map-only at 100 TB, fuses with the repetition/PII stage
+    into one scan. Thresholds are module constants so the DuckDB
+    oracle can mirror them literally.
+
+    Lines split on ``\\r?\\n``: CRLF documents (Windows/HTTP-sourced
+    web text — C4's exact input domain) would otherwise carry '\\r' as
+    every line's last character, fail the terminal-punctuation check,
+    and be rejected wholesale."""
 
     def _keep(line: Column) -> Column:
         t = F.trim(line)
@@ -213,21 +222,27 @@ def c4_line_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
             marker_hit = hit if marker_hit is None else (marker_hit | hit)
         return ends_ok & words_ok & ~marker_hit
 
-    kept = F.filter(lines, _keep)
-    low_doc = F.lower(F.col(text_col))
+    # _lines / _kept / _low are staged: the line array is referenced
+    # twice, the kept array three times, and the lowered document
+    # three times — unstaged, the full per-line keep evaluation would
+    # run 3x per document (HOFs get no CSE across references)
+    d1 = df.withColumn("_lines", F.split(F.col(text_col), r"\r?\n"))
+    d2 = d1.withColumn("_kept", F.filter(F.col("_lines"), _keep)).withColumn(
+        "_low", F.lower(F.col(text_col))
+    )
     doc_ok = (
-        (F.size(kept) > 0)
-        & ~low_doc.contains("{")
-        & ~low_doc.contains("}")
-        & ~low_doc.contains("lorem ipsum")
+        (F.size(F.col("_kept")) > 0)
+        & ~F.col("_low").contains("{")
+        & ~F.col("_low").contains("}")
+        & ~F.col("_low").contains("lorem ipsum")
     )
-    return df.select(
+    return d2.select(
         "*",
-        F.array_join(kept, "\n").alias("clean_text"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+        F.size(F.col("_lines")).cast("long").alias("n_lines"),
+        F.size(F.col("_kept")).cast("long").alias("n_kept_lines"),
         doc_ok.alias("c4_keep"),
-    )
+    ).drop("_lines", "_kept", "_low")
 
 
 # Multi-part public suffixes for the simplified registered-domain rule
@@ -315,11 +330,13 @@ def url_filter(
     import re as _re
 
     kws = DEFAULT_PATH_KEYWORDS if path_keywords is None else path_keywords
-    host = url_host(F.col(url_col))
-    out = df.select(
+    # stage host first: registered_domain references its input at
+    # every labels/n/last2/last3 site, and an unstaged host would
+    # re-run the 3-regex authority chain ~10x per row (CLAUDE.md
+    # round-3 inlining gotcha)
+    out = df.select("*", url_host(F.col(url_col)).alias("host")).select(
         "*",
-        host.alias("host"),
-        registered_domain(host).alias("url_domain"),
+        registered_domain(F.col("host")).alias("url_domain"),
         F.lower(url_path(F.col(url_col))).alias("url_path"),
     )
     if blocked_domains is not None:

@@ -19,11 +19,15 @@ _PUNCT_RE = r"[.!?,;:]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens; empty input → empty array."""
-    t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokens; empty or all-whitespace input → empty array.
+    Split first, then drop empty elements: ``trim`` strips only SPACES,
+    so the old trim-then-split form leaked ''-tokens for text edged
+    with tabs/newlines ('hello\\n' → ['hello','']) — and those phantom
+    tokens contaminated every downstream count, vocab id, BPE merge,
+    and repetition verdict. ``array_remove`` is one linear native pass
+    and references the text exactly once (no staged trim needed).
+    Matches Python's ``str.split()`` for every input."""
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def token_count(text: Column) -> Column:
@@ -75,19 +79,39 @@ def quality_score(text: Column) -> Column:
     return quality_score_arr(text, tokens(F.lower(text)))
 
 
-def lang_id_arr(toks_lower: Column) -> Column:
-    """lang_id over a shared lowercased token array."""
-    scored = F.array(
-        *[
-            F.struct(
-                stopword_hits_arr(toks_lower, lang).alias("hits"),
-                F.lit(lang).alias("lang"),
-            )
-            for lang in sorted(STOPWORDS)
-        ]
+def lang_best_arr(toks_lower: Column) -> Column:
+    """``struct(hits, lang)`` of the winning language (max hit count,
+    language-code tie-break). Callers that can stage columns should
+    stage THIS and extract hits/lang from the staged reference —
+    ``lang_id_arr`` references the array_max twice (hits + lang), so
+    used directly inside one projection the whole 4-language scoring
+    array is built twice per row (no CSE for interpreted HOFs; see
+    ``text_stats``)."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    stopword_hits_arr(toks_lower, lang).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in sorted(STOPWORDS)
+            ]
+        )
     )
-    best = F.array_max(scored)
+
+
+def lang_verdict(best: Column) -> Column:
+    """'unknown' unless the winning language scored at least one
+    stopword hit — the extraction step over a (staged) lang_best_arr
+    struct."""
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+
+
+def lang_id_arr(toks_lower: Column) -> Column:
+    """lang_id over a shared lowercased token array. Convenience form —
+    builds the scoring array twice (see ``lang_best_arr``); hot paths
+    stage the best struct instead."""
+    return lang_verdict(lang_best_arr(toks_lower))
 
 
 def lang_id(text: Column) -> Column:
@@ -122,15 +146,17 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     the whole projection at sf0.1; same CSE story as
     filters.repetition_stats)."""
     t = F.col(text_col)
-    d1 = df.withColumn("_tl", tokens(F.lower(t)))
+    d1 = df.withColumn("_tl", tokens(F.lower(t))).withColumn(
+        "_lbest", lang_best_arr(F.col("_tl"))
+    )
     return d1.select(
         "*",
         F.size(F.col("_tl")).alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_bpe_tokens"),
         quality_score_arr(t, F.col("_tl")).alias("quality"),
-        lang_id_arr(F.col("_tl")).alias("lang_guess"),
+        lang_verdict(F.col("_lbest")).alias("lang_guess"),
         fingerprint_arr(F.col("_tl")).alias("fp"),
-    ).drop("_tl")
+    ).drop("_tl", "_lbest")
 
 
 def corpus_stats(
@@ -337,10 +363,7 @@ def prefix_queries(
     return docs.filter(F.col(id_col) % mod == rem).select(
         F.col(id_col).alias("query_id"),
         F.array_join(
-            F.slice(
-                F.split(F.trim(F.col(text_col)), r"\s+"), 1, n_tokens
-            ),
-            " ",
+            F.slice(tokens(F.col(text_col)), 1, n_tokens), " "
         ).alias("query"),
     )
 

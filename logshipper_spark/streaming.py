@@ -83,8 +83,16 @@ def run_stream(
         # never skips its own batch 0 because an older run's lineage
         # is lying around (completed_batches' run_id contract). A
         # shared constant default would silently drop the new run's
-        # first epochs.
-        digest = hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()
+        # first epochs. URI paths (hdfs://, s3a://) hash VERBATIM —
+        # os.path.abspath would join them onto the driver's cwd, so a
+        # legitimate restart from a different directory would compute
+        # a different run_id and be refused as a foreign run.
+        key = (
+            checkpoint_dir
+            if "://" in checkpoint_dir
+            else os.path.abspath(checkpoint_dir)
+        )
+        digest = hashlib.sha256(key.encode()).hexdigest()
         run_id = f"stream-{digest[:12]}"
     rules = rules or gen.routing_rules()
     # per-run constants built ONCE, not per micro-batch: the lookup
@@ -313,8 +321,17 @@ def streaming_near_dedup(
     from .datapipe import compaction
     from .datapipe import dedup as ddp
 
+    # one _commits + _compaction scan at stream start: this process is
+    # the only marker writer afterwards (run_stream's lineage pattern),
+    # so the locally-maintained set stays exact and each epoch pays
+    # zero extra scans/collects of tables that grow one row per batch
+    # forever. Stale compaction state is still a CORRECT view (the
+    # pre-compaction epoch + full tail); vacuum requires a quiesced
+    # stream anyway (vacuum_index docstring).
+    committed = near_dedup_committed(spark, index_dir)
+    comp_state = compaction.compaction_state(spark, index_dir)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = near_dedup_committed(spark, index_dir)
         if batch_id in committed:
             return
         # ONE signature computation per batch: the persisted frame
@@ -331,7 +348,8 @@ def streaming_near_dedup(
         survivors = batch_df
         if committed:
             idx_sigs, idx_bands = compaction.read_minhash_index(
-                spark, index_dir, id_col=id_col
+                spark, index_dir, id_col=id_col,
+                committed=committed, state=comp_state,
             )
             idx_sigs = idx_sigs.withColumnRenamed(id_col, "doc_id")
             idx_bands = idx_bands.withColumnRenamed(id_col, "doc_id")
@@ -376,6 +394,7 @@ def streaming_near_dedup(
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(os.path.join(index_dir, "_commits"))
+        committed.add(batch_id)
         kept_sigs.unpersist()
         survivors.unpersist()
         sigs.unpersist()
@@ -438,8 +457,12 @@ def streaming_semantic_dedup(
     from .datapipe import compaction
     from .datapipe import semdedup as sdd
 
+    # one commit/compaction scan at stream start, maintained locally —
+    # see streaming_near_dedup for the sole-writer argument
+    committed = near_dedup_committed(spark, index_dir)
+    comp_state = compaction.compaction_state(spark, index_dir)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = near_dedup_committed(spark, index_dir)
         if batch_id in committed:
             return
         # ONE cell assignment per batch (the near-dup stream's
@@ -454,7 +477,8 @@ def streaming_semantic_dedup(
             # committed live view (epoch snapshot + batch tail, both
             # cell-partitioned — probe filters still prune directories)
             idx = compaction.read_semantic_index(
-                spark, index_dir, id_col=id_col, vec_col=vec_col
+                spark, index_dir, id_col=id_col, vec_col=vec_col,
+                committed=committed, state=comp_state,
             ).select(
                 F.col(id_col).alias("vec_id"),
                 F.col(vec_col).alias("embedding"),
@@ -488,6 +512,7 @@ def streaming_semantic_dedup(
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(os.path.join(index_dir, "_commits"))
+        committed.add(batch_id)
         survivors.unpersist()
         cells.unpersist()
         if chaos is not None:
@@ -544,8 +569,12 @@ def streaming_substr_screen(
     from .datapipe import compaction
     from .datapipe import substr as sub
 
+    # one commit/compaction scan at stream start, maintained locally —
+    # see streaming_near_dedup for the sole-writer argument
+    committed = near_dedup_committed(spark, index_dir)
+    comp_state = compaction.compaction_state(spark, index_dir)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = near_dedup_committed(spark, index_dir)
         if batch_id in committed:
             return
         # ONE fingerprint pass per batch: serves the contamination
@@ -554,7 +583,9 @@ def streaming_substr_screen(
         fp.count()
         if committed:
             # committed live view (compaction/vacuum transparent)
-            idx = compaction.read_fingerprint_index(spark, index_dir)
+            idx = compaction.read_fingerprint_index(
+                spark, index_dir, committed=committed, state=comp_state
+            )
         else:
             idx = spark.createDataFrame([], "gram_hash long")
         cont = sub.substr_contamination(
@@ -577,6 +608,7 @@ def streaming_substr_screen(
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(os.path.join(index_dir, "_commits"))
+        committed.add(batch_id)
         survivors.unpersist()
         fp.unpersist()
         if chaos is not None:

@@ -84,7 +84,14 @@ def make_detector(
             ring, in_anomaly, last_alert = [], False, None
 
         out_rows = []
-        for pdf in pdfs:
+        # materialize ALL Arrow chunks and sort ONCE: a key exceeding
+        # arrow.maxRecordsPerBatch in one micro-batch arrives as
+        # several pdfs in arbitrary shuffle order — sorting each chunk
+        # independently would replay the ring on an interleaved,
+        # nondeterministic sequence and break batch parity on hot keys
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             sort_cols = ["ts"] + [c for c in order_extras if c in pdf.columns]
             if not set(order_extras) & set(pdf.columns):
                 sort_cols.append("value")  # deterministic tie-break fallback
@@ -138,11 +145,18 @@ def streaming_alerts(
     equivalent). ``state_ttl_ms`` evicts silent keys' state after the
     processing-time TTL (bounded state for an unbounded key space).
     ``order_extras``: additional metric columns used to break ts ties
-    within a micro-batch (mirror the batch detector's order_cols)."""
+    within a micro-batch (mirror the batch detector's order_cols).
+
+    NULL-ts rows are excluded before the stateful apply — the same
+    rule as anomaly.detect_alerts (a NaT reaching the cooldown
+    arithmetic raises in the Python worker and kills the stream; NaT
+    also sorts last regardless of arrival, corrupting replay order)."""
     extra_cols = [metrics[c] for c in order_extras]
-    keyed = metrics.select(
-        metrics[key_col].alias("key"), "ts", "value", *extra_cols
-    ).groupBy("key")
+    keyed = (
+        metrics.filter(metrics["ts"].isNotNull())
+        .select(metrics[key_col].alias("key"), "ts", "value", *extra_cols)
+        .groupBy("key")
+    )
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if state_ttl_ms is not None
