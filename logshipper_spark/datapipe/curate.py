@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .dedup import dedup_key, minhash_lsh_pairs
 from .filters import c4_line_clean, pii_scrub, repetition_stats
 from .substr import merge_spans, remove_dup_spans, substr_dup_spans
-from .textstats import quality_score
+from .textstats import quality_score_arr, tokens
 
 # curate persists frames consumed TWICE: the exact-dedup keep-list
 # feeds both the minhash signature build and the loser anti-join, and
@@ -113,17 +113,27 @@ def curate(
         src = remove_dup_spans(
             src, merged, text_col, id_col
         ).select(F.col(id_col), F.col("text_deduped").alias(text_col))
+    # ONE tokenization feeds both the quality score and (when enabled)
+    # the repetition gate — HOF token builds get no CSE, and the
+    # unstaged form re-split every surviving document a second time
     scored = src.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
-        quality_score(F.col(text_col)).alias("quality"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    ).select(
+        "doc_id",
+        "_text",
+        "_toks",
+        quality_score_arr(F.col("_text"), F.col("_toks")).alias("quality"),
     ).filter(F.col("quality") >= min_quality)
     if repetition:
         scored = (
-            repetition_stats(scored, text_col="_text")
+            repetition_stats(scored, text_col="_text", toks_col="_toks")
             .filter("rep_keep")
             .select("doc_id", "_text", "quality")
         )
+    else:
+        scored = scored.drop("_toks")
 
     # exact dedup: one row per distinct text, min-id representative;
     # 128-bit composite key (see dedup.dedup_key collision math)

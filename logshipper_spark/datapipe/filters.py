@@ -117,13 +117,21 @@ def _rep_fold(ngrams: Column) -> Column:
     )
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Per-document repetition + word-shape statistics (all exact
     integers) and the boolean `rep_keep` Gopher-style verdict.
 
     Columns added: n_tokens, word_chars, alpha_words, n_bigrams,
     top_bigram, dup_bigram, n_trigrams, top_trigram, dup_trigram,
     rep_keep.
+
+    ``toks_col``: an already-staged lowercased token-array column to
+    reuse instead of re-tokenizing ``text_col`` — callers that also
+    compute quality_score_arr over the same tokens (curate) save a
+    full corpus tokenization pass. The column is consumed (dropped
+    from the output).
     """
     # STAGED projection: the token and n-gram arrays are expensive
     # interpreted higher-order expressions, and Spark does NOT
@@ -132,8 +140,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # it (measured 2x the whole operator's cost at sf0.1). Naming them
     # as intermediate columns forces exactly one build each; Catalyst
     # still collapses the stages into one map-only projection chain.
-    toks = textstats.tokens(F.lower(F.col(text_col)))
-    d1 = df.withColumn("_toks", toks)
+    if toks_col is None:
+        d1 = df.withColumn("_toks", textstats.tokens(F.lower(F.col(text_col))))
+    else:
+        d1 = df.withColumn("_toks", F.col(toks_col))
     d2 = d1.select(
         "*",
         word_ngrams(F.col("_toks"), 2).alias("_big"),
@@ -165,7 +175,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.col("_tri")).cast("long").alias("n_trigrams"),
         F.col("_tst")["top"].alias("top_trigram"),
         F.col("_tst")["dup"].alias("dup_trigram"),
-    ).drop("_toks", "_big", "_tri", "_bst", "_tst")
+    ).drop(
+        "_toks", "_big", "_tri", "_bst", "_tst",
+        *([] if toks_col in (None, "_toks") else [toks_col]),
+    )
     keep = (
         (F.col("n_tokens") >= MIN_WORDS)
         & (F.col("n_tokens") <= MAX_WORDS)

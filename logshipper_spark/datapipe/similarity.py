@@ -418,7 +418,9 @@ def kmeans_fit(
     if not sample:
         base.unpersist()
         return []
-    pts = [[float(x) for x in r["_v"]] for r in sample]  # hash-ordered
+    # hash-ordered; NULL elements read as 0.0 (the Lloyd update's
+    # coalesce convention) instead of float(None) TypeError
+    pts = [[0.0 if x is None else float(x) for x in r["_v"]] for r in sample]
     centroids = [pts[0]]
     dmin = [float("inf")] * len(pts)
     while len(centroids) < num_cells:
@@ -443,12 +445,21 @@ def kmeans_fit(
         # integer sums make Lloyd exactly reproducible (the lm.py /
         # anomaly.py order-independent-sum convention); 1e-6 grid is
         # the repo-wide 6-dp distance convention
+        # try_element_at + coalesce-to-0.0: dim comes from the FIRST
+        # row, and under ANSI (Spark 4 default) a plain element_at on
+        # one truncated/ragged vector would throw INVALID_ARRAY_INDEX
+        # and kill the whole fit; a short vector instead contributes
+        # 0.0 to the dimensions it lacks (NULL elements likewise)
         sums = assigned.groupBy("cell").agg(
             F.array(
                 *[
                     F.sum(
                         F.floor(
-                            F.element_at("_v", i + 1) * F.lit(1_000_000.0)
+                            F.coalesce(
+                                F.try_element_at("_v", F.lit(i + 1)),
+                                F.lit(0.0),
+                            )
+                            * F.lit(1_000_000.0)
                             + F.lit(0.5)
                         ).cast("decimal(38,0)")
                     )

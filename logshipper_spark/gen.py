@@ -111,20 +111,30 @@ def transcripts(
         parallelism = work_targeted_partitions(
             n_turns, cores=spark.sparkContext.defaultParallelism
         )
+    if n_turns <= 0:
+        raise ValueError(f"n_turns must be positive, got {n_turns}")
     n_hot = max(1, int(round(HOT_SHARE * n_turns / HOT_TURNS)))
     hot_turns = min(n_hot * HOT_TURNS, n_turns)
     cold_turns = n_turns - hot_turns
     n_cold = (cold_turns + COLD_TURNS - 1) // COLD_TURNS if cold_turns else 0
 
+    # split the TARGETED task count proportionally across the two
+    # ranges: giving each range the full count would make the union
+    # carry 2x the target at half the per-task work — exactly the
+    # tiny-task scheduling-floor regime work_targeted_partitions
+    # exists to avoid
+    hot_par = max(1, round(parallelism * hot_turns / n_turns)) if hot_turns else 0
+    cold_par = max(1, parallelism - hot_par) if cold_turns else 0
+
     parts = []
     if cold_turns:
-        cold = spark.range(cold_turns, numPartitions=parallelism).select(
+        cold = spark.range(cold_turns, numPartitions=cold_par).select(
             (F.col("id") / COLD_TURNS).cast("long").alias("conv_no"),
             F.pmod(F.col("id"), F.lit(COLD_TURNS)).cast("int").alias("turn_idx"),
         )
         parts.append(cold)
     if hot_turns:
-        hot = spark.range(hot_turns, numPartitions=parallelism).select(
+        hot = spark.range(hot_turns, numPartitions=hot_par).select(
             (F.lit(n_cold) + (F.col("id") / HOT_TURNS).cast("long")).alias("conv_no"),
             F.pmod(F.col("id"), F.lit(HOT_TURNS)).cast("int").alias("turn_idx"),
         )

@@ -100,6 +100,10 @@ def find_cycles(adjacency: dict[str, list[str]], known: set[str] | None = None) 
     Iterative DFS (the reference recurses; service graphs are shallow
     but we avoid Python recursion limits)."""
     known = known if known is not None else set()
+    # normalize neighbor order ONCE (O(E log E)): the DFS visits a
+    # vertex's frame deg(v)+1 times, and sorting at each visit would
+    # cost a hub node deg² log deg comparisons
+    adjacency = {v: sorted(ns) for v, ns in adjacency.items()}
     colors: dict[str, int] = {}
     parent: dict[str, str] = {}
     result: list[list[str]] = []
@@ -125,7 +129,7 @@ def find_cycles(adjacency: dict[str, list[str]], known: set[str] | None = None) 
         colors[start] = GRAY
         while stack:
             v, i = stack[-1]
-            neighbors = sorted(adjacency.get(v, []))
+            neighbors = adjacency.get(v, [])
             if i < len(neighbors):
                 stack[-1] = (v, i + 1)
                 u = neighbors[i]
@@ -148,11 +152,24 @@ def find_cycles(adjacency: dict[str, list[str]], known: set[str] | None = None) 
 
 def adjacency_from_edges(edges: DataFrame) -> dict[str, list[str]]:
     """Collect the (small) edge aggregate into an adjacency map
-    (reference: graph.go:156-165 — nodes with no out-edges included)."""
+    (reference: graph.go:156-165 — nodes with no out-edges included).
+
+    Edges with a NULL endpoint are dropped: a NULL src/dst is an
+    un-enriched event, not a graph node, and a None key would crash
+    the DFS's sorted() traversal (None vs str comparison). Neighbor
+    lists are pre-sorted ONCE here so the DFS never re-sorts a hub
+    node's list per visit (deg² log deg otherwise)."""
     adj: dict[str, list[str]] = {}
-    for row in edges.select("src", "dst").distinct().collect():
+    for row in (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .collect()
+    ):
         adj.setdefault(row["src"], []).append(row["dst"])
         adj.setdefault(row["dst"], [])
+    for v in adj:
+        adj[v].sort()
     return adj
 
 
@@ -177,8 +194,18 @@ def cycle_membership(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     severed per round with localCheckpoint (iterative plans otherwise
     grow exponentially in Catalyst). Converges in ≤ diameter rounds;
     raises if ``max_iter`` rounds don't reach the fixpoint rather than
-    returning silently wrong labels."""
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    returning silently wrong labels.
+
+    NULL endpoints are dropped like ``adjacency_from_edges``: a NULL
+    src/dst is an un-enriched event, not a graph node (equi-joins
+    would drop those pairs mid-closure anyway, so keeping them only
+    produced orphan ``node = NULL`` output rows)."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -141,18 +141,27 @@ def salted_sink_counts(
     window_duration: str = "1 minute",
     salt_buckets: int = 32,
 ) -> DataFrame:
-    """Skew-hardened variant of route.sink_counts: identical result,
-    but a hot (sink, conv, window) key is first reduced across
-    ``salt_buckets`` sub-keys (salt = hash(turn_idx)) before the final
-    combine — bounding any single reducer's input even if sort-based
-    aggregation is in play."""
+    """Skew-hardened variant of route.sink_counts: identical result
+    (including the NULL-timestamp bucket), but a hot (sink, conv,
+    window) key is first reduced across ``salt_buckets`` sub-keys
+    (salt = hash(turn_idx)) before the final combine — bounding any
+    single reducer's input even if sort-based aggregation is in play.
+
+    NULL ts rows land in a NULL ``window_start`` group exactly like
+    route.sink_counts' default ``null_bucket=True`` path: the sentinel
+    goes INSIDE window() (Spark's TimeWindowing rule injects an
+    ``input IS NOT NULL`` filter that would otherwise silently DROP
+    the row — module invariant / CLAUDE.md), and the start column is
+    NULLed back afterwards."""
     from .route import is_error_pattern
 
     is_error = is_error_pattern()
+    sentinel = F.to_timestamp(F.lit("0001-01-01 00:00:00"))
+    w = F.window(F.coalesce(F.col(ts_col), sentinel), window_duration)
     keyed = routed.select(
         "sink",
         "conv_id",
-        F.window(F.col(ts_col), window_duration)["start"].alias("window_start"),
+        F.when(F.col(ts_col).isNotNull(), w["start"]).alias("window_start"),
         F.col("tool"),
         is_error.alias("_is_err"),
         F.col("turn_idx"),
