@@ -308,14 +308,16 @@ def run_from_config(
         for name, t in cfg.transforms.items():
             cond = F.col("source_component").isin(compiled["transform_sources"][name])
             if t.add_fields:
-                static = F.create_map(
-                    *[x for kv in t.add_fields.items() for x in map(F.lit, kv)]
-                )
+                # transform.add_fields_expr, NOT a bare map_concat: the
+                # session pins mapKeyDedupPolicy=EXCEPTION, so a raw map
+                # already carrying one of the static keys would abort
+                # the whole batch on the first such document
                 df = df.withColumn(
                     "raw",
-                    F.when(cond, F.map_concat(F.col("raw"), static)).otherwise(
-                        F.col("raw")
-                    ),
+                    F.when(
+                        cond,
+                        transform.add_fields_expr(F.col("raw"), t.add_fields),
+                    ).otherwise(F.col("raw")),
                 )
             if t.case:
                 df = df.withColumn(

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import parse
-from .schemas import DEFAULT_INGEST_TS, FORMAT_PLAIN
+from .schemas import DEFAULT_INGEST_TS, FORMAT_ECS, FORMAT_JSON, FORMAT_PLAIN
 
 FORMAT_SYSLOG_3164 = "syslog_3164"
 FORMAT_SYSLOG_5424 = "syslog_5424"
@@ -50,6 +50,7 @@ _R5424 = (
 # docs/correlation_fields.md §Trace ID: RFC5424 carries the trace id as
 # a structured-data param, e.g. [req traceId="abc123"]
 _R5424_TRACE = r'[\[\s](?:traceId|trace_id|trace-id)="([^"]*)"'
+_R5424_SPAN = r'[\[\s](?:spanId|span_id|span-id)="([^"]*)"'
 _RPY = (
     r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}),(\d{3})\s+-\s+(\S+)\s+-\s+"
     r"([A-Z]+)\s+-\s+(.*)$"
@@ -161,6 +162,7 @@ def syslog_5424_fields(text: Column) -> dict[str, Column]:
         "host": nil(_g(text, _R5424, 3)),
         "pid": nil(_g(text, _R5424, 5)),
         "trace_id": F.regexp_extract(_g(text, _R5424, 7), _R5424_TRACE, 1),
+        "span_id": F.regexp_extract(_g(text, _R5424, 7), _R5424_SPAN, 1),
     }
 
 
@@ -228,36 +230,92 @@ def parse_extended(
     t = F.col(_SQL_TEXT)
     ingest = F.lit(ingest_ts).cast("timestamp")
 
+    # STAGED detector flags and shared maps: every ext() output column
+    # references several of these, and an unstaged expression tree is
+    # inlined (and, for regex probes / from_json / HOF maps, evaluated)
+    # at every reference — CLAUDE.md round-3 no-CSE gotcha. Staging
+    # makes each a single per-row evaluation; CollapseProject keeps
+    # multi-referenced non-cheap aliases staged. The maps are gated
+    # behind their flag so non-matching rows never build them.
     is_plain = F.col("format") == FORMAT_PLAIN
-    s5424 = is_plain & is_syslog_5424(t)
-    s3164 = is_plain & ~s5424 & is_syslog_3164(t)
-    spy = is_plain & ~s5424 & ~s3164 & is_python_logging(t)
-    slog = is_plain & ~s5424 & ~s3164 & ~spy & is_logfmt(t)
-    sprom = is_plain & ~s5424 & ~s3164 & ~spy & ~slog & is_prom_text(t)
-    sjson = (
-        is_plain & ~s5424 & ~s3164 & ~spy & ~slog & ~sprom & is_plain_json_suffix(t)
+    out = out.withColumn("_s5424", is_plain & is_syslog_5424(t))
+    out = out.withColumn(
+        "_s3164", is_plain & ~F.col("_s5424") & is_syslog_3164(t)
     )
-
+    out = out.withColumn(
+        "_spy",
+        is_plain & ~F.col("_s5424") & ~F.col("_s3164") & is_python_logging(t),
+    )
+    out = out.withColumn(
+        "_slog",
+        is_plain
+        & ~F.col("_s5424")
+        & ~F.col("_s3164")
+        & ~F.col("_spy")
+        & is_logfmt(t),
+    )
+    out = out.withColumn(
+        "_sprom",
+        is_plain
+        & ~F.col("_s5424")
+        & ~F.col("_s3164")
+        & ~F.col("_spy")
+        & ~F.col("_slog")
+        & is_prom_text(t),
+    )
+    out = out.withColumn(
+        "_sjson",
+        is_plain
+        & ~F.col("_s5424")
+        & ~F.col("_s3164")
+        & ~F.col("_spy")
+        & ~F.col("_slog")
+        & ~F.col("_sprom")
+        & is_plain_json_suffix(t),
+    )
     # docker envelope: JSON whose map carries log+stream+time. The core
     # dispatcher may have classified it ecs_json (the nested log.level
     # probe fires on an inner JSON line) — intercept both.
-    raw0 = F.from_json(t, "map<string,string>")
-    docker = (
-        F.col("format").isin("json", "ecs_json")
-        & F.map_contains_key(raw0, "log")
-        & F.map_contains_key(raw0, "stream")
-        & F.map_contains_key(raw0, "time")
+    out = out.withColumn(
+        "_raw0",
+        F.when(
+            F.col("format").isin(FORMAT_JSON, FORMAT_ECS),
+            F.from_json(t, "map<string,string>"),
+        ),
     )
-    inner = F.trim(F.try_element_at(raw0, F.lit("log")))
-    inner_raw = F.when(
-        F.substring(inner, 1, 1).isin("{", "["), F.from_json(inner, "map<string,string>")
+    out = out.withColumn(
+        "_docker",
+        F.col("format").isin(FORMAT_JSON, FORMAT_ECS)
+        & F.map_contains_key(F.col("_raw0"), "log")
+        & F.map_contains_key(F.col("_raw0"), "stream")
+        & F.map_contains_key(F.col("_raw0"), "time"),
     )
+    inner = F.trim(F.try_element_at(F.col("_raw0"), F.lit("log")))
+    out = out.withColumn(
+        "_inner_raw",
+        F.when(
+            F.col("_docker") & F.substring(inner, 1, 1).isin("{", "["),
+            F.from_json(inner, "map<string,string>"),
+        ),
+    )
+    out = out.withColumn("_lfm", F.when(F.col("_slog"), logfmt_map(t)))
+    out = out.withColumn("_jsm", F.when(F.col("_sjson"), json_suffix_map(t)))
+
+    s5424 = F.col("_s5424")
+    s3164 = F.col("_s3164")
+    spy = F.col("_spy")
+    slog = F.col("_slog")
+    sprom = F.col("_sprom")
+    sjson = F.col("_sjson")
+    docker = F.col("_docker")
+    raw0 = F.col("_raw0")
+    inner_raw = F.col("_inner_raw")
+    lfm = F.col("_lfm")
+    jsm = F.col("_jsm")
 
     f3164 = syslog_3164_fields(t, ingest_ts)
     f5424 = syslog_5424_fields(t)
     fpy = python_logging_fields(t)
-    lfm = logfmt_map(t)
-    jsm = json_suffix_map(t)
     prm = prom_fields(t)
 
     def ext(name: str) -> Column:
@@ -346,6 +404,19 @@ def parse_extended(
                 .when(sjson, tr(jsm))
                 .otherwise(F.col("trace_id"))
             )
+        if name == "span_id":
+            # span rides fewer formats than trace per the spec's span
+            # table (correlation_fields.md §Span ID: ECS, generic
+            # JSON, 5424 structured-data; Nginx/Python/Docker 'not
+            # present by default')
+            sp = lambda m: F.coalesce(  # noqa: E731
+                parse.first_string(m, parse.SPAN_KEYS), F.lit("")
+            )
+            return (
+                F.when(s5424, f5424["span_id"])
+                .when(sjson, sp(jsm))
+                .otherwise(F.col("span_id"))
+            )
         if name == "dst_service":
             dstx = lambda m: F.coalesce(  # noqa: E731
                 parse.first_string(m, parse.DST_KEYS), F.lit("")
@@ -360,7 +431,7 @@ def parse_extended(
 
     for name in [
         "level", "event_ts", "src_service", "status_code", "latency_us",
-        "operation", "raw", "trace_id", "dst_service",
+        "operation", "raw", "trace_id", "span_id", "dst_service",
     ]:
         out = out.withColumn(name, ext(name))
     out = out.withColumn("format", ext("format"))
@@ -369,4 +440,8 @@ def parse_extended(
     out = out.withColumn(
         "parse_ok", (F.col("src_service") != "") | (F.col("format") == FORMAT_PROM)
     )
-    return out.drop(_SQL_TEXT)
+    return out.drop(
+        _SQL_TEXT,
+        "_s5424", "_s3164", "_spy", "_slog", "_sprom", "_sjson",
+        "_raw0", "_docker", "_inner_raw", "_lfm", "_jsm",
+    )

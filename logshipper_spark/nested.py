@@ -205,8 +205,11 @@ def parse_nested(
         )
 
     top = F.coalesce(F.map_entries(m), F.array().cast(f"array<{_ENTRY}>"))
-    consumed = F.array(
-        *[F.coalesce(k, F.lit("")) for k in (ts_key, level_key, msg_key, svc_key)]
+    # NULL-safe membership, not a ''-coalesce sentinel: an unresolved
+    # alias group would otherwise alias the legal empty-string JSON
+    # key ('{"": "x"}') and silently drop it from attrs
+    consumed = F.filter(
+        F.array(ts_key, level_key, msg_key, svc_key), lambda k: k.isNotNull()
     )
     rest = F.filter(
         top,

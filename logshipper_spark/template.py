@@ -153,8 +153,12 @@ class TemplateParser:
             *[F.nullif(fld(k), F.lit("")) for k in TRACE_VAR_KEYS if k in self.vars],
             F.lit(""),
         )
+        # first-win var dedup: a legal template may repeat a $var
+        # (field()/fld() already use the first capture group), and
+        # create_map with a duplicated key would abort the job under
+        # the session's EXCEPTION dedup policy
         raw_map = F.create_map(
-            *[x for name in self.vars for x in (F.lit(name), fld(name))]
+            *[x for name in dict.fromkeys(self.vars) for x in (F.lit(name), fld(name))]
         )
 
         def gated(c: Column, default: Column) -> Column:

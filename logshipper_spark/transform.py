@@ -71,21 +71,30 @@ def apply_case(col: Column, case: str) -> Column:
     return col
 
 
-def add_fields(df: DataFrame, fields: dict[str, str], raw_col: str = "raw") -> DataFrame:
-    """Merge static fields into the raw map (reference: remap.go:23-25).
+def add_fields_expr(raw: Column, fields: dict[str, str]) -> Column:
+    """Column form of ``add_fields`` — the ONE definition of the merge
+    rule, shared with config.apply_transforms' conditional gate.
 
     Go map assignment overwrites, so a static field wins over an
     existing raw key. The session keeps mapKeyDedupPolicy=EXCEPTION, so
     the colliding keys must be filtered out of the existing map before
     map_concat (a raw concat would abort the job on the first document
-    that already carries one of the static keys).
-    """
-    if not fields:
-        return df
+    that already carries one of the static keys). A NULL raw map seeds
+    from empty (map_filter/map_concat otherwise NULL-propagate and the
+    static fields would silently vanish on unparsed rows)."""
     static = F.create_map(*[x for k, v in fields.items() for x in (F.lit(k), F.lit(v))])
     keys = list(fields)
-    cleaned = F.map_filter(F.col(raw_col), lambda k, _v: ~k.isin(keys))
-    return df.withColumn(raw_col, F.map_concat(cleaned, static))
+    seeded = F.coalesce(raw, F.create_map().cast("map<string,string>"))
+    cleaned = F.map_filter(seeded, lambda k, _v: ~k.isin(keys))
+    return F.map_concat(cleaned, static)
+
+
+def add_fields(df: DataFrame, fields: dict[str, str], raw_col: str = "raw") -> DataFrame:
+    """Merge static fields into the raw map (reference: remap.go:23-25).
+    See ``add_fields_expr`` for the collision/NULL semantics."""
+    if not fields:
+        return df
+    return df.withColumn(raw_col, add_fields_expr(F.col(raw_col), fields))
 
 
 def remap(

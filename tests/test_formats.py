@@ -132,6 +132,24 @@ def test_logfmt_and_json_suffix_correlation_fields(spark):
     assert (r2["trace_id"], r2["dst_service"]) == ("t-7", "d")
 
 
+def test_span_id_rides_5424_sd_and_json_suffix(spark):
+    """docs/correlation_fields.md §Span ID: span rides ECS, generic
+    JSON, and 5424 structured-data — NOT docker/python/nginx (the
+    spec's span table lists those as 'not present by default')."""
+    out = _parse_lines(spark, [
+        '<165>1 2024-03-01T10:30:00Z web01 pay 7 ID [req traceId="abc123" spanId="sp-1"] ok',
+        'tail text {"service":"c","spanId":"sp-2"}',
+        "level=info service=a span_id=sp-3 msg=hi",
+    ])
+    r = out['<165>1 2024-03-01T10:30:00Z web01 pay 7 ID [req traceId="abc123" spanId="sp-1"] ok']
+    assert (r["trace_id"], r["span_id"]) == ("abc123", "sp-1")
+    r2 = out['tail text {"service":"c","spanId":"sp-2"}']
+    assert r2["span_id"] == "sp-2"
+    # logfmt is NOT in the spec's span table — stays blank
+    r3 = out["level=info service=a span_id=sp-3 msg=hi"]
+    assert r3["span_id"] == ""
+
+
 def test_logfmt_duplicate_key_last_wins(spark):
     """A repeated key must not abort the job (Go maps are
     last-write-wins). The session deliberately keeps the EXCEPTION
