@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from logshipper_spark import aggregate as agg
 from logshipper_spark import (
     anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, sinks,
-    skew, template, transform,
+    skew, template, transcript, transform,
 )
 from logshipper_spark.datapipe import (
     compaction,
@@ -1897,6 +1897,65 @@ def q_cycle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── conversation-level transcript analytics (transcript.py) ──
+
+TRANSCRIPT_TURNS = 20_000
+TRANSCRIPTS_PATH = f"/tmp/spark_graft_contract/transcripts_{TRANSCRIPT_TURNS}.parquet"
+_TRANSCRIPTS_REL = f"read_parquet('{TRANSCRIPTS_PATH}/*.parquet')"
+_transcripts_written = False
+
+
+def _transcripts_raw(spark: SparkSession) -> DataFrame:
+    """Build-once materialized raw transcript frame (input_hint shape;
+    ts stored as timestamp_ntz, zstd so DuckDB reads the same bytes)."""
+    global _transcripts_written
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if not _transcripts_written:
+        tr = gen.transcripts(spark, TRANSCRIPT_TURNS).cache()
+        tr.select(
+            "conv_id", "turn_idx", "role", "text", "tool",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        ).write.mode("overwrite").option("compression", "zstd").parquet(
+            TRANSCRIPTS_PATH
+        )
+        tr.unpersist()
+        _transcripts_written = True
+    return spark.read.parquet(TRANSCRIPTS_PATH)
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup (turn counts by role, tool calls,
+    distinct tools, time span) — one map-side-combined groupBy."""
+    return transcript.conv_stats(_transcripts_raw(spark))
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov step-transition counts over consecutive turns (role, or
+    role:tool for tool turns) with exact integer-micros row
+    probabilities."""
+    return transcript.step_transitions(_transcripts_raw(spark))
+
+
+def q_conv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation depth funnel: conversations reaching ≥k turns +
+    integer-micros retention; the global window runs over the depth
+    histogram only (bounded by max conversation length)."""
+    return transcript.conv_funnel(_transcripts_raw(spark))
+
+
+def q_transcript_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript→document rendering: one training document per
+    conversation, lines `role[tool]: text` in turn order — the
+    doc-ification step in front of the datapipe dedup/packing family."""
+    return transcript.render_conversations(_transcripts_raw(spark))
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prompt, response) SFT pair extraction: each assistant turn with
+    the nearest preceding user turn in its conversation."""
+    return transcript.sft_pairs(_transcripts_raw(spark))
+
+
 JSONSINK_PATH = "/tmp/spark_graft_contract/jsonsink_20000"
 _jsonsink_written = False
 
@@ -1986,6 +2045,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nodes": q_graph_nodes,
         "fanin_union": q_fanin_union,
         "cycle_keys": q_cycle_keys,
+        "conv_stats": q_conv_stats,
+        "tool_transitions": q_tool_transitions,
+        "conv_funnel": q_conv_funnel,
+        "transcript_render": q_transcript_render,
+        "sft_pairs": q_sft_pairs,
         "enrich_lookup": q_enrich_lookup,
         "resolver_chain": q_resolver_chain,
         "routing_fanout": q_routing_fanout,
@@ -2174,6 +2238,7 @@ def oracle_sql() -> dict[str, str]:
             _pipeline_enriched(spark)
             _ensure_media(spark)
             _ensure_json_sink(spark)
+            _transcripts_raw(spark)
         except Exception:
             pass  # the per-query path will write them
 
@@ -2246,6 +2311,72 @@ def oracle_sql() -> dict[str, str]:
                    status_code, latency_us, src_service, dst_service,
                    operation, ts_epoch
             FROM read_json_auto('{JSONSINK_PATH}/*.txt')
+        """,
+        "conv_stats": f"""
+            SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn_idx,
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS user_turns,
+                   CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS assistant_turns,
+                   CAST(SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS system_turns,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns,
+                   CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT) AS tool_calls,
+                   COUNT(DISTINCT CASE WHEN tool <> '' THEN tool END) AS distinct_tools,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+            FROM {_TRANSCRIPTS_REL} GROUP BY conv_id
+        """,
+        "tool_transitions": f"""
+            WITH s AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN tool <> '' THEN role || ':' || tool ELSE role END AS step
+              FROM {_TRANSCRIPTS_REL}),
+            l AS (
+              SELECT COALESCE(lag(step) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                              'START') AS prev_step, step
+              FROM s),
+            c AS (SELECT prev_step, step, COUNT(*) AS n_transitions
+                  FROM l GROUP BY prev_step, step)
+            SELECT prev_step, step, n_transitions,
+                   CAST(n_transitions * 1000000 //
+                        SUM(n_transitions) OVER (PARTITION BY prev_step) AS BIGINT)
+                     AS prob_micros
+            FROM c
+        """,
+        "conv_funnel": f"""
+            WITH sizes AS (SELECT conv_id, COUNT(*) AS n
+                           FROM {_TRANSCRIPTS_REL} GROUP BY conv_id),
+            hist AS (SELECT n AS depth, COUNT(*) AS n_convs_exact
+                     FROM sizes GROUP BY n)
+            SELECT depth, n_convs_exact,
+                   CAST(SUM(n_convs_exact) OVER (ORDER BY depth DESC) AS BIGINT)
+                     AS n_convs_at_least,
+                   CAST(SUM(n_convs_exact) OVER (ORDER BY depth DESC) * 1000000 //
+                        SUM(n_convs_exact) OVER () AS BIGINT) AS retention_micros
+            FROM hist
+        """,
+        "transcript_render": f"""
+            WITH r AS (
+              SELECT conv_id, COUNT(*) AS n_turns,
+                     string_agg(role ||
+                                CASE WHEN tool <> '' THEN '[' || tool || ']' ELSE '' END
+                                || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+              FROM {_TRANSCRIPTS_REL} GROUP BY conv_id)
+            SELECT conv_id, CAST(n_turns AS INT) AS n_turns, doc,
+                   CAST(LENGTH(doc) AS INT) AS n_chars
+            FROM r
+        """,
+        "sft_pairs": f"""
+            WITH p AS (
+              SELECT conv_id, turn_idx, role, text,
+                     last_value(CASE WHEN role = 'user' THEN turn_idx END IGNORE NULLS)
+                       OVER w AS prompt_turn_idx,
+                     last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+                       OVER w AS prompt
+              FROM {_TRANSCRIPTS_REL}
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT conv_id, prompt_turn_idx, turn_idx AS response_turn_idx,
+                   prompt, text AS response
+            FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "graph_cycles": f"""
             WITH RECURSIVE e AS (
