@@ -43,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from logshipper_spark import aggregate as agg  # noqa: E402
 from logshipper_spark import anomaly, gen, parse, pipeline, route  # noqa: E402
+from logshipper_spark import transcript  # noqa: E402
 from logshipper_spark.datapipe import dedup, similarity  # noqa: E402
 from logshipper_spark.session import get_spark  # noqa: E402
 
@@ -215,6 +216,21 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "anomaly_zscore",
     )
+    # conversation-level transcript analytics (transcript.py, L49–L53)
+    # over the cached raw turns — per-conv-bounded windows/groupBys
+    times["conv_stats"] = _timed(
+        lambda: _force(transcript.conv_stats(tr)), "conv_stats"
+    )
+    times["tool_transitions"] = _timed(
+        lambda: _force(transcript.step_transitions(tr)), "tool_transitions"
+    )
+    times["transcript_render"] = _timed(
+        lambda: _force(transcript.render_conversations(tr)), "transcript_render"
+    )
+    times["sft_pairs"] = _timed(
+        lambda: _force(transcript.sft_pairs(tr)), "sft_pairs"
+    )
+
     # unique-per-key dense order id (the operator's contract): conv_id
     # is gen.py's 'conv-%08d' and turn_idx < 1024, so conv_no*1024 +
     # turn_idx is globally unique — no hash-bucket birthday collisions
