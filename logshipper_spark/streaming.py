@@ -666,3 +666,59 @@ def streaming_sink_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_conv_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    session_gap: str = "5 minutes",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Watermarked per-conversation SESSION rollup on the live
+    transcript stream — the conversation-granularity analog of
+    ``streaming_sink_counts`` and the streaming twin of
+    ``transcript.conv_stats``.
+
+    A conversation's turns arrive over time; ``session_window(ts,
+    gap)`` closes a session once the conversation goes quiet for
+    ``session_gap`` (the streaming stand-in for "conversation ended"),
+    and append mode emits the finalized rollup exactly once when the
+    watermark passes the session end. State is one aggregate row per
+    OPEN session — bounded by concurrently-active conversations, not
+    corpus size — and the watermark evicts closed sessions.
+
+    The aggregate list is ``transcript.conv_agg_exprs`` — the SAME
+    definition the batch rollup uses, so an emitted session row equals
+    the batch ``conv_stats`` row computed over that session's turns.
+    NULL-ts rows are dropped by the watermark like any beyond-watermark
+    late row (same documented posture as ``streaming_sink_counts``).
+    """
+    from . import transcript
+
+    stream = read_transcript_stream(spark, input_dir, max_files_per_trigger)
+    stats = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), session_gap).alias("w"),
+            F.col("conv_id"),
+        )
+        .agg(*transcript.conv_agg_exprs("ts"))
+    )
+    stats = stats.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *[c for c in stats.columns if c != "w"],
+    )
+    writer = (
+        stats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -37,19 +37,15 @@ def _step_label(role: Column, tool: Column) -> Column:
     return F.when(tool != "", F.concat(role, F.lit(":"), tool)).otherwise(role)
 
 
-def conv_stats(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """Per-conversation rollup: turn counts by role, tool-call count,
-    distinct tools, time span.
-
-    One hash-partitioned groupBy with map-side partial aggregation —
-    a single shuffle moving one compact row per conversation.
-    ``duration_s`` is whole seconds (the generator's ts grid is
-    second-resolution; DuckDB twin: ``date_diff('second', ...)``).
-    """
+def conv_agg_exprs(ts_col: str = "ts") -> list[Column]:
+    """The shared per-conversation aggregate list — one definition used
+    by both the batch rollup (`conv_stats`) and the watermarked
+    streaming session rollup (`streaming.streaming_conv_stats`), so the
+    two paths cannot drift."""
     ts = F.col(ts_col)
     role = F.col("role")
     tool = F.col("tool")
-    return turns.groupBy("conv_id").agg(
+    return [
         F.count(F.lit(1)).alias("n_turns"),
         F.max("turn_idx").alias("max_turn_idx"),
         F.sum(F.when(role == "user", 1).otherwise(0)).alias("user_turns"),
@@ -65,7 +61,19 @@ def conv_stats(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
         (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts)))
         .cast("long")
         .alias("duration_s"),
-    )
+    ]
+
+
+def conv_stats(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-conversation rollup: turn counts by role, tool-call count,
+    distinct tools, time span.
+
+    One hash-partitioned groupBy with map-side partial aggregation —
+    a single shuffle moving one compact row per conversation.
+    ``duration_s`` is whole seconds (the generator's ts grid is
+    second-resolution; DuckDB twin: ``date_diff('second', ...)``).
+    """
+    return turns.groupBy("conv_id").agg(*conv_agg_exprs(ts_col))
 
 
 def step_transitions(

@@ -628,3 +628,46 @@ def test_streaming_semantic_dedup_crash_in_commit_gap(spark, tmp_path):
     got = spark.read.schema(schema).parquet(out_dir).collect()
     assert [r["vec_id"] for r in got] == [1]
     sdd.release_cached_cells()
+
+
+def test_streaming_conv_stats_sessions(spark, tmp_path):
+    """Watermarked session rollup: every emitted conversation session
+    equals the batch conv_stats row over the same turns (gen's 2 s turn
+    step < the 5 min gap, so each conversation is exactly one session),
+    and each session is emitted exactly once."""
+    from logshipper_spark import transcript
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "cs")
+    ckpt = str(tmp_path / "ckcs")
+    _write_input(spark, input_dir, 2000, 2)
+
+    q = streaming.streaming_conv_stats(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    rows = got.collect()
+    assert len(rows) > 0
+    # exactly one emission per (conv, session); one session per conv here
+    keys = [(r["conv_id"], r["session_start"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len({r["conv_id"] for r in rows}) == len(rows)
+
+    batch = {
+        r["conv_id"]: r.asDict()
+        for r in transcript.conv_stats(
+            spark.read.parquet(input_dir)
+        ).collect()
+    }
+    for r in rows:
+        b = batch[r["conv_id"]]
+        for col in (
+            "n_turns", "max_turn_idx", "user_turns", "assistant_turns",
+            "system_turns", "tool_turns", "tool_calls", "distinct_tools",
+            "first_ts", "last_ts", "duration_s",
+        ):
+            assert r[col] == b[col], (r["conv_id"], col, r[col], b[col])
+        # session bounds bracket the turns: start = first turn,
+        # end = last turn + gap
+        assert r["session_start"] == b["first_ts"]
+        assert (r["session_end"] - b["last_ts"]).total_seconds() == 300.0
