@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from logshipper_spark import aggregate as agg
 from logshipper_spark import (
     anomaly, enrich, formats, gen, graphalg, parse, pipeline, route, sinks,
-    skew, template, transcript, transform,
+    skew, template, temporal, transcript, transform,
 )
 from logshipper_spark.datapipe import (
     compaction,
@@ -2000,6 +2000,65 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(JSONSINK_PATH)
 
 
+# ── temporal joins (as-of + range; temporal.py) ──
+
+
+def _asof_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Probe = every event; build = every 7th event as a keyed
+    state-change row (ver, state). Derived purely from `events` columns
+    so the DuckDB oracle reconstructs both sides from the same parquet."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.selectExpr(
+        "event_id AS pid",
+        "'k' || CAST(user_id % 8 AS STRING) AS key",
+        "ts",
+    )
+    build = ev.filter("event_id % 7 = 0").selectExpr(
+        "'k' || CAST(user_id % 8 AS STRING) AS key",
+        "ts",
+        "event_id AS ver",
+        "CAST(floor(value * 1000) AS LONG) AS state",
+    )
+    return probe, build
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF LEFT join (latest build state at or before each event),
+    run through the BLOCKED two-phase form — the 100 TB plan where no
+    task sorts a hot key's full history — so the oracle certifies the
+    scale path, not just the single-window one (tests prove the two
+    forms identical; reference parity: ordered-replay last-seen state,
+    internal/graph/graph.go)."""
+    probe, build = _asof_sides(spark, sf_dir)
+    return temporal.asof_join_blocked(
+        probe, build, ["key"], payloads=["ver", "state"],
+        tiebreak="ver", block_s=6 * 3600,
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INNER interval join (which incident windows cover each event),
+    bucketed large×large form: intervals explode into the time buckets
+    they overlap, facts compute one bucket, equi-join + exact residual
+    (reference parity: bench/incident_simulator_test.go applies an
+    incident iff start <= ts < end)."""
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.selectExpr(
+        "event_id AS fid",
+        "'k' || CAST(user_id % 8 AS STRING) AS key",
+        "ts",
+    )
+    intervals = ev.filter("event_id % 101 = 0").selectExpr(
+        "event_id AS iid",
+        "'k' || CAST(user_id % 8 AS STRING) AS key",
+        "ts AS start_ts",
+        "ts + make_dt_interval(0, CAST(1 + event_id % 5 AS INT), 0, 0) AS end_ts",
+    )
+    return temporal.range_join(
+        facts, intervals, ["key"], method="bucketed", bucket_width_s=3600
+    )
+
+
 # ── driver contract ──
 
 
@@ -2115,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
     }
 
 
@@ -4249,5 +4310,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4) AS cosine_r
             FROM sc ORDER BY cosine_r DESC, vec_id LIMIT 10
+        """,
+        # Temporal joins: the oracle re-derives both sides from `events`
+        # and answers the as-of lookup with a LATERAL top-1 per probe —
+        # a completely different plan (per-row scan) than Spark's
+        # union-tag running-last window, so a hash match is strong.
+        "asof_join": """
+            WITH probes AS (
+              SELECT event_id AS pid, 'k' || CAST(user_id % 8 AS VARCHAR) AS key, ts
+              FROM events),
+            builds AS (
+              SELECT 'k' || CAST(user_id % 8 AS VARCHAR) AS key, ts,
+                     event_id AS ver, CAST(floor(value * 1000) AS BIGINT) AS state
+              FROM events WHERE event_id % 7 = 0)
+            SELECT p.pid, p.key, p.ts, b.ts AS asof_ts, b.ver, b.state
+            FROM probes p LEFT JOIN LATERAL (
+              SELECT * FROM builds b
+              WHERE b.key = p.key AND b.ts <= p.ts
+              ORDER BY b.ts DESC, b.ver DESC LIMIT 1) b ON TRUE
+        """,
+        "range_join": """
+            WITH facts AS (
+              SELECT event_id AS fid, 'k' || CAST(user_id % 8 AS VARCHAR) AS key, ts
+              FROM events),
+            iv AS (
+              SELECT event_id AS iid, 'k' || CAST(user_id % 8 AS VARCHAR) AS key,
+                     ts AS start_ts,
+                     ts + INTERVAL 1 HOUR * (1 + event_id % 5) AS end_ts
+              FROM events WHERE event_id % 101 = 0)
+            SELECT f.fid, f.key, f.ts, i.iid, i.start_ts, i.end_ts
+            FROM facts f JOIN iv i
+              ON f.key = i.key AND f.ts >= i.start_ts AND f.ts < i.end_ts
         """,
     }
