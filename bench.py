@@ -43,7 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from logshipper_spark import aggregate as agg  # noqa: E402
 from logshipper_spark import anomaly, gen, parse, pipeline, route  # noqa: E402
-from logshipper_spark import transcript  # noqa: E402
+from logshipper_spark import temporal, transcript  # noqa: E402
 from logshipper_spark.datapipe import dedup, similarity  # noqa: E402
 from logshipper_spark.session import get_spark  # noqa: E402
 
@@ -229,6 +229,43 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     )
     times["sft_pairs"] = _timed(
         lambda: _force(transcript.sft_pairs(tr)), "sft_pairs"
+    )
+
+    # temporal joins (temporal.py, L54-L55) over the cached turns. The
+    # role key is deliberately HOT (3-way cardinality), so the as-of
+    # measurement exercises the blocked two-phase form's bounded-task
+    # claim; the range join runs the bucketed large-x-large path.
+    deploys = tr.filter(
+        (F.crc32(F.col("conv_id")) % 37 == 0) & (F.col("turn_idx") == 0)
+    ).select(
+        F.col("role").alias("key"), "ts",
+        (F.crc32(F.col("conv_id")) % 100000).alias("ver"),
+    )
+    probe = tr.select("conv_id", "turn_idx", F.col("role").alias("key"), "ts")
+    times["asof_join"] = _timed(
+        lambda: _force(
+            temporal.asof_join_blocked(
+                probe, deploys, ["key"], payloads=["ver"],
+                tiebreak="ver", block_s=3600,
+            )
+        ),
+        "asof_join",
+    )
+    incidents = tr.filter(
+        (F.crc32(F.col("conv_id")) % 97 == 0) & (F.col("turn_idx") == 0)
+    ).select(
+        F.col("conv_id").alias("iid"), F.col("role").alias("key"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + make_dt_interval(0, 2, 0, 0)").alias("end_ts"),
+    )
+    times["range_join"] = _timed(
+        lambda: _force(
+            temporal.range_join(
+                probe, incidents, ["key"],
+                method="bucketed", bucket_width_s=1800,
+            )
+        ),
+        "range_join",
     )
 
     # unique-per-key dense order id (the operator's contract): conv_id
