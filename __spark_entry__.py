@@ -2000,6 +2000,30 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).json(JSONSINK_PATH)
 
 
+def q_conv_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-integrity report over a deterministically PERTURBED copy
+    of the raw transcripts (dropped turns → holes, remapped indices →
+    dups, back-shifted timestamps → inversions), so every violation
+    lane carries non-zero counts. The oracle applies the identical
+    perturbation in SQL and re-derives every count from the same
+    parquet bytes."""
+    perturbed = (
+        _transcripts_raw(spark)
+        .filter("NOT (turn_idx % 13 = 7)")
+        .selectExpr(
+            "conv_id",
+            "CASE WHEN turn_idx % 11 = 5 THEN turn_idx - 1 ELSE turn_idx END"
+            " AS turn_idx",
+            "role",
+            "text",
+            "tool",
+            "CASE WHEN turn_idx % 17 = 3 THEN ts - INTERVAL '90' SECOND"
+            " ELSE ts END AS ts",
+        )
+    )
+    return transcript.integrity_report(perturbed)
+
+
 # ── temporal joins (as-of + range; temporal.py) ──
 
 
@@ -2176,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": q_sink_roundtrip,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "conv_integrity": q_conv_integrity,
     }
 
 
@@ -4328,6 +4353,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM builds b
               WHERE b.key = p.key AND b.ts <= p.ts
               ORDER BY b.ts DESC, b.ver DESC LIMIT 1) b ON TRUE
+        """,
+        "conv_integrity": f"""
+            WITH p AS (
+              SELECT conv_id,
+                     CASE WHEN turn_idx % 11 = 5 THEN turn_idx - 1
+                          ELSE turn_idx END AS turn_idx,
+                     role, text,
+                     CASE WHEN turn_idx % 17 = 3 THEN ts - INTERVAL 90 SECOND
+                          ELSE ts END AS ts
+              FROM {_TRANSCRIPTS_REL}
+              WHERE NOT (turn_idx % 13 = 7)),
+            m AS (
+              SELECT *, MAX(ts) OVER (
+                       PARTITION BY conv_id
+                       ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+              FROM p),
+            r AS (
+              SELECT conv_id, COUNT(*) AS n_turns,
+                CAST(SUM(CASE WHEN ts < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ts_inversions,
+                CAST(COUNT(turn_idx) - COUNT(DISTINCT turn_idx) AS BIGINT)
+                  AS dup_turn_idx,
+                CAST(COALESCE(MAX(turn_idx) - MIN(turn_idx) + 1
+                              - COUNT(DISTINCT turn_idx), 0) AS BIGINT)
+                  AS missing_turn_idx,
+                COALESCE(MIN(turn_idx) = 0, false) AS starts_at_zero,
+                CAST(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_turn_idx,
+                CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_ts,
+                CAST(SUM(CASE WHEN role IS NULL OR role = '' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS blank_role,
+                CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_text
+              FROM m GROUP BY conv_id)
+            SELECT *, (ts_inversions = 0 AND dup_turn_idx = 0
+                       AND missing_turn_idx = 0 AND starts_at_zero
+                       AND null_turn_idx = 0 AND null_ts = 0
+                       AND blank_role = 0 AND null_text = 0) AS conv_ok
+            FROM r
         """,
         "range_join": """
             WITH facts AS (

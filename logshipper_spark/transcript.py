@@ -221,3 +221,80 @@ def sft_pairs(turns: DataFrame) -> DataFrame:
             F.col("text").alias("response"),
         )
     )
+
+
+def integrity_report(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-conversation ingest-integrity report — the data-quality gate
+    that must run BEFORE any turn-ordered window is trusted at corpus
+    scale (the reference assumes channel-FIFO order,
+    internal/pipeline/pipeline.go:76-94; a distributed ingest has no
+    such guarantee, so violations must be counted, not assumed away).
+
+    Per ``conv_id``: ``n_turns``; ``ts_inversions`` (rows whose ts is
+    EARLIER than some preceding row's ts in (turn_idx, ts) order — a
+    running-max comparison, so non-adjacent regressions count too);
+    ``dup_turn_idx`` (non-NULL turn_idx repeats); ``missing_turn_idx``
+    (holes in the min..max index span); ``starts_at_zero``;
+    ``null_turn_idx`` / ``null_ts`` / ``blank_role`` / ``null_text``
+    row counts; and the composite ``conv_ok`` verdict. Never drops or
+    repairs rows — it reports, the caller decides.
+
+    Ordering is pinned NULLS FIRST on both sort keys (DuckDB defaults
+    NULLS LAST — the oracle must say ``NULLS FIRST`` explicitly). NULL
+    ts rows sort first, can never be inversions themselves (NULL < x is
+    NULL), and are excluded from the running max by max()'s NULL skip.
+
+    Scale posture: one conv-partitioned running-max window (per-task
+    work bounded by conversation length) feeding one map-side-combined
+    groupBy — the same single-shuffle shape as ``conv_stats``.
+    """
+    ts = F.col(ts_col)
+    idx = F.col("turn_idx")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(idx.asc_nulls_first(), ts.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        ts.alias("_ts"),
+        (ts < F.max(ts).over(w)).alias("_inv"),
+    )
+    long_sum = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    report = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        long_sum(F.col("_inv")).alias("ts_inversions"),
+        (F.count("turn_idx") - F.countDistinct("turn_idx"))
+        .cast("long")
+        .alias("dup_turn_idx"),
+        F.coalesce(
+            (
+                F.max("turn_idx").cast("long")
+                - F.min("turn_idx")
+                + 1
+                - F.countDistinct("turn_idx")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("missing_turn_idx"),
+        F.coalesce(F.min("turn_idx") == 0, F.lit(False)).alias("starts_at_zero"),
+        long_sum(F.col("turn_idx").isNull()).alias("null_turn_idx"),
+        long_sum(F.col("_ts").isNull()).alias("null_ts"),
+        long_sum(F.col("role").isNull() | (F.col("role") == "")).alias("blank_role"),
+        long_sum(F.col("text").isNull()).alias("null_text"),
+    )
+    ok = (
+        (F.col("ts_inversions") == 0)
+        & (F.col("dup_turn_idx") == 0)
+        & (F.col("missing_turn_idx") == 0)
+        & F.col("starts_at_zero")
+        & (F.col("null_turn_idx") == 0)
+        & (F.col("null_ts") == 0)
+        & (F.col("blank_role") == 0)
+        & (F.col("null_text") == 0)
+    )
+    return report.withColumn("conv_ok", ok)

@@ -172,3 +172,69 @@ def test_sft_pairs_edge_cases(spark):
     )
     # both assistant turns after u1 pair with it (nearest preceding user)
     assert got == [("c1", 3, 1, "u1"), ("c1", 4, 1, "u1")]
+
+
+# ── integrity report ──
+
+_IT = __import__("datetime").datetime(2024, 5, 1, 12, 0, 0)
+
+
+def _its(s):
+    import datetime as dt
+
+    return None if s is None else _IT + dt.timedelta(seconds=s)
+
+
+# adversarial corpus: c1 clean; c2 inversion (non-adjacent too) + dup idx;
+# c3 holes + starts at 2; c4 NULL ts/idx/text + blank role; c5 single row
+_INTEG_ROWS = [
+    ("c1", 0, "user", "hi", "", _its(0)),
+    ("c1", 1, "assistant", "yo", "", _its(2)),
+    ("c2", 0, "user", "a", "", _its(0)),
+    ("c2", 1, "assistant", "b", "", _its(50)),
+    ("c2", 2, "user", "c", "", _its(10)),   # < max so far → inversion
+    ("c2", 3, "tool", "d", "grep", _its(20)),  # still < 50 → inversion
+    ("c2", 3, "tool", "e", "grep", _its(60)),  # dup idx 3
+    ("c3", 2, "user", "x", "", _its(0)),
+    ("c3", 5, "assistant", "y", "", _its(1)),  # holes 3,4
+    ("c4", 0, "user", None, "", None),       # null text + null ts
+    ("c4", None, "", "z", "", _its(5)),      # null idx + blank role
+    ("c5", 0, "system", "s", "", _its(0)),
+]
+
+
+def test_integrity_report_adversarial(spark):
+    df = spark.createDataFrame(
+        _INTEG_ROWS,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp_ntz",
+    )
+    got = {r["conv_id"]: r.asDict() for r in
+           transcript.integrity_report(df).collect()}
+    assert set(got) == {"c1", "c2", "c3", "c4", "c5"}
+
+    def chk(cid, **want):
+        g = got[cid]
+        for k, v in want.items():
+            assert g[k] == v, (cid, k, g[k], v)
+
+    chk("c1", n_turns=2, ts_inversions=0, dup_turn_idx=0, missing_turn_idx=0,
+        starts_at_zero=True, null_turn_idx=0, null_ts=0, blank_role=0,
+        null_text=0, conv_ok=True)
+    chk("c2", n_turns=5, ts_inversions=2, dup_turn_idx=1, missing_turn_idx=0,
+        starts_at_zero=True, conv_ok=False)
+    chk("c3", n_turns=2, ts_inversions=0, dup_turn_idx=0, missing_turn_idx=2,
+        starts_at_zero=False, conv_ok=False)
+    chk("c4", n_turns=2, ts_inversions=0, dup_turn_idx=0, missing_turn_idx=0,
+        starts_at_zero=True, null_turn_idx=1, null_ts=1, blank_role=1,
+        null_text=1, conv_ok=False)
+    chk("c5", n_turns=1, ts_inversions=0, dup_turn_idx=0, missing_turn_idx=0,
+        starts_at_zero=True, conv_ok=True)
+
+
+def test_integrity_report_clean_corpus(turns_df):
+    """gen.transcripts is in-order by construction: every conversation
+    must report conv_ok."""
+    rep = transcript.integrity_report(turns_df)
+    assert rep.filter("NOT conv_ok").count() == 0
+    assert rep.count() == turns_df.select("conv_id").distinct().count()
