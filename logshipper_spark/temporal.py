@@ -55,6 +55,18 @@ from .skew import group_key_struct, null_safe_block
 #: matched build-row timestamp emitted alongside the payload columns
 ASOF_TS = "asof_ts"
 
+#: internal lane names staged on the union/bucketed frames — caller
+#: columns may not reuse them (a silent alias collision would corrupt
+#: the match instead of failing loudly)
+_RESERVED = frozenset({"_ats", "_pay", "_tag", "_tie", "_ck", "_blk", "_loc",
+                       "_blast", "_carry", "_rb"})
+
+
+def _check_reserved(*frames: DataFrame) -> None:
+    hit = _RESERVED & {c for f in frames for c in f.columns}
+    if hit:
+        raise ValueError(f"input columns use reserved internal names: {sorted(hit)}")
+
 
 def _ts_micros(col: Column) -> Column:
     """Epoch micros for blocking/tolerance; ntz→ltz cast is wall-clock
@@ -76,6 +88,7 @@ def _asof_union(
     union and the within-key ordering (ts asc nulls first, tag asc,
     tiebreak asc) under which the running last non-null ``_pay`` at a
     probe row is its as-of match."""
+    _check_reserved(probe, build)
     collisions = {ASOF_TS, *payloads} & set(probe.columns)
     if collisions:
         raise ValueError(f"probe columns collide with payload outputs: {collisions}")
@@ -258,6 +271,7 @@ def range_join(
     ceil(interval_len/width)+1 rows per interval — size the width to
     the typical interval so the explode stays O(1) per interval.
     """
+    _check_reserved(facts, intervals)
     dup = (set(facts.columns) & set(intervals.columns)) - set(keys)
     if dup:
         raise ValueError(f"fact/interval columns collide: {dup}")

@@ -219,3 +219,22 @@ def test_range_join_column_collision_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_reserved_internal_names_raise(spark):
+    probe, build = _frames(spark)
+    for bad in ("_pay", "_ck", "_rb"):
+        try:
+            temporal.asof_join(
+                probe.withColumn(bad, F.lit(0)), build, ["key"], payloads=["ver"]
+            )
+            raise AssertionError(f"expected ValueError for {bad}")
+        except ValueError:
+            pass
+    facts = spark.createDataFrame(FACTS, FACT_SCHEMA)
+    iv = spark.createDataFrame(INTERVALS, IV_SCHEMA)
+    try:
+        temporal.range_join(facts.withColumn("_rb", F.lit(0)), iv, ["key"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
