@@ -722,3 +722,130 @@ def streaming_conv_stats(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def asof_state_append(
+    spark: SparkSession,
+    rows: DataFrame,
+    state_dir: str,
+    batch_id: int,
+) -> None:
+    """Append one committed epoch to an as-of state table: the rows land
+    under ``state_dir/batch_id=N`` (idempotent overwrite) and the
+    ``_commits`` marker row lands LAST, so a crashed append is invisible
+    to every reader and a rerun re-commits the same bytes — the same
+    marker protocol as the streaming dedup indexes
+    (datapipe.compaction.committed_batches)."""
+    rows.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(state_dir, f"batch_id={batch_id}")
+    )
+    spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+        "append"
+    ).parquet(os.path.join(state_dir, "_commits"))
+
+
+def streaming_asof_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    state_schema: str,
+    keys: list[str],
+    probe_ts: str = "ts",
+    build_ts: str = "ts",
+    payloads: list[str] | None = None,
+    tolerance_s: float | None = None,
+    tiebreak: str | None = None,
+    available_now: bool = True,
+    chaos=None,
+):
+    """Stream-table AS-OF enrichment — the streaming twin of
+    ``temporal.asof_join``: each arriving probe row is enriched with the
+    latest state-change row at or before its timestamp ("which
+    deploy/config was live when this turn happened"). The reference's
+    TTL-cached resolver (internal/resolve/cache.go:26-78) serves the
+    same role with the same staleness posture: state committed after a
+    probe batch was processed enriches FUTURE batches only — the
+    standard stream-table-join delta vs a full batch recompute.
+
+    The state table is APPEND-ONLY under the repo's marker protocol
+    (``state_dir/batch_id=N`` + ``_commits``; write epochs with
+    ``asof_state_append``). Exactly-once output under replay requires
+    the batch → state-view binding to SURVIVE a crash — the state table
+    may grow between the crashed attempt and its replay — so each batch
+    PINS the exact committed-epoch set it read, FIRST, under
+    ``out_dir/_epoch_pins/batch_id=N`` (own marker row last): a
+    replayed batch reads its pin and joins the byte-identical state
+    view, then overwrites the same output partition. Crash windows: (a)
+    before the pin marker → replay re-pins (output never written); (b)
+    between pin marker and output → replay reuses the pin, output
+    written once; (c) after output, before Spark's checkpoint → replay
+    reuses the pin and overwrites identical bytes.
+
+    Scale posture: the join is ``temporal.asof_join`` (union-tag running
+    last — ONE shuffle per micro-batch, no row-level join); per-task
+    state is bounded by the micro-batch, and the state view is read via
+    explicit partition paths so only pinned epochs are ever listed.
+    """
+    from . import temporal
+    from .datapipe.compaction import committed_batches
+
+    state_fields = spark.createDataFrame([], state_schema).columns
+    pins_dir = os.path.join(out_dir, "_epoch_pins")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pin_path = os.path.join(pins_dir, f"batch_id={batch_id}")
+        if batch_id in committed_batches(spark, pins_dir):
+            pinned = {
+                r["state_batch_id"]
+                for r in spark.read.schema("state_batch_id long")
+                .parquet(pin_path)
+                .collect()
+            }
+        else:
+            pinned = committed_batches(spark, state_dir)
+            spark.createDataFrame(
+                [(b,) for b in sorted(pinned)] or [], "state_batch_id long"
+            ).coalesce(1).write.mode("overwrite").parquet(pin_path)
+            # pin marker LAST — a crash mid-pin-write is invisible
+            spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+                "append"
+            ).parquet(os.path.join(pins_dir, "_commits"))
+        if chaos is not None:
+            chaos(batch_id, "pinned")
+        if pinned:
+            state = spark.read.schema(state_schema).parquet(
+                *[os.path.join(state_dir, f"batch_id={b}") for b in sorted(pinned)]
+            )
+            # hive partition col rides along even with a pinned schema
+            # (CLAUDE.md gotcha) — select the declared fields only
+            state = state.select(*state_fields)
+        else:
+            state = spark.createDataFrame([], state_schema)
+        enriched = temporal.asof_join(
+            batch_df,
+            state,
+            keys,
+            probe_ts=probe_ts,
+            build_ts=build_ts,
+            payloads=payloads,
+            tolerance_s=tolerance_s,
+            tiebreak=tiebreak,
+        )
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        if chaos is not None:
+            chaos(batch_id, "written")
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -671,3 +671,71 @@ def test_streaming_conv_stats_sessions(spark, tmp_path):
         # end = last turn + gap
         assert r["session_start"] == b["first_ts"]
         assert (r["session_end"] - b["last_ts"]).total_seconds() == 300.0
+
+
+def test_streaming_asof_enrich_pins_state_epoch(spark, tmp_path):
+    """Crash drill for the stream-table as-of: batch 0 pins state epoch
+    {0}, crashes before writing output, and the state table GROWS while
+    it is down. The replay must enrich with the PINNED view (ver 1),
+    not the grown one; the next batch pins {0,1} and sees ver 2."""
+    from datetime import datetime
+
+    input_dir = str(tmp_path / "asof_in")
+    state_dir = str(tmp_path / "asof_state")
+    out_dir = str(tmp_path / "asof_out")
+    ckpt = str(tmp_path / "asof_ck")
+    schema = "pid long, key string, ts timestamp_ntz"
+    st_schema = "key string, ts timestamp_ntz, ver long"
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+
+    def probe(pid):
+        return spark.createDataFrame(
+            [(pid, "a", datetime(2024, 6, 1, 12, 0, 10))], schema
+        )
+
+    streaming.asof_state_append(
+        spark, spark.createDataFrame([("a", t0, 1)], st_schema), state_dir, 0
+    )
+    probe(1).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def boom(batch_id, stage):
+        if stage == "pinned":
+            raise RuntimeError(f"chaos: crash after pin of batch {batch_id}")
+
+    q = streaming.streaming_asof_enrich(
+        spark, input_dir, state_dir, out_dir, ckpt,
+        schema=schema, state_schema=st_schema, keys=["key"],
+        payloads=["ver"], chaos=boom,
+    )
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash surfaces through the stream
+
+    # state grows while the stream is down: a later version whose ts
+    # STILL precedes the probe ts — the un-pinned recompute trap
+    streaming.asof_state_append(
+        spark,
+        spark.createDataFrame([("a", datetime(2024, 6, 1, 12, 0, 1), 2)], st_schema),
+        state_dir,
+        1,
+    )
+    q2 = streaming.streaming_asof_enrich(
+        spark, input_dir, state_dir, out_dir, ckpt,
+        schema=schema, state_schema=st_schema, keys=["key"], payloads=["ver"],
+    )
+    q2.awaitTermination(180)
+
+    probe(2).coalesce(1).write.mode("append").parquet(input_dir)
+    q3 = streaming.streaming_asof_enrich(
+        spark, input_dir, state_dir, out_dir, ckpt,
+        schema=schema, state_schema=st_schema, keys=["key"], payloads=["ver"],
+    )
+    q3.awaitTermination(180)
+
+    out_schema = "pid long, key string, ts timestamp_ntz, asof_ts timestamp_ntz, ver long"
+    got = {
+        r["pid"]: r["ver"]
+        for r in spark.read.schema(out_schema).parquet(out_dir).collect()
+    }
+    assert got == {1: 1, 2: 2}
