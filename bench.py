@@ -230,6 +230,9 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     times["sft_pairs"] = _timed(
         lambda: _force(transcript.sft_pairs(tr)), "sft_pairs"
     )
+    times["conv_integrity"] = _timed(
+        lambda: _force(transcript.integrity_report(tr)), "conv_integrity"
+    )
 
     # temporal joins (temporal.py, L54-L55) over the cached turns. The
     # role key is deliberately HOT (3-way cardinality), so the as-of
