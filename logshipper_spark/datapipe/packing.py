@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import textstats
-from .sampling import block_running_sum
+from .sampling import block_running_sum, numeric_order
 
 
 def pack_chunks(
@@ -51,7 +51,11 @@ def pack_chunks(
     exactly full. Zero-token documents occupy no stream space and
     produce no rows. Everything is exact integer arithmetic over a
     deterministic order — reproducible run-to-run and partition-
-    independent."""
+    independent. A non-numeric `order_col` (string conv_id keys) lays
+    out in `(xxhash64(key), key)` order instead (sampling.numeric_order
+    — the block-offset running sum needs a blockable numeric key);
+    still deterministic, unique, and partition-independent, just not
+    lexicographic."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     toks = (
@@ -59,13 +63,15 @@ def pack_chunks(
         if tokens_col
         else textstats.token_count(F.col(text_col))
     ).cast("long")
+    base, blk_key, tb = numeric_order(df.withColumn("_tok", toks), order_col)
     d = block_running_sum(
-        df.withColumn("_tok", toks),
+        base,
         group_col,
-        order_col,
+        blk_key,
         "_tok",
         block_size,
         "_end",
+        tiebreaks=tb,
     ).withColumn("_start", F.col("_end") - F.col("_tok"))
     d = d.filter(F.col("_tok") > 0)
     # integer DIV, not floor(double /): offsets are nonnegative longs,
@@ -202,7 +208,8 @@ def shard_plan(
     dense sequence).
 
     Deterministic and partition-independent: the layout depends only on
-    the ordering key. The running sum is the block-offset two-phase
+    the ordering key (non-numeric keys lay out in ``(xxhash64(key),
+    key)`` order — see ``pack_chunks``). The running sum is the block-offset two-phase
     decomposition (sampling.block_running_sum) — one corpus-sized group
     never funnels through one task; the subsequent physical write is
     ``.repartition(shard)`` + partitionBy, one shuffle sized by the
@@ -217,7 +224,10 @@ def shard_plan(
     d = df.withColumn("_nb", nbytes)
     if group_col is None:
         d = d.withColumn("_g", F.lit(0))
-    d = block_running_sum(d, g, order_col, "_nb", block_size, "cum_bytes")
+    d, blk_key, tb = numeric_order(d, order_col)
+    d = block_running_sum(
+        d, g, blk_key, "_nb", block_size, "cum_bytes", tiebreaks=tb
+    )
     out = d.select(
         *([group_col] if group_col else []),
         F.col(order_col),

@@ -214,6 +214,32 @@ def topk_per_group(
     )
 
 
+def numeric_order(
+    df: DataFrame, order_col: str
+) -> tuple[DataFrame, str, list[str]]:
+    """Adapt an arbitrary unique ordering key for the block-offset
+    pattern, which needs a NUMERIC key to derive block ids from
+    (blocks must be contiguous ranges of the total order). Numeric
+    keys pass through; for any other type the layout order becomes
+    ``(xxhash64(key), key)`` — deterministic, partition-independent,
+    and unique whenever the key itself is (equal hashes share a block,
+    and the key itself breaks the tie inside it), so e.g. string
+    conv_id-keyed documents pack exactly. Returns
+    ``(df', block_key_col, tiebreak_cols)``; the caller drops
+    ``_ord0`` when it was added."""
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+    }
+    dtype = dict(df.dtypes).get(order_col, "")
+    if dtype in numeric or dtype.startswith("decimal"):
+        return df, order_col, []
+    return (
+        df.withColumn("_ord0", F.xxhash64(F.col(order_col))),
+        "_ord0",
+        [order_col],
+    )
+
+
 def block_running_sum(
     df: DataFrame,
     group_col: str,
@@ -221,15 +247,21 @@ def block_running_sum(
     val_col: str,
     block_size: int = 4096,
     out_col: str = "_cum",
+    tiebreaks: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive running sum of `val_col` per group ordered by
-    `order_col` (which must be unique within the group), added as
-    `out_col` — exactly `SUM(val) OVER (PARTITION BY group ORDER BY
-    ord ROWS UNBOUNDED PRECEDING)` but computed with the block-offset
-    pattern (skew.py:33): blocks are ranges of the ordering key, so a
-    local rowsBetween cumsum per (group, block) plus a per-block offset
-    table (~rows/block_size rows) reproduces the unbounded window
-    without any task scanning a group's full history.
+    `order_col` (which must be unique within the group — or unique
+    together with `tiebreaks`, extra ordering lanes for when the
+    blockable numeric key alone has ties, see ``numeric_order``),
+    added as `out_col` — exactly `SUM(val) OVER (PARTITION BY group
+    ORDER BY ord ROWS UNBOUNDED PRECEDING)` but computed with the
+    block-offset pattern (skew.py:33): blocks are ranges of the
+    ordering key, so a local rowsBetween cumsum per (group, block)
+    plus a per-block offset table (~rows/block_size rows) reproduces
+    the unbounded window without any task scanning a group's full
+    history. Tied `order_col` values always share a block (ids derive
+    from `order_col` alone), so tiebreak lanes never cross blocks and
+    the two-phase order stays total.
 
     Single-window parity holds for the edge shapes too: the offset
     join runs on a struct-wrapped group key (struct equality is
@@ -247,7 +279,7 @@ def block_running_sum(
     )
     local_w = (
         Window.partitionBy("_gk", "_blk")
-        .orderBy(order_col)
+        .orderBy(order_col, *(tiebreaks or []))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     with_local = d.withColumn(

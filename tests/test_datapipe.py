@@ -1031,6 +1031,86 @@ def test_pack_chunks_fill_and_partition_properties(spark):
     packed.unpersist()
 
 
+def test_pack_chunks_string_order_key_parity(spark):
+    """Non-numeric order keys (conv_id strings, the transcript-dataprep
+    path) lay out in (xxhash64(key), key) order via sampling.
+    numeric_order; the block decomposition must equal a single-window
+    running sum over that same order, block_size-invariantly."""
+    from pyspark.sql import Window
+
+    from logshipper_spark.datapipe import packing
+
+    docs = spark.range(300).selectExpr(
+        "id",
+        "concat('s', id % 2) AS source",
+        "concat('conv-', id) AS doc_id",
+        "trim(repeat('w ', CAST(id % 11 AS INT))) AS text",
+    )
+    packed = packing.pack_chunks(
+        docs.drop("id"), budget=13, block_size=8
+    ).cache()
+    # single-window reference over the documented (hash, key) order
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.xxhash64("doc_id"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = (
+        docs.withColumn("_tok", F.expr("CAST(id % 11 AS LONG)"))
+        .filter("_tok > 0")
+        .withColumn("_end", F.sum("_tok").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_tok"))
+    )
+    starts = {
+        r["doc_id"]: r["_start"] for r in ref.collect()
+    }
+    got = {
+        r["doc_id"]: r["chunk_id"] * 13 + r["chunk_pos"]
+        for r in packed.filter("doc_begin = 0").collect()
+    }
+    assert got == starts
+    alt = packing.pack_chunks(docs, budget=13, block_size=4096)
+    assert sorted(map(tuple, alt.collect())) == sorted(
+        map(tuple, packed.collect())
+    )
+    # no leaked internal columns
+    assert set(packed.columns) == {
+        "source", "chunk_id", "doc_id", "doc_begin", "doc_end", "chunk_pos"
+    }
+    packed.unpersist()
+
+
+def test_shard_plan_string_order_key(spark):
+    """shard_plan over string doc keys: exact running-sum parity with
+    the single-window form on the (hash, key) order, and the shard id
+    is bytes-before DIV target."""
+    from pyspark.sql import Window
+
+    from logshipper_spark.datapipe import packing
+
+    docs = spark.range(150).selectExpr(
+        "id",
+        "concat('d-', id) AS doc_id",
+        "repeat('x', CAST(id % 29 AS INT)) AS text",
+    )
+    plan = packing.shard_plan(docs.drop("id"), target_bytes=40, block_size=8)
+    w = (
+        Window.orderBy(F.xxhash64("doc_id"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = {
+        r["doc_id"]: (r["c"], (r["c"] - r["n"]) // 40)
+        for r in docs.withColumn("n", F.expr("CAST(id % 29 AS LONG)"))
+        .withColumn("c", F.sum("n").over(w))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: (r["cum_bytes"], r["shard"]) for r in plan.collect()
+    }
+    assert got == ref
+    assert set(plan.columns) == {"doc_id", "n_bytes", "cum_bytes", "shard"}
+
+
 def test_term_counts_exact(spark):
     from collections import Counter
 
