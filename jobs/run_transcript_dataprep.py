@@ -126,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
     from logshipper_spark.session import get_spark
 
     spark = get_spark(app_name="logshipper-transcript-dataprep")
+    # post-startup clock: scaling captures compare pipeline work, not
+    # constant JVM boot (the same reason bench.py times in-JVM)
+    import time
+
+    t0 = time.monotonic()
 
     def write(df, name):
         df.write.mode("overwrite").option("compression", args.codec).parquet(
@@ -195,10 +200,7 @@ def main(argv: list[str] | None = None) -> int:
         pairs = transcript.sft_pairs(turns.join(
             kept_convs.select("conv_id"), "conv_id"
         )).join(kept_convs, "conv_id")
-        write(pairs, "sft")
-        summary["sft_pairs"] = spark.read.parquet(
-            os.path.join(args.out, "sft")
-        ).count()
+        summary["sft_pairs"] = write(pairs, "sft").count()
 
     # 6. output: packed sequences or sharded text corpus
     if args.budget:
@@ -235,7 +237,11 @@ def main(argv: list[str] | None = None) -> int:
         ).option("compression", args.codec).partitionBy("split").parquet(
             os.path.join(args.out, "chunks")
         )
-        fills = spark.read.parquet(os.path.join(args.out, "chunks"))
+        # schema pinned: a zero-survivor run leaves an empty dir and
+        # inference would throw (round-2 gotcha)
+        fills = spark.read.schema(chunks.schema).parquet(
+            os.path.join(args.out, "chunks")
+        )
         summary["chunks"] = {
             r["split"]: {"n_chunks": r["n"], "tokens": r["tok"]}
             for r in fills.groupBy("split").agg(
@@ -247,15 +253,17 @@ def main(argv: list[str] | None = None) -> int:
         plan = packing.shard_plan(
             survivors, args.shard_bytes, group_col="split"
         ).select("doc_id", "shard")
+        sharded = survivors.join(plan, "doc_id")
         (
-            survivors.join(plan, "doc_id")
-            .repartition(F.col("split"), F.col("shard"))
+            sharded.repartition(F.col("split"), F.col("shard"))
             .write.mode("overwrite")
             .option("compression", args.codec)
             .partitionBy("split", "shard")
             .parquet(os.path.join(args.out, "corpus"))
         )
-        corpus = spark.read.parquet(os.path.join(args.out, "corpus"))
+        corpus = spark.read.schema(sharded.schema).parquet(
+            os.path.join(args.out, "corpus")
+        )
         summary["shards"] = {
             r["split"]: r["n"]
             for r in corpus.groupBy("split").agg(
@@ -263,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
         }
 
+    summary["wall_s"] = round(time.monotonic() - t0, 2)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f)
     print(json.dumps(summary))
