@@ -131,6 +131,13 @@ def main(argv: list[str] | None = None) -> int:
     import time
 
     t0 = time.monotonic()
+    stage_t: dict[str, float] = {}
+    _last = [t0]
+
+    def mark(name):
+        now = time.monotonic()
+        stage_t[name] = round(now - _last[0], 2)
+        _last[0] = now
 
     def write(df, name):
         df.write.mode("overwrite").option("compression", args.codec).parquet(
@@ -150,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
         ok_convs = report.filter("conv_ok").select("conv_id")
         turns = turns.join(ok_convs, "conv_id")
         summary["conversations_ok"] = ok_convs.count()
+    mark("integrity")
 
     # 2. render conversations into documents
     rendered = write(
@@ -162,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
         "rendered",
     )
     summary["rendered_docs"] = rendered.count()
+    mark("render")
 
     # 3. curate the rendered documents
     keep = curate_mod.curate(
@@ -177,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
     curate_mod.release_cached_frames()
     dedup.release_cached_signatures()
     summary["kept_docs"] = keep.count()
+    mark("curate")
     survivors = keep.select("doc_id").join(rendered, "doc_id")
 
     # 4. deterministic splits keyed on the conversation id
@@ -191,6 +201,7 @@ def main(argv: list[str] | None = None) -> int:
     else:
         survivors = survivors.withColumn("split", F.lit("train"))
     survivors = write(survivors, "survivors")
+    mark("split")
 
     # 5. SFT pairs from surviving conversations only
     if args.sft:
@@ -201,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
             kept_convs.select("conv_id"), "conv_id"
         )).join(kept_convs, "conv_id")
         summary["sft_pairs"] = write(pairs, "sft").count()
+        mark("sft")
 
     # 6. output: packed sequences or sharded text corpus
     if args.budget:
@@ -212,6 +224,7 @@ def main(argv: list[str] | None = None) -> int:
             "vocab",
         )
         summary["vocab_size"] = vocab.count()
+        mark("vocab")
         ids = write(
             tokenize.tokenize_ids(survivors, vocab).join(
                 survivors.select("doc_id", "split"), "doc_id"
@@ -271,6 +284,8 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()
         }
 
+    mark("output")
+    summary["stage_s"] = stage_t
     summary["wall_s"] = round(time.monotonic() - t0, 2)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -26,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 9_600_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_legs = int(os.environ.get("SPARK_GRAFT_SCALING_LEGS", "3"))
 
@@ -54,10 +55,15 @@ def main() -> int:
     per_level: dict[int, list[float]] = {n: [], 4 * n: []}
     for i, cores in enumerate(legs):
         out = os.path.join(scratch, f"out_{i}")
+        # SAME 8g heap at both levels: session.py's measured guidance —
+        # large heaps pay growth + GC-pause tax on this VM. A 32g heap
+        # at the 32-core level measured the whole job 2.1x slower
+        # (92.7 s vs 43.4 s at 2.4M turns, curate stage 48 s vs 8.7 s);
+        # equal heaps also keep the levels comparable.
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
-            SPARK_DRIVER_MEMORY=f"{max(8, cores)}g",
+            SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         )
         subprocess.run(
             [sys.executable, job, "--turns", turns_dir, "--out", out,
@@ -66,10 +72,13 @@ def main() -> int:
             env=env, check=True, capture_output=True, text=True,
         )
         with open(os.path.join(out, "summary.json")) as f:
-            wall = json.load(f)["wall_s"]
+            s = json.load(f)
+        wall = s["wall_s"]
         per_level[cores].append(round(n_turns / wall, 1))
         print(f"# leg {i}: {cores} cores, {wall} s, "
-              f"{per_level[cores][-1]:,.0f} turns/s", file=sys.stderr)
+              f"{per_level[cores][-1]:,.0f} turns/s, stages {s['stage_s']}",
+              file=sys.stderr)
+        shutil.rmtree(out, ignore_errors=True)
     tp_n = max(per_level[n])
     tp_4n = max(per_level[4 * n])
     print(json.dumps({
