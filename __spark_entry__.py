@@ -1730,6 +1730,32 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_PATH = "/tmp/spark_graft_contract/pq.parquet"
+PQ_M, PQ_CODES, PQ_RERANK = 4, 8, 4
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity.pq_fit/write_pq_index/
+    pq_topk): per-subspace k-means codebooks → m-int code rows → integer
+    asymmetric-distance scan → exact-cosine rerank. The oracle re-derives
+    EVERY per-subspace code assignment from the persisted codebook
+    bytes, rebuilds the integer-micros partial-dot tables from the same
+    doubles, and re-runs the candidate cut + rerank in SQL — so the fit
+    output, the index write, the ADC arithmetic, and the rerank are all
+    independently checked."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    books = similarity.pq_fit(
+        emb, m=PQ_M, codes_per_sub=PQ_CODES, dim=IVF_DIM, max_iter=3
+    )
+    similarity.write_pq_index(emb, PQ_PATH, books)
+    return similarity.pq_topk(
+        spark, PQ_PATH, qv, k=10, rerank_df=emb, rerank=PQ_RERANK
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN join: top-5 per query for the first 5 vectors against
     the IVF index. Oracle re-derives every vector's cell and each
@@ -2191,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "pq_topk": q_pq_topk,
         "knn_join": q_knn_join,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
@@ -2270,6 +2297,62 @@ _ROLLUP_SQL = f"""
                      + CAST(avg_latency_us // 1000 AS BIGINT) / 100.0 AS risk
             FROM d
 """
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB re-derivation of the whole PQ path from the persisted
+    codebook bytes: per-subspace nearest-code assignment (6-dp-rounded
+    squared L2, code tie-break — the nearest_centroid_struct
+    convention), per-element integer-micros partial dots with the
+    query (``floor(q_i·c_i·1e6 + 0.5)`` summed as BIGINT — exactly the
+    driver's lookup-table arithmetic in similarity.pq_topk), ADC
+    candidate cut, and exact-cosine rerank."""
+    ctes, adc_terms, joins = [], [], []
+    for s, (st, w) in enumerate(similarity.subspace_bounds(IVF_DIM, PQ_M)):
+        ctes.append(f"""
+            d{s} AS (
+              SELECT s.vec_id, cb.code,
+                     round(list_sum(list_transform(range(1, {w} + 1),
+                           i -> (s.v[{st} - 1 + i] - cb.centroid[i])
+                              * (s.v[{st} - 1 + i] - cb.centroid[i]))), 6) AS dist
+              FROM s CROSS JOIN cb WHERE cb.sub = {s}),
+            a{s} AS (
+              SELECT vec_id, code FROM d{s}
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, code) = 1),
+            p{s} AS (
+              SELECT a{s}.vec_id,
+                     list_sum(list_transform(range(1, {w} + 1),
+                           i -> CAST(floor(q.qv[{st} - 1 + i] * cb.centroid[i]
+                                           * 1000000.0 + 0.5) AS BIGINT))) AS p
+              FROM a{s} JOIN cb ON cb.sub = {s} AND cb.code = a{s}.code
+              CROSS JOIN q)""")
+        adc_terms.append(f"p{s}.p")
+        if s:
+            joins.append(f"JOIN p{s} USING (vec_id)")
+    return f"""
+        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM s WHERE vec_id = 0),
+        cb AS (SELECT sub, code, centroid
+               FROM read_parquet('{PQ_PATH}_codebook/*.parquet')),
+        {",".join(ctes)},
+        adc AS (
+          SELECT p0.vec_id, {" + ".join(adc_terms)} AS adc_micros
+          FROM p0 {" ".join(joins)}),
+        cand AS (SELECT * FROM adc
+                 ORDER BY adc_micros DESC, vec_id LIMIT {10 * PQ_RERANK}),
+        fin AS (
+          SELECT cand.vec_id, cand.adc_micros,
+                 list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                         i -> s.v[i] * q.qv[i])) AS dot,
+                 sqrt(list_sum(list_transform(s.v, x -> x * x))) AS nv,
+                 sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq
+          FROM cand JOIN s USING (vec_id) CROSS JOIN q)
+        SELECT vec_id, adc_micros,
+               round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4)
+                 AS cosine_r
+        FROM fin ORDER BY cosine_r DESC, vec_id LIMIT 10
+    """
 
 
 def _ivf_cell_sql(vec: str) -> str:
@@ -2850,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
                    n_bytes
             FROM d
         """,
+        "pq_topk": _pq_oracle_sql(),
         "knn_join": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cells AS (SELECT vec_id, v, {_ivf_cell_sql('v')} AS cell FROM s),

@@ -627,6 +627,24 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         )
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
+    pq_dir = tempfile.mkdtemp(prefix="bench_pq_") + "/pq"
+    try:
+        t0 = time.time()
+        pq_books = similarity.pq_fit(
+            emb, m=4, codes_per_sub=16, dim=len(qv), max_iter=3
+        )
+        similarity.write_pq_index(emb, pq_dir, pq_books)
+        times["pq_index_build"] = round(time.time() - t0, 3)
+        times["pq_topk"] = _timed(
+            lambda: _force(
+                similarity.pq_topk(
+                    spark, pq_dir, qv, k=10, rerank_df=emb, rerank=4
+                )
+            ),
+            "pq_topk",
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(pq_dir), ignore_errors=True)
 
     result["value"] = turns_per_sec
     result["batch_turns_per_sec_with_sink_io"] = result_batch_tps

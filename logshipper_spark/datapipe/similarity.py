@@ -537,6 +537,199 @@ def ivf_trained_topk(
     return cosine_topk(pruned, query, vec_col, id_col, k)
 
 
+def subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """Contiguous product-quantization subspaces as 1-based
+    ``(start, width)`` pairs (``F.slice`` convention); the remainder is
+    spread one element each over the leading subspaces, so widths
+    differ by at most 1. ``m > dim`` would create empty subspaces —
+    rejected."""
+    if m < 1 or m > dim:
+        raise ValueError(f"need 1 <= m <= dim, got m={m} dim={dim}")
+    base, rem = divmod(dim, m)
+    out, st = [], 1
+    for s in range(m):
+        w = base + (1 if s < rem else 0)
+        out.append((st, w))
+        st += w
+    return out
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = 4,
+    codes_per_sub: int = 16,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_iter: int = 3,
+    sample_mod: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` independent k-means fits,
+    one per contiguous subspace slice, each with ``codes_per_sub``
+    centroids — ``codebooks[s][c]`` is a width-``w_s`` vector. Returns
+    ``[]`` on an empty fit frame (the ``kmeans_fit`` convention).
+
+    Fitting is ``m`` small ``kmeans_fit`` runs — a one-time cost on a
+    hash-slice sample (``sample_mod``) at corpus scale, exactly like
+    IVF training; assignment (``pq_codes``) is the single full-data
+    pass. Each fit inherits ``kmeans_fit``'s determinism (maximin
+    seeding over a hash-uniform sample, integer-micros Lloyd sums)."""
+    dim = dim if dim is not None else _vec_dim(df, vec_col)
+    books: list[list[list[float]]] = []
+    for st, w in subspace_bounds(dim, m):
+        book = kmeans_fit(
+            df.select(F.slice(F.col(vec_col), st, w).alias("_sub")),
+            num_cells=codes_per_sub,
+            vec_col="_sub",
+            dim=w,
+            max_iter=max_iter,
+            sample_mod=sample_mod,
+        )
+        if not book:
+            return []
+        books.append(book)
+    return books
+
+
+def pq_codes(
+    df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``codes`` (``array<int>``, one code per subspace): each
+    subspace slice's nearest codebook entry by 6-dp-rounded squared L2,
+    index tie-break — the ``nearest_centroid_struct`` convention, so an
+    independent reader (the contract oracle) re-derives identical codes
+    from the persisted codebook bytes. The sub-vector slices are STAGED
+    as intermediate columns first: ``nearest_centroid_struct``
+    references its input once per centroid, and an inlined slice would
+    be re-evaluated ``codes_per_sub`` times per row (the CLAUDE.md
+    column-inlining trap)."""
+    if not codebooks or any(not b for b in codebooks):
+        raise ValueError("pq_codes: empty codebooks")
+    dim = sum(len(b[0]) for b in codebooks)
+    out = df
+    subs = []
+    for s, (st, w) in enumerate(subspace_bounds(dim, len(codebooks))):
+        name = f"_pqsub{s}"
+        out = out.withColumn(name, F.slice(F.col(vec_col), st, w))
+        subs.append(name)
+    out = out.withColumn(
+        "codes",
+        F.array(
+            *[
+                nearest_centroid_struct(F.col(n), codebooks[s])["i"].cast("int")
+                for s, n in enumerate(subs)
+            ]
+        ),
+    )
+    return out.drop(*subs)
+
+
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+    codec: str = "zstd",
+) -> None:
+    """Persist the PQ codes table at ``path`` (``id, codes`` — ~``m``
+    small ints per vector instead of ``dim`` doubles: at m=8/dim=768
+    that is ~2 orders of magnitude fewer index bytes scanned per query)
+    plus the self-describing codebook at ``<path>_codebook``
+    (``sub, code, centroid``) — probes and the contract oracle
+    re-derive every assignment from the same codebook bytes (the
+    ``write_ivf_trained`` convention)."""
+    spark = df.sparkSession
+    pq_codes(df, codebooks, vec_col).select(id_col, "codes").write.mode(mode).option(
+        "compression", codec
+    ).parquet(path)
+    rows = [
+        (s, c, list(book[c]))
+        for s, book in enumerate(codebooks)
+        for c in range(len(book))
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).option("compression", codec).parquet(
+        path + "_codebook"
+    )
+
+
+def pq_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    rerank_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rerank: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k against a ``write_pq_index``
+    table. The per-(sub, code) partial dot products with the query are
+    computed ON THE DRIVER from the persisted codebook (``m × k``
+    values — bytes, not data volume) with each element quantized to
+    integer micros (``floor(q_i·c_i·1e6 + 0.5)`` summed as longs —
+    order-independent and bit-reproducible in any engine, the lm.py
+    convention) and shipped as literal lookup arrays. Each index row
+    then costs ``m`` ``element_at`` lookups + integer adds over its
+    ``m``-int code row — no float math and no vector bytes on the scan
+    side, which is the whole point at 100 TB. Top-k via
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, never a
+    full sort).
+
+    ``rerank_df`` (``id, vec``): exact-cosine rerank of the top
+    ``k·rerank`` ADC candidates — the candidate id set is tiny, so the
+    float vectors are fetched for just those rows (broadcast-joined
+    back). Output: ``(id, adc_micros[, cosine_r])``."""
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(path + "_codebook").collect():
+        books.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
+    if not books:
+        raise ValueError(f"pq_topk: empty codebook at {path}_codebook")
+    import math
+
+    m = len(books)
+    bounds = subspace_bounds(len(query), m)
+    tables: list[list[int]] = []
+    for s, (st, w) in enumerate(bounds):
+        qsub = query[st - 1 : st - 1 + w]
+        tables.append(
+            [
+                sum(
+                    int(math.floor(a * b * 1e6 + 0.5))
+                    for a, b in zip(qsub, books[s][c])
+                )
+                for c in sorted(books[s])
+            ]
+        )
+    codes = spark.read.parquet(path)
+    adc: Column = F.lit(0).cast("long")
+    for s, tab in enumerate(tables):
+        lut = F.array(*[F.lit(int(x)).cast("long") for x in tab])
+        adc = adc + F.element_at(lut, F.col("codes")[s] + 1)
+    scored = codes.select(F.col(id_col), adc.alias("adc_micros"))
+    if rerank_df is None:
+        return scored.orderBy(F.col("adc_micros").desc(), F.col(id_col)).limit(k)
+    cand = scored.orderBy(F.col("adc_micros").desc(), F.col(id_col)).limit(
+        k * max(1, rerank)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    vecs = rerank_df.select(F.col(id_col), F.col(vec_col).alias("_rv"))
+    # the candidate set (k·rerank rows) is the broadcast side — the
+    # float-vector table is the 100 TB side and must only be probed
+    return (
+        F.broadcast(cand).join(vecs, id_col)
+        .select(
+            F.col(id_col),
+            F.col("adc_micros"),
+            F.round(cosine_similarity(F.col("_rv"), qlit), 4).alias("cosine_r"),
+        )
+        .orderBy(F.col("cosine_r").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

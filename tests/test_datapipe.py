@@ -533,6 +533,84 @@ def test_kmeans_empty_input(spark):
     assert similarity.kmeans_fit(df, num_cells=4, dim=3) == []
 
 
+# ── product quantization (round 3) ──
+def test_subspace_bounds():
+    assert similarity.subspace_bounds(64, 4) == [(1, 16), (17, 16), (33, 16), (49, 16)]
+    # remainder spread over the LEADING subspaces, widths differ by <= 1
+    assert similarity.subspace_bounds(10, 3) == [(1, 4), (5, 3), (8, 3)]
+    assert similarity.subspace_bounds(3, 3) == [(1, 1), (2, 1), (3, 1)]
+    with pytest.raises(ValueError):
+        similarity.subspace_bounds(3, 4)
+    with pytest.raises(ValueError):
+        similarity.subspace_bounds(3, 0)
+
+
+def test_pq_clustered_recovers_exact(spark, tmp_path):
+    """On cluster-structured data (PQ's actual use case) the ADC scan +
+    exact rerank recovers the brute-force top-k exactly: each subspace
+    codebook learns the per-cluster subvectors, so reconstructions are
+    near-lossless and candidate selection keeps the true neighbors."""
+    base = {0: [9.0, 9.0, 0.0, 0.0, 0.0, 0.0],
+            1: [0.0, 0.0, 9.0, 9.0, 0.0, 0.0],
+            2: [0.0, 0.0, 0.0, 0.0, 9.0, 9.0]}
+    rows = []
+    for i in range(60):
+        c = i % 3
+        bump = [((i * 11 + j) % 7) * 0.5 for j in range(6)]
+        rows.append((i, [base[c][j] + bump[j] for j in range(6)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_fit(df, m=3, codes_per_sub=4, dim=6, max_iter=4)
+    assert len(books) == 3 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    path = str(tmp_path / "pq")
+    similarity.write_pq_index(df, path, books)
+    q = [float(x) for x in rows[0][1]]  # a member vector: exact self-match
+    got = similarity.pq_topk(spark, path, q, k=5, rerank_df=df).collect()
+    brute = similarity.cosine_topk(df, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+    assert got[0]["vec_id"] == 0 and got[0]["cosine_r"] == pytest.approx(1.0)
+    assert all(r["vec_id"] % 3 == 0 for r in got)  # the query's cluster
+    # ADC-only path: every top candidate is from the query's cluster too
+    adc = similarity.pq_topk(spark, path, q, k=5).collect()
+    assert [r["vec_id"] % 3 for r in adc] == [0] * 5
+    assert adc == sorted(adc, key=lambda r: (-r["adc_micros"], r["vec_id"]))
+
+
+def test_pq_determinism_and_codes(spark, embs, tmp_path):
+    """Real (unclustered) embeddings: fit → write → query is fully
+    deterministic across evaluations, the rerank path puts the query's
+    own vector at top-1 cosine 1.0, and codes stay in range."""
+    emb = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    b1 = similarity.pq_fit(emb, m=4, codes_per_sub=8, dim=64, max_iter=2)
+    b2 = similarity.pq_fit(emb, m=4, codes_per_sub=8, dim=64, max_iter=2)
+    assert b1 == b2
+    path = str(tmp_path / "pq")
+    similarity.write_pq_index(emb, path, b1)
+    r1 = similarity.pq_topk(spark, path, qv, k=5, rerank_df=emb, rerank=8).collect()
+    r2 = similarity.pq_topk(spark, path, qv, k=5, rerank_df=emb, rerank=8).collect()
+    assert [r.asDict() for r in r1] == [r.asDict() for r in r2]
+    assert r1[0]["vec_id"] == 0 and r1[0]["cosine_r"] == pytest.approx(1.0, abs=1e-4)
+    codes = spark.read.parquet(path)
+    stats = codes.select(
+        F.max(F.array_max("codes")).alias("mx"),
+        F.min(F.array_min("codes")).alias("mn"),
+        F.min(F.size("codes")).alias("szmin"),
+        F.max(F.size("codes")).alias("szmax"),
+    ).head()
+    assert 0 <= stats["mn"] and stats["mx"] <= 7
+    assert stats["szmin"] == stats["szmax"] == 4
+
+
+def test_pq_fit_empty_and_bad_books(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.pq_fit(df, m=2, codes_per_sub=4, dim=6) == []
+    with pytest.raises(ValueError):
+        similarity.pq_codes(df, [])
+
+
 # ── Gopher/C4 repetition filters + PII scrubbing (filters.py) ──
 
 
