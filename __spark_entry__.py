@@ -1732,6 +1732,8 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_PATH = "/tmp/spark_graft_contract/pq.parquet"
 PQ_M, PQ_CODES, PQ_RERANK = 4, 8, 4
+IVFPQ_PATH = "/tmp/spark_graft_contract/ivfpq.parquet"
+IVFPQ_PROBE = 3
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,6 +1755,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.write_pq_index(emb, PQ_PATH, books)
     return similarity.pq_topk(
         spark, PQ_PATH, qv, k=10, rerank_df=emb, rerank=PQ_RERANK
+    )
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed serving path (similarity.write_ivf_pq /
+    ivf_pq_topk): trained-cell directory pruning over m-int PQ code
+    rows, integer ADC, exact rerank. The oracle re-derives the coarse
+    cell of every vector AND every per-subspace code from the persisted
+    centroid/codebook bytes, restricts to the probed cells, and re-runs
+    the ADC + rerank in SQL."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    cents = similarity.kmeans_fit(
+        emb, num_cells=IVF_TRAINED_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    books = similarity.pq_fit(
+        emb, m=PQ_M, codes_per_sub=PQ_CODES, dim=IVF_DIM, max_iter=3
+    )
+    similarity.write_ivf_pq(emb, IVFPQ_PATH, cents, books)
+    return similarity.ivf_pq_topk(
+        spark, IVFPQ_PATH, qv, k=10, n_probe=IVFPQ_PROBE,
+        rerank_df=emb, rerank=PQ_RERANK,
     )
 
 
@@ -2218,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "knn_join": q_knn_join,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
@@ -2299,23 +2326,25 @@ _ROLLUP_SQL = f"""
 """
 
 
-def _pq_oracle_sql() -> str:
-    """DuckDB re-derivation of the whole PQ path from the persisted
-    codebook bytes: per-subspace nearest-code assignment (6-dp-rounded
-    squared L2, code tie-break — the nearest_centroid_struct
-    convention), per-element integer-micros partial dots with the
-    query (``floor(q_i·c_i·1e6 + 0.5)`` summed as BIGINT — exactly the
-    driver's lookup-table arithmetic in similarity.pq_topk), ADC
-    candidate cut, and exact-cosine rerank."""
+def _pq_adc_ctes(base: str) -> tuple[str, str]:
+    """Shared PQ-oracle CTE block: per-subspace nearest-code assignment
+    (6-dp-rounded squared L2, code tie-break — the
+    nearest_centroid_struct convention) over rows of ``base``
+    (``vec_id, v``), plus per-element integer-micros partial dots with
+    the query (``floor(q_i·c_i·1e6 + 0.5)`` summed as BIGINT — exactly
+    the driver's lookup-table arithmetic in similarity._adc_scored).
+    Requires CTEs ``q`` (``qv``) and ``cb`` (codebook) in scope.
+    Returns ``(ctes_sql, adc_cte_sql)`` where the latter defines
+    ``adc(vec_id, adc_micros)``."""
     ctes, adc_terms, joins = [], [], []
     for s, (st, w) in enumerate(similarity.subspace_bounds(IVF_DIM, PQ_M)):
         ctes.append(f"""
             d{s} AS (
-              SELECT s.vec_id, cb.code,
+              SELECT {base}.vec_id, cb.code,
                      round(list_sum(list_transform(range(1, {w} + 1),
-                           i -> (s.v[{st} - 1 + i] - cb.centroid[i])
-                              * (s.v[{st} - 1 + i] - cb.centroid[i]))), 6) AS dist
-              FROM s CROSS JOIN cb WHERE cb.sub = {s}),
+                           i -> ({base}.v[{st} - 1 + i] - cb.centroid[i])
+                              * ({base}.v[{st} - 1 + i] - cb.centroid[i]))), 6) AS dist
+              FROM {base} CROSS JOIN cb WHERE cb.sub = {s}),
             a{s} AS (
               SELECT vec_id, code FROM d{s}
               QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -2330,15 +2359,14 @@ def _pq_oracle_sql() -> str:
         adc_terms.append(f"p{s}.p")
         if s:
             joins.append(f"JOIN p{s} USING (vec_id)")
-    return f"""
-        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        q AS (SELECT v AS qv FROM s WHERE vec_id = 0),
-        cb AS (SELECT sub, code, centroid
-               FROM read_parquet('{PQ_PATH}_codebook/*.parquet')),
-        {",".join(ctes)},
+    adc = f"""
         adc AS (
           SELECT p0.vec_id, {" + ".join(adc_terms)} AS adc_micros
-          FROM p0 {" ".join(joins)}),
+          FROM p0 {" ".join(joins)})"""
+    return ",".join(ctes), adc
+
+
+_PQ_TAIL = f"""
         cand AS (SELECT * FROM adc
                  ORDER BY adc_micros DESC, vec_id LIMIT {10 * PQ_RERANK}),
         fin AS (
@@ -2352,6 +2380,64 @@ def _pq_oracle_sql() -> str:
                round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4)
                  AS cosine_r
         FROM fin ORDER BY cosine_r DESC, vec_id LIMIT 10
+    """
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB re-derivation of the whole PQ path from the persisted
+    codebook bytes: code assignment, integer ADC, candidate cut, exact
+    rerank (see _pq_adc_ctes)."""
+    ctes, adc = _pq_adc_ctes("s")
+    return f"""
+        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM s WHERE vec_id = 0),
+        cb AS (SELECT sub, code, centroid
+               FROM read_parquet('{PQ_PATH}_codebook/*.parquet')),
+        {ctes},
+        {adc},
+        {_PQ_TAIL}
+    """
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """IVF×PQ oracle: re-derives the coarse cell of EVERY vector and
+    the query's probe set from the persisted centroid bytes (the
+    ann_ivf_trained pattern), restricts to probed cells, then re-runs
+    the full PQ chain (code assignment from codebook bytes, integer
+    ADC, cut, exact rerank) over just those rows — the same pruning ×
+    compression composition the Spark path executes."""
+    ctes, adc = _pq_adc_ctes("pr")
+    return f"""
+        WITH s0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (SELECT * FROM s0),
+        q AS (SELECT v AS qv FROM s0 WHERE vec_id = 0),
+        cent AS (SELECT cell, centroid
+                 FROM read_parquet('{IVFPQ_PATH}_centroids/*.parquet')),
+        cb AS (SELECT sub, code, centroid
+               FROM read_parquet('{IVFPQ_PATH}_codebook/*.parquet')),
+        dcell AS (
+          SELECT s0.vec_id, cent.cell,
+                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                       i -> (s0.v[i] - cent.centroid[i])
+                          * (s0.v[i] - cent.centroid[i]))), 6) AS dist
+          FROM s0 CROSS JOIN cent),
+        acell AS (
+          SELECT vec_id, cell FROM dcell
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) = 1),
+        qd AS (
+          SELECT cent.cell,
+                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                       i -> (q.qv[i] - cent.centroid[i])
+                          * (q.qv[i] - cent.centroid[i]))), 6) AS dist
+          FROM cent CROSS JOIN q),
+        probes AS (SELECT cell FROM qd ORDER BY dist, cell
+                   LIMIT {IVFPQ_PROBE}),
+        pr AS (SELECT s0.vec_id, s0.v
+               FROM s0 JOIN acell USING (vec_id) JOIN probes USING (cell)),
+        {ctes},
+        {adc},
+        {_PQ_TAIL}
     """
 
 
@@ -2934,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "pq_topk": _pq_oracle_sql(),
+        "ivf_pq_topk": _ivf_pq_oracle_sql(),
         "knn_join": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cells AS (SELECT vec_id, v, {_ivf_cell_sql('v')} AS cell FROM s),

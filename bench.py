@@ -643,6 +643,19 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             ),
             "pq_topk",
         )
+        ivfpq_dir = os.path.dirname(pq_dir) + "/ivfpq"
+        t0 = time.time()
+        similarity.write_ivf_pq(emb, ivfpq_dir, sd_cents, pq_books)
+        times["ivf_pq_index_build"] = round(time.time() - t0, 3)
+        times["ivf_pq_topk"] = _timed(
+            lambda: _force(
+                similarity.ivf_pq_topk(
+                    spark, ivfpq_dir, qv, k=10, n_probe=4,
+                    rerank_df=emb, rerank=4,
+                )
+            ),
+            "ivf_pq_topk",
+        )
     finally:
         shutil.rmtree(os.path.dirname(pq_dir), ignore_errors=True)
 

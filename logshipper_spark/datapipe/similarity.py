@@ -655,6 +655,51 @@ def write_pq_index(
     )
 
 
+def _read_codebook(spark, path: str) -> dict[int, dict[int, list[float]]]:
+    """``{sub: {code: centroid}}`` from a ``write_pq_index`` codebook."""
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in spark.read.parquet(path + "_codebook").collect():
+        books.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
+    if not books:
+        raise ValueError(f"empty codebook at {path}_codebook")
+    return books
+
+
+def _adc_scored(
+    codes: DataFrame,
+    books: dict[int, dict[int, list[float]]],
+    query: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scoring of a PQ ``codes`` frame: per-(sub, code) partial dot
+    products with the query computed ON THE DRIVER (``m × k`` values)
+    with each element quantized to integer micros
+    (``floor(q_i·c_i·1e6 + 0.5)`` summed as longs — order-independent
+    and bit-reproducible, the lm.py convention) and shipped as literal
+    lookup arrays; each row costs ``m`` ``element_at`` lookups + long
+    adds. Returns ``(id, adc_micros)``."""
+    import math
+
+    m = len(books)
+    tables: list[list[int]] = []
+    for s, (st, w) in enumerate(subspace_bounds(len(query), m)):
+        qsub = query[st - 1 : st - 1 + w]
+        tables.append(
+            [
+                sum(
+                    int(math.floor(a * b * 1e6 + 0.5))
+                    for a, b in zip(qsub, books[s][c])
+                )
+                for c in sorted(books[s])
+            ]
+        )
+    adc: Column = F.lit(0).cast("long")
+    for s, tab in enumerate(tables):
+        lut = F.array(*[F.lit(int(x)).cast("long") for x in tab])
+        adc = adc + F.element_at(lut, F.col("codes")[s] + 1)
+    return codes.select(F.col(id_col), adc.alias("adc_micros"))
+
+
 def pq_topk(
     spark,
     path: str,
@@ -682,33 +727,27 @@ def pq_topk(
     ``k·rerank`` ADC candidates — the candidate id set is tiny, so the
     float vectors are fetched for just those rows (broadcast-joined
     back). Output: ``(id, adc_micros[, cosine_r])``."""
-    books: dict[int, dict[int, list[float]]] = {}
-    for r in spark.read.parquet(path + "_codebook").collect():
-        books.setdefault(r["sub"], {})[r["code"]] = list(r["centroid"])
-    if not books:
-        raise ValueError(f"pq_topk: empty codebook at {path}_codebook")
-    import math
-
-    m = len(books)
-    bounds = subspace_bounds(len(query), m)
-    tables: list[list[int]] = []
-    for s, (st, w) in enumerate(bounds):
-        qsub = query[st - 1 : st - 1 + w]
-        tables.append(
-            [
-                sum(
-                    int(math.floor(a * b * 1e6 + 0.5))
-                    for a, b in zip(qsub, books[s][c])
-                )
-                for c in sorted(books[s])
-            ]
-        )
     codes = spark.read.parquet(path)
-    adc: Column = F.lit(0).cast("long")
-    for s, tab in enumerate(tables):
-        lut = F.array(*[F.lit(int(x)).cast("long") for x in tab])
-        adc = adc + F.element_at(lut, F.col("codes")[s] + 1)
-    scored = codes.select(F.col(id_col), adc.alias("adc_micros"))
+    scored = _adc_scored(
+        codes, _read_codebook(spark, path), query, id_col=id_col
+    )
+    return _adc_cut(scored, query, k, id_col, rerank_df, vec_col, rerank)
+
+
+def _adc_cut(
+    scored: DataFrame,
+    query: list[float],
+    k: int,
+    id_col: str,
+    rerank_df: DataFrame | None,
+    vec_col: str,
+    rerank: int,
+) -> DataFrame:
+    """ADC candidate cut + optional exact-cosine rerank. The cut is
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, never a
+    full sort); the ``k·rerank`` candidate ids are the BROADCAST side
+    of the rerank join, so the float-vector table (the 100 TB side) is
+    only probed, never shuffled."""
     if rerank_df is None:
         return scored.orderBy(F.col("adc_micros").desc(), F.col(id_col)).limit(k)
     cand = scored.orderBy(F.col("adc_micros").desc(), F.col(id_col)).limit(
@@ -716,8 +755,6 @@ def pq_topk(
     )
     qlit = F.array(*[F.lit(float(x)) for x in query])
     vecs = rerank_df.select(F.col(id_col), F.col(vec_col).alias("_rv"))
-    # the candidate set (k·rerank rows) is the broadcast side — the
-    # float-vector table is the 100 TB side and must only be probed
     return (
         F.broadcast(cand).join(vecs, id_col)
         .select(
@@ -728,6 +765,89 @@ def pq_topk(
         .orderBy(F.col("cosine_r").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def write_ivf_pq(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+    codec: str = "zstd",
+) -> None:
+    """IVF×PQ index — the composed 100 TB serving layout: PQ code rows
+    partitioned by TRAINED coarse cell, so a query prunes to
+    ``n_probe/num_cells`` of the *directories* and then ADC-scans only
+    ``m``-int code rows inside them (no float vector bytes anywhere on
+    the read path). Self-describing: coarse centroids at
+    ``<path>_centroids`` (the ``write_ivf_trained`` convention) and PQ
+    codebook at ``<path>_codebook`` — probes and the contract oracle
+    re-derive every cell AND code assignment from the same bytes. One
+    map-only assignment pass + one partitioned write."""
+    spark = df.sparkSession
+    coded = pq_codes(
+        df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids)),
+        codebooks,
+        vec_col,
+    )
+    coded.select(id_col, "codes", "cell").write.mode(mode).option(
+        "compression", codec
+    ).partitionBy("cell").parquet(path)
+    cent = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode(mode).option("compression", codec).parquet(
+        path + "_centroids"
+    )
+    rows = [
+        (s, c, list(book[c]))
+        for s, book in enumerate(codebooks)
+        for c in range(len(book))
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).option("compression", codec).parquet(
+        path + "_codebook"
+    )
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    rerank_df: DataFrame | None = None,
+    vec_col: str = "embedding",
+    rerank: int = 4,
+) -> DataFrame:
+    """Top-k against a ``write_ivf_pq`` index: the ``n_probe`` coarse
+    cells nearest the query are found on the driver (the centroid table
+    is ``num_cells`` rows), the scan carries a literal ``cell IN``
+    partition filter (unprobed directories never read), and the
+    surviving code rows are ADC-scored with the driver's integer
+    lookup tables — directory pruning × ~2-orders-smaller bytes/row.
+    ``rerank_df``: exact-cosine rerank of the top ``k·rerank``
+    candidates, candidate ids broadcast (the ``pq_topk`` convention)."""
+    cent = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    }
+    by_dist = sorted(
+        cent,
+        key=lambda c: (
+            round(sum((a - b) * (a - b) for a, b in zip(query, cent[c])), 6),
+            c,
+        ),
+    )
+    probes = by_dist[: max(1, n_probe)]
+    codes = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    scored = _adc_scored(codes, _read_codebook(spark, path), query, id_col=id_col)
+    return _adc_cut(scored, query, k, id_col, rerank_df, vec_col, rerank)
 
 
 def ivf_topk_indexed(

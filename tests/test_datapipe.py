@@ -604,6 +604,42 @@ def test_pq_determinism_and_codes(spark, embs, tmp_path):
     assert stats["szmin"] == stats["szmax"] == 4
 
 
+def test_ivf_pq_composed_pruning(spark, tmp_path):
+    """IVF×PQ: trained-cell directory pruning composes with the ADC
+    code scan — probing ONE cell recovers the query's whole cluster in
+    brute-force order, the scan carries the cell PartitionFilter, and
+    its ReadSchema holds only (id, codes)."""
+    base = {0: [9.0, 9.0, 0.0, 0.0, 0.0, 0.0],
+            1: [0.0, 0.0, 9.0, 9.0, 0.0, 0.0],
+            2: [0.0, 0.0, 0.0, 0.0, 9.0, 9.0]}
+    rows = []
+    for i in range(60):
+        c = i % 3
+        bump = [((i * 11 + j) % 7) * 0.5 for j in range(6)]
+        rows.append((i, [base[c][j] + bump[j] for j in range(6)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, num_cells=3, dim=6, max_iter=4)
+    books = similarity.pq_fit(df, m=3, codes_per_sub=4, dim=6, max_iter=4)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivf_pq(df, path, cents, books)
+    q = [float(x) for x in rows[0][1]]
+    out = similarity.ivf_pq_topk(
+        spark, path, q, k=5, n_probe=1, rerank_df=df
+    )
+    got = out.collect()
+    brute = similarity.cosine_topk(df, q, k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+    assert all(r["vec_id"] % 3 == 0 for r in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in plan
+    # determinism across evaluations
+    got2 = similarity.ivf_pq_topk(
+        spark, path, q, k=5, n_probe=1, rerank_df=df
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in got2]
+
+
 def test_pq_fit_empty_and_bad_books(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.pq_fit(df, m=2, codes_per_sub=4, dim=6) == []
