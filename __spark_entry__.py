@@ -1782,6 +1782,102 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ ANN join (similarity.ivf_pq_knn_join): ADC top-5
+    per query for the first 5 vectors, probe cells and integer lookup
+    tables computed Spark-side, literal cell-IN pruning on the code
+    scan. ADC-only output — every value is an exact long, so the hash
+    compare certifies the whole integer pipeline. The oracle re-derives
+    cells, probe sets, codes, and per-query partial tables from the
+    persisted centroid/codebook bytes."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.kmeans_fit(
+        emb, num_cells=IVF_TRAINED_CELLS, dim=IVF_DIM, max_iter=3
+    )
+    books = similarity.pq_fit(
+        emb, m=PQ_M, codes_per_sub=PQ_CODES, dim=IVF_DIM, max_iter=3
+    )
+    similarity.write_ivf_pq(emb, IVFPQ_PATH, cents, books)
+    return similarity.ivf_pq_knn_join(
+        spark, IVFPQ_PATH, emb.filter("vec_id < 5"), k=5,
+        n_probe=IVFPQ_PROBE,
+    )
+
+
+def _ivf_pq_knn_oracle_sql() -> str:
+    """Per-query twin of the IVF×PQ oracle: probe sets and integer
+    partial-dot tables are re-derived PER QUERY in SQL, codes per
+    vector from the codebook bytes, and the ADC join + windowed top-5
+    re-run relationally."""
+    dsub, asub, psub, adc_joins, adc_terms = [], [], [], [], []
+    for s, (st, w) in enumerate(similarity.subspace_bounds(IVF_DIM, PQ_M)):
+        dsub.append(f"""
+            d{s} AS (
+              SELECT s0.vec_id, cb.code,
+                     round(list_sum(list_transform(range(1, {w} + 1),
+                           i -> (s0.v[{st} - 1 + i] - cb.centroid[i])
+                              * (s0.v[{st} - 1 + i] - cb.centroid[i]))), 6) AS dist
+              FROM s0 CROSS JOIN cb WHERE cb.sub = {s}),
+            a{s} AS (
+              SELECT vec_id, code FROM d{s}
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, code) = 1)""")
+        psub.append(f"""
+            p{s} AS (
+              SELECT qs.query_id, cb.code,
+                     list_sum(list_transform(range(1, {w} + 1),
+                           i -> CAST(floor(qs.qv[{st} - 1 + i] * cb.centroid[i]
+                                           * 1000000.0 + 0.5) AS BIGINT))) AS p
+              FROM cb CROSS JOIN qs WHERE cb.sub = {s})""")
+        adc_joins.append(
+            f"JOIN a{s} ON a{s}.vec_id = c.vec_id "
+            f"JOIN p{s} ON p{s}.query_id = c.query_id AND p{s}.code = a{s}.code"
+        )
+        adc_terms.append(f"p{s}.p")
+    return f"""
+        WITH s0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qs AS (SELECT vec_id AS query_id, v AS qv FROM s0 WHERE vec_id < 5),
+        cent AS (SELECT cell, centroid
+                 FROM read_parquet('{IVFPQ_PATH}_centroids/*.parquet')),
+        cb AS (SELECT sub, code, centroid
+               FROM read_parquet('{IVFPQ_PATH}_codebook/*.parquet')),
+        dcell AS (
+          SELECT s0.vec_id, cent.cell,
+                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                       i -> (s0.v[i] - cent.centroid[i])
+                          * (s0.v[i] - cent.centroid[i]))), 6) AS dist
+          FROM s0 CROSS JOIN cent),
+        acell AS (
+          SELECT vec_id, cell FROM dcell
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) = 1),
+        qd AS (
+          SELECT qs.query_id, cent.cell,
+                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                       i -> (qs.qv[i] - cent.centroid[i])
+                          * (qs.qv[i] - cent.centroid[i]))), 6) AS dist
+          FROM qs CROSS JOIN cent),
+        qprobes AS (
+          SELECT query_id, cell FROM qd
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist, cell) <= {IVFPQ_PROBE}),
+        {",".join(dsub)},
+        {",".join(psub)},
+        cand AS (
+          SELECT qp.query_id, acell.vec_id
+          FROM qprobes qp JOIN acell USING (cell)),
+        adcj AS (
+          SELECT c.query_id, c.vec_id,
+                 {" + ".join(adc_terms)} AS adc_micros
+          FROM cand c {" ".join(adc_joins)})
+        SELECT query_id, vec_id, adc_micros FROM adcj
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_micros DESC, vec_id) <= 5
+    """
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN join: top-5 per query for the first 5 vectors against
     the IVF index. Oracle re-derives every vector's cell and each
@@ -2245,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "pq_topk": q_pq_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "ivf_pq_knn": q_ivf_pq_knn,
         "knn_join": q_knn_join,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
@@ -3021,6 +3118,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_oracle_sql(),
+        "ivf_pq_knn": _ivf_pq_knn_oracle_sql(),
         "knn_join": f"""
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             cells AS (SELECT vec_id, v, {_ivf_cell_sql('v')} AS cell FROM s),

@@ -656,6 +656,17 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
             ),
             "ivf_pq_topk",
         )
+
+        def _pq_knn() -> None:
+            _force(
+                similarity.ivf_pq_knn_join(
+                    spark, ivfpq_dir, emb.filter("vec_id < 32"), k=5,
+                    n_probe=4,
+                )
+            )
+            similarity.release_cached_probes()
+
+        times["ivf_pq_knn_join"] = _timed(_pq_knn, "ivf_pq_knn_join")
     finally:
         shutil.rmtree(os.path.dirname(pq_dir), ignore_errors=True)
 

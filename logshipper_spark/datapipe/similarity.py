@@ -850,6 +850,136 @@ def ivf_pq_topk(
     return _adc_cut(scored, query, k, id_col, rerank_df, vec_col, rerank)
 
 
+def ivf_pq_knn_join(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    rerank_df: DataFrame | None = None,
+    rerank: int = 4,
+) -> DataFrame:
+    """Batch ANN join against a ``write_ivf_pq`` index: ADC top-k for
+    EVERY query row, in one plan. Each query computes its probe cells
+    AND its integer ADC lookup tables SPARK-SIDE against the
+    driver-literal centroid/codebook (no driver loop — the query table
+    can be arbitrarily large): ``luts[s][c] = Σ_i floor(q_i·c_i·1e6 +
+    0.5)`` as longs, ~``m·codes`` small ints per query. Probe cells
+    explode, their distinct set (≤ num_cells by construction) is
+    collected and pushed as a literal ``cell IN`` partition filter on
+    the code scan — the ``ivf_knn_join`` pruning discipline — and the
+    candidate join ships only ``(id, codes)`` rows, never vector
+    bytes. Scoring is ``m`` nested ``element_at`` lookups per
+    candidate; per-query top-k is a window over probed candidates
+    only. NULL query vectors are dropped (they have no well-defined
+    probe set). ``rerank_df``: exact-cosine rerank of each query's top
+    ``k·rerank`` ADC candidates (needs float vectors for candidates —
+    joined by id — and carries the query vector through the probe
+    explode). Output: ``(query_id, id, adc_micros[, cosine_r])``."""
+    cent = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    }
+    books = _read_codebook(spark, path)
+    m = len(books)
+    q0 = queries_df.filter(F.col(vec_col).isNotNull())
+    dim = sum(len(b[0]) for b in books.values())
+    bounds = subspace_bounds(dim, m)
+    # probe cells: per-query n_probe nearest trained centroids by the
+    # 6-dp-rounded distance / cell-id tie-break convention
+    ds = []
+    for c in sorted(cent):
+        lit = F.array(*[F.lit(float(x)) for x in cent[c]])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        ds.append(F.struct(F.round(d, 6).alias("d"), F.lit(c).alias("i")))
+    probe_arr = F.transform(
+        F.slice(F.array_sort(F.array(*ds)), 1, max(1, n_probe)),
+        lambda st: st["i"],
+    )
+    # per-query integer ADC tables, one staged column per subspace so
+    # no generated method outgrows the JIT limit (CLAUDE.md trap)
+    q1 = q0
+    for s, (st, w) in enumerate(bounds):
+        q1 = q1.withColumn(f"_qsub{s}", F.slice(F.col(vec_col), st, w))
+    for s in range(m):
+        luts = []
+        for c in sorted(books[s]):
+            lit = F.array(*[F.lit(float(x)) for x in books[s][c]])
+            luts.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"_qsub{s}"),
+                        lit,
+                        lambda a, b: F.floor(a * b * F.lit(1e6) + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        q1 = q1.withColumn(f"_lut{s}", F.array(*luts))
+    keep = [F.col(id_col).alias(query_id_col)] + [
+        F.col(f"_lut{s}") for s in range(m)
+    ]
+    if rerank_df is not None:
+        keep.append(F.col(vec_col).alias("_qv"))
+    qx = q1.select(*keep, F.explode(probe_arr).alias("cell")).persist()
+    _PROBE_CACHE.append(qx)  # released by release_cached_probes()
+    probed = sorted(r["cell"] for r in qx.select("cell").distinct().collect())
+    codes = spark.read.parquet(path).where(
+        F.col("cell").isin(probed) if probed else F.lit(False)
+    )
+    adc: Column = F.lit(0).cast("long")
+    for s in range(m):
+        adc = adc + F.element_at(F.col(f"_lut{s}"), F.col("codes")[s] + 1)
+    joined = codes.join(qx, "cell").select(
+        query_id_col,
+        F.col(id_col),
+        adc.alias("adc_micros"),
+        *([F.col("_qv")] if rerank_df is not None else []),
+    )
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_micros").desc(), F.col(id_col)
+    )
+    cut = k * max(1, rerank) if rerank_df is not None else k
+    top = (
+        joined.withColumn("_rn", F.row_number().over(w_adc))
+        .filter(F.col("_rn") <= cut)
+        .drop("_rn")
+    )
+    if rerank_df is None:
+        return top
+    vecs = rerank_df.select(F.col(id_col), F.col(vec_col).alias("_rv"))
+    w_cos = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_r").desc(), F.col(id_col)
+    )
+    # no forced broadcast here: the candidate side is k·rerank rows PER
+    # QUERY (unbounded as the query table grows) — AQE picks broadcast
+    # when the batch is small, shuffle join otherwise
+    return (
+        top.join(vecs, id_col)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.col("adc_micros"),
+            F.round(cosine_similarity(F.col("_rv"), F.col("_qv")), 4).alias(
+                "cosine_r"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_cos))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -640,6 +640,40 @@ def test_ivf_pq_composed_pruning(spark, tmp_path):
     assert [r.asDict() for r in got] == [r.asDict() for r in got2]
 
 
+def test_ivf_pq_knn_join_self_top1(spark, embs, tmp_path):
+    """Batch IVF-PQ join: every query's own vector is ADC top-1 and
+    exact-rerank top-1 at cosine 1.0; the pruned code scan carries the
+    union of all queries' probe cells as a PartitionFilter; NULL query
+    vectors are dropped."""
+    emb = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = similarity.kmeans_fit(emb, num_cells=8, dim=64, max_iter=2)
+    books = similarity.pq_fit(emb, m=4, codes_per_sub=8, dim=64, max_iter=2)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivf_pq(emb, path, cents, books)
+    nulls = spark.createDataFrame(
+        [(999999, None)], "vec_id long, embedding array<double>"
+    )
+    q = emb.filter("vec_id < 6").unionByName(nulls)
+    out = similarity.ivf_pq_knn_join(
+        spark, path, q, k=3, n_probe=3, rerank_df=emb, rerank=8
+    )
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    similarity.release_cached_probes()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["cosine_r"], r["vec_id"]))
+    assert set(by_q) == set(range(6))  # NULL query dropped
+    for qid, cands in by_q.items():
+        top = max(cands)
+        assert top[1] == qid and top[0] == 1.0
+        assert len(cands) <= 3
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in plan
+
+
 def test_pq_fit_empty_and_bad_books(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.pq_fit(df, m=2, codes_per_sub=4, dim=6) == []
