@@ -478,9 +478,12 @@ def q_parse_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                    iso_ms, '"}'),
         )
     )
-    parsed = formats.parse_extended(
-        ev.withColumn("text", line), text_col="text", source_name="mixed"
-    )
+    # sever the generated-text tree before the parse layer (the
+    # gen.transcripts precedent): fused gen+parse whole-stage codegen
+    # compiles past the 64 KB method limit and silently drops the whole
+    # stage to interpreted eval
+    gen_ev = ev.withColumn("text", line).cache()
+    parsed = formats.parse_extended(gen_ev, text_col="text", source_name="mixed")
     return parsed.select(
         "event_id", "format", "level", "src_service", "status_code", "latency_us",
         F.col("event_ts").cast("timestamp_ntz").alias("event_ts"),

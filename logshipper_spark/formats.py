@@ -313,10 +313,43 @@ def parse_extended(
     lfm = F.col("_lfm")
     jsm = F.col("_jsm")
 
-    f3164 = syslog_3164_fields(t, ingest_ts)
-    f5424 = syslog_5424_fields(t)
-    fpy = python_logging_fields(t)
-    prm = prom_fields(t)
+    # STAGED per-format field structs, gated behind their detector
+    # flag: a field dict would inline (and re-evaluate) its
+    # regexp_extract tree at EVERY ext() reference — the level cascade
+    # alone re-extracts each syslog PRI three times, and the fused
+    # projection's generated method then grows past Janino's 64 KB
+    # hard limit, silently dropping the whole stage to interpreted
+    # eval (CLAUDE.md round-3 gotcha; seen in the contract sweep). As
+    # one struct per row, each format's regex runs once and the
+    # assembly cascade is cheap getFields. Same call-site syntax:
+    # Column["field"] is getField, dict["field"] was a lookup.
+    # Only fields the assembly cascade actually reads go into the
+    # struct: the field builders also derive message/host/pid, which no
+    # output column references — the lazy dict form never evaluated
+    # them, and materializing them in the struct measured 25% slower.
+    _USED = {
+        "_f3164": ("level", "event_ts", "src_service"),
+        "_f5424": ("level", "event_ts", "src_service", "trace_id", "span_id"),
+        "_fpy": ("level", "event_ts", "src_service"),
+        "_fprm": ("operation", "raw", "event_ts"),
+    }
+    for _n, _flag, _fields in (
+        ("_f3164", F.col("_s3164"), syslog_3164_fields(t, ingest_ts)),
+        ("_f5424", F.col("_s5424"), syslog_5424_fields(t)),
+        ("_fpy", F.col("_spy"), python_logging_fields(t)),
+        ("_fprm", F.col("_sprom"), prom_fields(t)),
+    ):
+        out = out.withColumn(
+            _n,
+            F.when(
+                _flag,
+                F.struct(*[_fields[k].alias(k) for k in _USED[_n]]),
+            ),
+        )
+    f3164 = F.col("_f3164")
+    f5424 = F.col("_f5424")
+    fpy = F.col("_fpy")
+    prm = F.col("_fprm")
 
     def ext(name: str) -> Column:
         """Per-field refinement cascade over the detected format."""
@@ -444,4 +477,5 @@ def parse_extended(
         _SQL_TEXT,
         "_s5424", "_s3164", "_spy", "_slog", "_sprom", "_sjson",
         "_raw0", "_docker", "_inner_raw", "_lfm", "_jsm",
+        "_f3164", "_f5424", "_fpy", "_fprm",
     )
