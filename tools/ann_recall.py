@@ -13,6 +13,10 @@ scored as |approx ∩ exact| / k, averaged over the queries:
                     (no cell pruning; isolates quantization loss)
 * trained+int8    — the composed 100 TB serving path: directory pruning
                     then stored-code coarse scan + rerank
+* pq_full         — product-quantization ADC over the full corpus
+                    (no pruning; isolates code loss at ~m bytes/row)
+* ivf_pq          — trained-cell pruning over PQ code rows + exact
+                    rerank (n_probe sweep)
 
 Prints one markdown table (for BASELINE.md) and one JSON line. The
 quality claim this backs: quantization alone should be lossless-ish at
@@ -99,6 +103,22 @@ def main() -> int:
                 spark, trained_dir, qv, k=args.k, n_probe=np_, rerank=4))
     results["quantized_full@rerank4"] = avg_recall(
         lambda qv: similarity.quantized_topk(emb, qv, k=args.k, rerank=4))
+    # PQ paths: full-corpus ADC (isolates code loss) and the composed
+    # IVF×PQ layout (pruning × compression), both with exact rerank
+    pq_dir = os.path.join(tmp, "pq")
+    ivfpq_dir = os.path.join(tmp, "ivfpq")
+    books = similarity.pq_fit(
+        emb, m=8, codes_per_sub=args.cells, dim=dim, max_iter=args.max_iter)
+    similarity.write_pq_index(emb, pq_dir, books)
+    similarity.write_ivf_pq(emb, ivfpq_dir, cents, books)
+    results["pq_full@rerank4"] = avg_recall(
+        lambda qv: similarity.pq_topk(
+            spark, pq_dir, qv, k=args.k, rerank_df=emb, rerank=4))
+    for np_ in probes:
+        results[f"ivf_pq@probe{np_}"] = avg_recall(
+            lambda qv, np_=np_: similarity.ivf_pq_topk(
+                spark, ivfpq_dir, qv, k=args.k, n_probe=np_,
+                rerank_df=emb, rerank=4))
 
     print(f"\n| path | recall@{args.k} (n={n}, {len(queries)} queries, "
           f"{args.cells} cells) |")
