@@ -14,9 +14,14 @@ embedding table.
 default; ``--trained`` fits deterministic Lloyd k-means first and writes
 the self-describing ``<index>_centroids`` table alongside).
 ``--quantize`` adds int8 codes (``qvec``/``qscale``) to the index rows
-so probes can coarse-score on 4x fewer bytes. ``probe`` runs a top-k
-query (by row id from the embedding table) against the built index and
-prints the neighbors as JSON lines.
+so probes can coarse-score on 4x fewer bytes. ``--pq M`` (requires
+``--trained``) builds the IVF×PQ layout instead: per-subspace k-means
+codebooks, ``M``-int code rows partitioned by trained cell — the
+memory-bound 100 TB serving layout (~2 orders fewer index bytes than
+float32); probe with ``--pq-rerank R`` for exact-cosine rerank of the
+top ``k*R`` ADC candidates against the embedding table. ``probe`` runs
+a top-k query (by row id from the embedding table) against the built
+index and prints the neighbors as JSON lines.
 
 At 100 TB: build is one pass (assignment is a narrow projection; the
 partitionBy shuffle is the only wide stage), probe reads only the
@@ -49,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="fit on the deterministic 1/m hash-slice (trained only)")
     b.add_argument("--quantize", action="store_true",
                    help="store int8 codes (qvec/qscale) alongside the floats")
+    b.add_argument("--pq", type=int, default=None, metavar="M",
+                   help="build the IVF x PQ layout: M-subspace product-"
+                        "quantization code rows partitioned by trained "
+                        "cell (requires --trained)")
+    b.add_argument("--pq-codes", type=int, default=256,
+                   help="codes per PQ subspace")
     p = sub.add_parser("probe")
     p.add_argument("--index", required=True)
     p.add_argument("--emb", required=True)
@@ -61,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rerank", type=int, default=None,
                    help="int8 coarse scan + exact rerank of the top k*r "
                         "(uses stored codes when built with --quantize)")
+    p.add_argument("--pq", action="store_true",
+                   help="probe an IVF x PQ index (built with build --pq)")
+    p.add_argument("--pq-rerank", type=int, default=4,
+                   help="exact-cosine rerank headroom for --pq probes "
+                        "(0 = ADC-only, no float reads)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -78,16 +94,27 @@ def main(argv: list[str] | None = None) -> int:
         if args.quantize:
             df = similarity.quantize_vectors(df)
         dim = similarity._vec_dim(df, "embedding")
+        if args.pq is not None and not args.trained:
+            raise SystemExit("--pq requires --trained (coarse cells are "
+                             "k-means centroids)")
         if args.trained:
             cents = similarity.kmeans_fit(
                 emb, num_cells=args.cells, dim=dim,
                 max_iter=args.max_iter, sample_mod=args.sample_mod,
             )
-            similarity.write_ivf_trained(df, args.index, cents)
+            if args.pq is not None:
+                books = similarity.pq_fit(
+                    emb, m=args.pq, codes_per_sub=args.pq_codes, dim=dim,
+                    max_iter=args.max_iter, sample_mod=args.sample_mod,
+                )
+                similarity.write_ivf_pq(emb, args.index, cents, books)
+            else:
+                similarity.write_ivf_trained(df, args.index, cents)
         else:
             similarity.write_ivf_index(df, args.index, num_cells=args.cells, dim=dim)
         print(json.dumps({"built": args.index, "cells": args.cells,
-                          "trained": args.trained, "quantized": args.quantize}))
+                          "trained": args.trained, "quantized": args.quantize,
+                          "pq_m": args.pq}))
         return 0
 
     qrow = emb.filter(F.col("vec_id") == args.query_id).head()
@@ -96,7 +123,13 @@ def main(argv: list[str] | None = None) -> int:
             f"--query-id {args.query_id} not found in {args.embeddings}"
         )
     qv = [float(x) for x in qrow["embedding"]]
-    if args.trained:
+    if args.pq:
+        out = similarity.ivf_pq_topk(
+            spark, args.index, qv, k=args.k, n_probe=args.n_probe,
+            rerank_df=emb if args.pq_rerank else None,
+            rerank=args.pq_rerank or 1,
+        )
+    elif args.trained:
         out = similarity.ivf_trained_topk(
             spark, args.index, qv, k=args.k, n_probe=args.n_probe,
             rerank=args.rerank,
