@@ -788,6 +788,56 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction over deterministically wrapped documents:
+    each doc's text becomes the body of a page with a script block
+    (quoted JS), a style block (curly braces), an HTML comment, a
+    heading with entities, one anchor, and — every 3rd doc — a nav div
+    with two long anchors that pushes link density past the
+    MAX_LINK_DENSITY_PCT screen. Oracle re-runs the identical
+    RE2-compatible block/tag/entity chain in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    nav = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit(
+            '<div class="nav"><a href="/a">a b c d e f g h i j k l m n'
+            '</a><a href="/b">longer anchor text that pushes link '
+            "density higher for this page</a></div>"
+        ),
+    ).otherwise(F.lit(""))
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="text/javascript">var x=1; '
+                  'alert("'),
+            did,
+            F.lit('");</script><style>body { color: red; }</style></head>'
+                  "<body><!-- comment "),
+            did,
+            F.lit(" --><h1>Title &amp;amp; "),
+            did,
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &lt;tag&gt;&nbsp;&#39;q&quot;</p>"
+                  '<a href="/x">click here '),
+            did,
+            F.lit("</a>"),
+            nav,
+            F.lit("</body></html>"),
+        ).alias("text"),
+    )
+    return filters.html_extract(page).select(
+        "doc_id",
+        "extracted_text",
+        "text_chars",
+        "n_tags",
+        "n_anchors",
+        "anchor_chars",
+        "html_keep",
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup (CCNet §3.1 boilerplate pass) over
     planted multi-line documents: every doc gains a per-source
@@ -2107,6 +2157,59 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcript.sft_pairs(_transcripts_raw(spark))
 
 
+SFT_PAIRS_PATH = "/tmp/spark_graft_contract/sft_pairs.parquet"
+_sft_pairs_written = False
+
+
+def _sft_pairs_frame(spark: SparkSession) -> DataFrame:
+    """Build-once materialized SFT pairs with a numeric pair key
+    (xxhash64 — value-materialized so the DuckDB oracle consumes the
+    same key bytes; pair DERIVATION is certified by the `sft_pairs`
+    oracle)."""
+    global _sft_pairs_written
+    if not _sft_pairs_written:
+        transcript.sft_pairs(_transcripts_raw(spark)).select(
+            F.xxhash64("conv_id", "response_turn_idx").alias("pair_id"),
+            "conv_id",
+            "prompt",
+            "response",
+        ).write.mode("overwrite").option("compression", "zstd").parquet(
+            SFT_PAIRS_PATH
+        )
+        _sft_pairs_written = True
+    return spark.read.parquet(SFT_PAIRS_PATH)
+
+
+def q_sft_mask_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → training tensors, end to end: vocabulary over both pair
+    lanes, loss-masked examples (BOS+prompt masked 0, response+EOS
+    masked 1), packed into budget-96 chunks with the mask sliced
+    identically to the ids across chunk boundaries. The oracle
+    re-derives the vocabulary, both lanes' id lists, every example's
+    ids+mask arrays, the running-sum layout, the per-overlap slices,
+    and the positional rebuild — the full composition value-exact.
+    Arrays serialized to space-joined strings (driver canonicalizer
+    can't hash arrays)."""
+    pairs = _sft_pairs_frame(spark)
+    lanes = pairs.select(F.col("prompt").alias("text")).unionAll(
+        pairs.select(F.col("response").alias("text"))
+    )
+    vocab = tokenize.vocab_build(lanes, max_size=200, min_count=2)
+    ex = packing.sft_examples(pairs, vocab)
+    packed = packing.pack_masked(ex, budget=96, block_size=64)
+    return packed.select(
+        "chunk_id",
+        F.concat_ws(
+            " ", F.transform("input_ids", lambda x: x.cast("string"))
+        ).alias("ids_str"),
+        F.concat_ws(
+            " ", F.transform("loss_mask", lambda x: x.cast("string"))
+        ).alias("mask_str"),
+        "n_tokens",
+        "n_loss_tokens",
+    )
+
+
 JSONSINK_PATH = "/tmp/spark_graft_contract/jsonsink_20000"
 _jsonsink_written = False
 
@@ -2305,10 +2408,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_ids": q_tokenize_ids,
         "sentence_chunks": q_sentence_chunks,
         "pack_assemble": q_pack_assemble,
+        "sft_mask_pack": q_sft_mask_pack,
         "quantile_bins": q_quantile_bins,
         "decontaminate": q_decontaminate,
         "mixture": q_mixture_sample,
         "c4_clean": q_c4_clean,
+        "html_extract": q_html_extract,
         "line_dedup": q_line_dedup,
         "source_overlap": q_source_overlap,
         "dedup_incremental": q_dedup_incremental,
@@ -3922,6 +4027,57 @@ def oracle_sql() -> dict[str, str]:
                      AS c4_keep
             FROM k
         """,
+        "html_extract": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     '<html><head><script type="text/javascript">var x=1; alert("'
+                     || doc_id || '");</script><style>body { color: red; }</style>'
+                     || '</head><body><!-- comment ' || doc_id
+                     || ' --><h1>Title &amp;amp; ' || doc_id || '</h1><p>' || text
+                     || ' &lt;tag&gt;&nbsp;&#39;q&quot;</p><a href="/x">click here '
+                     || doc_id || '</a>'
+                     || (CASE WHEN doc_id % 3 = 0
+                         THEN '<div class="nav"><a href="/a">a b c d e f g h i j k l m n'
+                              || '</a><a href="/b">longer anchor text that pushes link '
+                              || 'density higher for this page</a></div>'
+                         ELSE '' END)
+                     || '</body></html>' AS html
+              FROM documents),
+            nb AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS noblk
+              FROM p),
+            tx AS (
+              SELECT doc_id, noblk,
+                     regexp_extract_all(noblk, '(?is)<a\b[^>]*>(.*?)</a>', 1)
+                       AS anch,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(noblk, '(?s)<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS extracted_text
+              FROM nb),
+            st AS (
+              SELECT doc_id, extracted_text,
+                     CAST(length(extracted_text) AS BIGINT) AS text_chars,
+                     CAST(len(regexp_extract_all(noblk, '(?s)<[^>]*>'))
+                       AS BIGINT) AS n_tags,
+                     CAST(len(anch) AS BIGINT) AS n_anchors,
+                     CAST(coalesce(list_aggregate(list_transform(anch, a ->
+                       length(trim(regexp_replace(regexp_replace(a,
+                         '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+                       'sum'), 0) AS BIGINT) AS anchor_chars
+              FROM tx)
+            SELECT doc_id, extracted_text, text_chars, n_tags, n_anchors,
+                   anchor_chars,
+                   text_chars > 0 AND anchor_chars * 100 <= 40 * text_chars
+                     AS html_keep
+            FROM st
+        """,
         "line_dedup": r"""
             WITH m AS (
               SELECT doc_id,
@@ -4183,6 +4339,105 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY chunk_pos) AS ids_str,
                    CAST(SUM(len(piece)) AS BIGINT) AS n_tokens
             FROM p GROUP BY source, chunk_id
+        """,
+        "sft_mask_pack": f"""
+            WITH pr AS (
+              SELECT pair_id, prompt, response
+              FROM read_parquet('{SFT_PAIRS_PATH}/*.parquet')),
+            lt AS (SELECT prompt AS text FROM pr
+                   UNION ALL SELECT response FROM pr),
+            t0 AS (
+              SELECT CASE WHEN trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(regexp_split_to_array(lower(text), '\\s+'), tk -> tk <> '')
+                     END AS toks
+              FROM lt),
+            c AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(toks) AS token FROM t0)
+              GROUP BY token HAVING COUNT(*) >= 2),
+            v AS (
+              SELECT token,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) + 2
+                          AS BIGINT) AS token_id
+              FROM (SELECT * FROM c ORDER BY cnt DESC, token LIMIT 200)),
+            pt AS (
+              SELECT pair_id,
+                     CASE WHEN trim(prompt) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(regexp_split_to_array(lower(prompt), '\\s+'), tk -> tk <> '')
+                     END AS toks
+              FROM pr),
+            rt AS (
+              SELECT pair_id,
+                     CASE WHEN trim(response) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE list_filter(regexp_split_to_array(lower(response), '\\s+'), tk -> tk <> '')
+                     END AS toks
+              FROM pr),
+            pe AS (SELECT pair_id,
+                          unnest(generate_series(1, len(toks))) AS pos, toks
+                   FROM pt),
+            px AS (SELECT pe.pair_id, pe.pos, COALESCE(v.token_id, 0) AS tid
+                   FROM pe LEFT JOIN v ON v.token = pe.toks[pe.pos]),
+            pl AS (
+              SELECT pr.pair_id,
+                     COALESCE(l.body, CAST([] AS BIGINT[])) AS pids
+              FROM pr LEFT JOIN (
+                SELECT pair_id, list(tid ORDER BY pos) AS body
+                FROM px GROUP BY pair_id) l USING (pair_id)),
+            re AS (SELECT pair_id,
+                          unnest(generate_series(1, len(toks))) AS pos, toks
+                   FROM rt),
+            rx AS (SELECT re.pair_id, re.pos, COALESCE(v.token_id, 0) AS tid
+                   FROM re LEFT JOIN v ON v.token = re.toks[re.pos]),
+            rl AS (
+              SELECT pr.pair_id,
+                     COALESCE(l.body, CAST([] AS BIGINT[])) AS rids
+              FROM pr LEFT JOIN (
+                SELECT pair_id, list(tid ORDER BY pos) AS body
+                FROM rx GROUP BY pair_id) l USING (pair_id)),
+            ex AS (
+              SELECT pl.pair_id,
+                     [CAST(1 AS BIGINT)] || pids || rids
+                       || [CAST(2 AS BIGINT)] AS ids,
+                     [CAST(0 AS BIGINT)]
+                       || list_transform(pids, x -> CAST(0 AS BIGINT))
+                       || list_transform(rids, x -> CAST(1 AS BIGINT))
+                       || [CAST(1 AS BIGINT)] AS mask,
+                     CAST(len(pids) + len(rids) + 2 AS BIGINT) AS n
+              FROM pl JOIN rl USING (pair_id)),
+            r AS (
+              SELECT pair_id, ids, mask, n,
+                     CAST(SUM(n) OVER (
+                       ORDER BY pair_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS en
+              FROM ex),
+            s AS (SELECT *, en - n AS st FROM r),
+            xx AS (
+              SELECT pair_id, ids, mask, n, st,
+                     unnest(generate_series(st // 96, (en - 1) // 96))
+                       AS chunk_id
+              FROM s),
+            p AS (
+              SELECT chunk_id,
+                     st + greatest(0, chunk_id * 96 - st) - chunk_id * 96
+                       AS chunk_pos,
+                     ids[greatest(0, chunk_id * 96 - st) + 1
+                         : least(n, chunk_id * 96 + 96 - st)] AS ipiece,
+                     mask[greatest(0, chunk_id * 96 - st) + 1
+                          : least(n, chunk_id * 96 + 96 - st)] AS mpiece
+              FROM xx)
+            SELECT chunk_id,
+                   string_agg(array_to_string(ipiece, ' '), ' '
+                              ORDER BY chunk_pos) AS ids_str,
+                   string_agg(array_to_string(mpiece, ' '), ' '
+                              ORDER BY chunk_pos) AS mask_str,
+                   CAST(SUM(len(ipiece)) AS BIGINT) AS n_tokens,
+                   CAST(SUM(COALESCE(list_aggregate(mpiece, 'sum'), 0))
+                        AS BIGINT) AS n_loss_tokens
+            FROM p GROUP BY chunk_id
         """,
         "quantile_bins": r"""
             WITH d AS (

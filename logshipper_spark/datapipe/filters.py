@@ -379,6 +379,101 @@ def url_filter(
     )
 
 
+# HTML block elements whose CONTENT must be removed before tag
+# stripping (a tag-only strip would leak javascript/css bodies into the
+# extracted text). Applied in order, each replaced by a space. Patterns
+# are RE2-compatible (inline (?is) flags, lazy quantifiers, no
+# lookaround) so the DuckDB oracle runs them verbatim.
+HTML_BLOCK_PATTERNS: list[tuple[str, str]] = [
+    ("script", r"(?is)<script\b[^>]*>.*?</script>"),
+    ("style", r"(?is)<style\b[^>]*>.*?</style>"),
+    ("comment", r"(?s)<!--.*?-->"),
+]
+HTML_TAG_PATTERN = r"(?s)<[^>]*>"
+HTML_ANCHOR_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a>"
+# literal entity decodes, applied IN ORDER — &amp; LAST so '&amp;lt;'
+# decodes to the literal text '&lt;' (one pass, the html.unescape
+# single-level convention), never double-decodes to '<'
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+MAX_LINK_DENSITY_PCT = 40  # boilerplate screen: anchor chars ≤ 40% of text
+
+
+def html_extract(df: DataFrame, html_col: str = "text") -> DataFrame:
+    """HTML → text extraction (the WARC→WET step every CommonCrawl
+    pipeline runs before any text heuristic): remove script/style/
+    comment BLOCKS (content and all), strip remaining tags to spaces,
+    decode the common entities one level, collapse whitespace. Adds
+
+    - ``extracted_text`` — the plain text,
+    - ``text_chars``     — its length (exact integer),
+    - ``n_tags``         — tags stripped (post-block-removal),
+    - ``n_anchors`` / ``anchor_chars`` — link count and the total
+      tag-stripped, whitespace-collapsed anchor-text length (entities
+      undecoded — a ratio signal, not a rendering), the jusText/
+      boilerpipe link-density signal,
+    - ``html_keep``      — non-empty text ∧ anchor_chars·100 ≤
+      MAX_LINK_DENSITY_PCT·text_chars (link-farm / nav-page screen).
+
+    Scale posture: a fixed chain of regexp_replace / regexp_count /
+    regexp_extract_all column expressions — map-only, zero shuffles,
+    fuses with the scan and the downstream C4/Gopher gates into one
+    projection. Patterns and entity decodes are module constants,
+    RE2-compatible, mirrored literally by the DuckDB oracle.
+
+    The anchor array and the stripped/decoded text are STAGED as
+    intermediate columns (each is referenced by several outputs, and
+    higher-order/regex chains get no CSE across projection columns —
+    the CLAUDE.md round-3 inlining gotcha)."""
+    blocks_gone: Column = F.col(html_col)
+    for _, pat in HTML_BLOCK_PATTERNS:
+        blocks_gone = F.regexp_replace(blocks_gone, pat, " ")
+    d1 = df.withColumn("_noblk", blocks_gone)
+    anchors = F.regexp_extract_all(
+        F.col("_noblk"), F.lit(HTML_ANCHOR_PATTERN), F.lit(1)
+    )
+    text: Column = F.regexp_replace(F.col("_noblk"), HTML_TAG_PATTERN, " ")
+    for ent, ch in HTML_ENTITIES:
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    text = F.trim(F.regexp_replace(text, r"\s+", " "))
+    d2 = d1.select(
+        "*",
+        anchors.alias("_anch"),
+        text.alias("extracted_text"),
+        F.regexp_count(F.col("_noblk"), F.lit(HTML_TAG_PATTERN))
+        .cast("long")
+        .alias("n_tags"),
+    )
+    anchor_chars = F.aggregate(
+        F.col("_anch"),
+        F.lit(0).cast("long"),
+        lambda acc, a: acc
+        + F.length(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(a, HTML_TAG_PATTERN, " "), r"\s+", " "
+                )
+            )
+        ),
+    )
+    d3 = d2.select(
+        "*",
+        F.length("extracted_text").cast("long").alias("text_chars"),
+        F.size("_anch").cast("long").alias("n_anchors"),
+        anchor_chars.alias("anchor_chars"),
+    ).drop("_noblk", "_anch")
+    return d3.withColumn(
+        "html_keep",
+        (F.col("text_chars") > 0)
+        & (
+            F.col("anchor_chars") * 100
+            <= F.lit(MAX_LINK_DENSITY_PCT) * F.col("text_chars")
+        ),
+    )
+
+
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub PII spans (email / SSN / phone / IPv4) with typed
     placeholder tokens and count each class.

@@ -260,6 +260,125 @@ def chunk_stats(packed: DataFrame, group_col: str = "source") -> DataFrame:
     )
 
 
+def sft_examples(
+    pairs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "pair_id",
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+) -> DataFrame:
+    """Turn (prompt, response) SFT pairs into loss-masked training
+    examples: ``ids = [BOS] + prompt_ids + response_ids + [EOS]`` and
+    ``mask`` (same length) with 0 over BOS+prompt (no loss) and 1 over
+    response+EOS — the standard SFT convention (loss only on what the
+    model should produce; EOS is supervised so generation learns to
+    stop). Output: ``(id_col, ids, mask, n_tokens, n_loss_tokens)``
+    where ``n_tokens = size(ids)`` (the packing length) and
+    ``n_loss_tokens = size(response_ids) + 1``.
+
+    Scale posture: each lane is one ``tokenize.tokenize_ids`` pass
+    (explode → broadcast-vocab join → positional regroup) over ONLY its
+    own text, so total shuffled tokens equal a single pass over the
+    pair text; the lane join is an equi-join on the pair key. ``id_col``
+    must be unique (one row per pair)."""
+    from . import tokenize as tok
+
+    p = tok.tokenize_ids(
+        pairs.select(id_col, F.col(prompt_col).alias("_t")),
+        vocab,
+        text_col="_t",
+        id_col=id_col,
+        add_bos_eos=False,
+    ).select(id_col, F.col("ids").alias("_pids"))
+    r = tok.tokenize_ids(
+        pairs.select(id_col, F.col(response_col).alias("_t")),
+        vocab,
+        text_col="_t",
+        id_col=id_col,
+        add_bos_eos=False,
+    ).select(id_col, F.col("ids").alias("_rids"))
+    j = p.join(r, id_col)
+    bos = F.array(F.lit(tok.BOS_ID).cast("long"))
+    eos = F.array(F.lit(tok.EOS_ID).cast("long"))
+    zero, one = F.lit(0).cast("long"), F.lit(1).cast("long")
+    ids = F.concat(bos, F.col("_pids"), F.col("_rids"), eos)
+    mask = F.concat(
+        F.array(zero),
+        F.transform(F.col("_pids"), lambda _: zero),
+        F.transform(F.col("_rids"), lambda _: one),
+        F.array(one),
+    )
+    return j.select(
+        id_col,
+        ids.alias("ids"),
+        mask.alias("mask"),
+        (F.size("_pids") + F.size("_rids") + 2).cast("long").alias("n_tokens"),
+        (F.size("_rids") + 1).cast("long").alias("n_loss_tokens"),
+    )
+
+
+def pack_masked(
+    examples: DataFrame,
+    budget: int,
+    order_col: str = "pair_id",
+    group_col: str | None = None,
+    ids_col: str = "ids",
+    mask_col: str = "mask",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Pack loss-masked examples (``sft_examples`` output, or any
+    frame with parallel ``ids``/``mask`` arrays) into fixed-``budget``
+    training chunks, keeping the mask aligned token-for-token across
+    chunk boundaries: the two arrays are zipped into one struct array
+    so the SAME ``pack_chunks`` layout slice applies to both — an
+    example split across chunks carries its mask split identically.
+    Output per chunk: ``(group?, chunk_id, input_ids, loss_mask,
+    n_tokens, n_loss_tokens)``.
+
+    Scale posture: exactly the ``pack_chunks`` + ``assemble_chunks``
+    machinery (block-offset running sum; regroup state bounded by the
+    chunk budget) — the zip adds no shuffle."""
+    g = group_col or "_g"
+    d = examples if group_col else examples.withColumn("_g", F.lit(0))
+    # arrays_zip null-pads a length mismatch silently — corrupt masks
+    # must abort, not train
+    aligned = F.when(
+        F.size(ids_col) == F.size(mask_col), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pack_masked: ids/mask length mismatch at "),
+                F.col(order_col).cast("string"),
+            )
+        ).cast("boolean")
+    )
+    d = d.filter(aligned)
+    d = d.withColumn("_n", F.size(ids_col).cast("long")).withColumn(
+        "_zip", F.arrays_zip(F.col(ids_col).alias("i"), F.col(mask_col).alias("m"))
+    )
+    layout = pack_chunks(
+        d, budget, group_col=g, order_col=order_col,
+        tokens_col="_n", block_size=block_size,
+    )
+    packed = assemble_chunks(
+        d.select(g, order_col, "_zip"), layout,
+        group_col=g, order_col=order_col, ids_col="_zip",
+    )
+    out = packed.select(
+        *([group_col] if group_col else []),
+        "chunk_id",
+        F.transform("ids", lambda s: s["i"]).alias("input_ids"),
+        F.transform("ids", lambda s: s["m"]).alias("loss_mask"),
+        "n_tokens",
+    )
+    return out.withColumn(
+        "n_loss_tokens",
+        F.aggregate(
+            F.col("loss_mask"), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+
+
 # sentence splitter: a run of non-terminators ending in 1+ terminator
 # chars, or the terminator-less tail. Group 1 + trim + drop-empty is
 # mirrored verbatim by the DuckDB oracle (RE2-compatible — no

@@ -1060,6 +1060,92 @@ def test_c4_line_clean(spark):
     assert got[4]["clean_text"] == "Ok line here." and got[4]["c4_keep"]
 
 
+def test_html_extract(spark):
+    """Block removal (script/style/comment content), tag stripping,
+    single-level entity decode, whitespace collapse, and the
+    link-density verdict."""
+    from logshipper_spark.datapipe import filters
+
+    docs = spark.createDataFrame(
+        [
+            (0, '<html><head><script>if (a<b) { alert("x"); }</script>'
+                "<style>p { color: red }</style></head>"
+                "<body><!-- hidden --><p>Hello  world.</p></body></html>"),
+            (1, "plain text with no markup at all"),
+            (2, "Fish &amp; chips &lt;now&gt; &amp;lt;later&amp;gt; "
+                "&#39;q&#39;&nbsp;&quot;z&quot;"),
+            (3, '<div><a href="/a">click <b>here</b> now</a> tail</div>'),
+            (4, '<nav><a href="/1">one two three four five six seven'
+                "</a></nav>ok"),
+            (5, "<p></p><br/><!-- only tags -->"),
+            (6, "<SCRIPT>var y=2;</SCRIPT>Case insensitive survives."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in filters.html_extract(docs).collect()}
+    # script body (with braces, quotes, and a '<' inside), style body,
+    # and comment all removed; text whitespace-collapsed
+    assert got[0]["extracted_text"] == "Hello world."
+    assert got[0]["html_keep"] and got[0]["n_anchors"] == 0
+    # plain text passes through
+    assert got[1]["extracted_text"] == "plain text with no markup at all"
+    assert got[1]["n_tags"] == 0 and got[1]["html_keep"]
+    # single-level decode: '&amp;lt;' -> '&lt;' (never '<')
+    assert got[2]["extracted_text"] == "Fish & chips <now> &lt;later&gt; 'q' \"z\""
+    # anchor text is tag-stripped and whitespace-collapsed for the count
+    assert got[3]["n_anchors"] == 1
+    assert got[3]["anchor_chars"] == len("click here now")
+    assert got[3]["extracted_text"] == "click here now tail"
+    # link-farm page: anchor chars dominate -> screened out
+    assert not got[4]["html_keep"] and got[4]["n_anchors"] == 1
+    # tag-only page extracts to empty -> screened out
+    assert got[5]["extracted_text"] == "" and not got[5]["html_keep"]
+    # (?i) on the block patterns
+    assert got[6]["extracted_text"] == "Case insensitive survives."
+
+
+def test_sft_examples_and_pack_masked(spark):
+    """Loss-masked SFT examples (BOS+prompt masked 0, response+EOS
+    masked 1) packed into fixed-budget chunks with the mask staying
+    aligned across chunk boundaries."""
+    from logshipper_spark.datapipe import packing
+
+    vocab = spark.createDataFrame(
+        [("hello", 3), ("world", 4), ("hi", 5), ("there", 6), ("yes", 7)],
+        "token string, token_id long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, "hello world", "hi there"), (2, "", "yes")],
+        "pair_id long, prompt string, response string",
+    )
+    ex = packing.sft_examples(pairs, vocab)
+    got = {r["pair_id"]: r.asDict() for r in ex.collect()}
+    assert got[1]["ids"] == [1, 3, 4, 5, 6, 2]
+    assert got[1]["mask"] == [0, 0, 0, 1, 1, 1]
+    assert (got[1]["n_tokens"], got[1]["n_loss_tokens"]) == (6, 3)
+    # empty prompt: only BOS is maskless
+    assert got[2]["ids"] == [1, 7, 2] and got[2]["mask"] == [0, 1, 1]
+
+    packed = {
+        r["chunk_id"]: r.asDict()
+        for r in packing.pack_masked(ex, budget=4, block_size=2).collect()
+    }
+    # stream = ex1 (6 tokens) ++ ex2 (3 tokens), cut every 4
+    assert packed[0]["input_ids"] == [1, 3, 4, 5]
+    assert packed[0]["loss_mask"] == [0, 0, 0, 1]
+    # ex1's tail and ex2's head share chunk 1 — masks ride the split
+    assert packed[1]["input_ids"] == [6, 2, 1, 7]
+    assert packed[1]["loss_mask"] == [1, 1, 0, 1]
+    assert packed[2]["input_ids"] == [2] and packed[2]["loss_mask"] == [1]
+    assert [packed[c]["n_loss_tokens"] for c in (0, 1, 2)] == [1, 3, 1]
+
+    # misaligned ids/mask must abort, not silently null-pad
+    bad = ex.withColumn("mask", F.slice("mask", 1, 2))
+    with pytest.raises(Exception, match="length mismatch"):
+        packing.pack_masked(bad, budget=4).collect()
+
+
 def test_decontaminate_streaming_foreachbatch(spark, tmp_path):
     """decontaminate() composes with Structured Streaming the way a
     continuous-ingest curation pipeline runs it: per micro-batch via
