@@ -1682,6 +1682,42 @@ def q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-first curation (curate(html=True)): planted page pairs
+    carry IDENTICAL text under DIFFERENT markup (tags, a comment, and
+    '&amp;' vs literal '&'), so extraction-before-dedup must collapse
+    each pair to one survivor with exact_dup_count = 2 — the property
+    that makes WARC→WET the first stage. Every 9th doc also gains a
+    link-farm variant (anchor text dominates) that the html_keep
+    screen must drop. Oracle re-runs extraction → quality → dedup in
+    SQL."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"), F.col("text"),
+            F.lit(' x &amp; y</p><a href="/n">next</a>'),
+        ).alias("text"),
+    )
+    dup = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("<div><b>"), F.col("text"),
+            F.lit('</b> x & y</div><!-- v2 --><a href="/n">next</a>'),
+        ).alias("text"),
+    )
+    farm = docs.filter("doc_id % 9 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit('<a href="/f">'), F.col("text"),
+            F.lit(" and plenty more anchor text here</a> ok"),
+        ).alias("text"),
+    )
+    return curate.curate(
+        base.unionByName(dup).unionByName(farm), min_quality=0.4, html=True
+    )
+
+
 def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the planted near-dup pairs: every
     (i, i+100000) pair is its own 2-component labeled i — an exactly
@@ -2394,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "curate": q_curate,
         "curate_full": q_curate_full,
+        "curate_html": q_curate_html,
         "dup_components": q_dup_components,
         "cluster_reps": q_cluster_reps,
         "jaccard_pairs": q_jaccard_pairs,
@@ -3789,6 +3826,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality,
                    COUNT(*) AS exact_dup_count
             FROM rep GROUP BY text
+        """,
+        "curate_html": r"""
+            WITH all_docs AS (
+              SELECT doc_id,
+                     '<p>' || text || ' x &amp; y</p><a href="/n">next</a>'
+                       AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     '<div><b>' || text
+                     || '</b> x & y</div><!-- v2 --><a href="/n">next</a>'
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 200000,
+                     '<a href="/f">' || text
+                     || ' and plenty more anchor text here</a> ok'
+              FROM documents WHERE doc_id % 9 = 0),
+            nb AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g') AS noblk
+              FROM all_docs),
+            tx AS (
+              SELECT doc_id,
+                     regexp_extract_all(noblk, '(?is)<a\b[^>]*>(.*?)</a>', 1)
+                       AS anch,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(noblk, '(?s)<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS text
+              FROM nb),
+            hk AS (
+              SELECT doc_id, text
+              FROM tx
+              WHERE length(text) > 0
+                AND coalesce(list_aggregate(list_transform(anch, a ->
+                      length(trim(regexp_replace(regexp_replace(a,
+                        '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))),
+                      'sum'), 0) * 100 <= 40 * length(text)),
+            feat AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(list_filter(regexp_split_to_array(text, '\s+'), tk -> tk <> '')) END AS n_tok,
+                     len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), tk -> tk <> ''),
+                         t -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','for'], t)))
+                       AS h_en,
+                     len(regexp_extract_all(text, '[.!?,;:]')) AS punct
+              FROM hk),
+            q AS (
+              SELECT doc_id, text,
+                     round(((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END) <= 0.2
+                                  THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) >= 0.01
+                                  THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+              FROM feat)
+            SELECT MIN(doc_id) AS doc_id, MIN(quality) AS quality,
+                   COUNT(*) AS exact_dup_count
+            FROM q WHERE quality >= 0.4 GROUP BY text
         """,
         "jaccard_pairs": r"""
             WITH d AS (

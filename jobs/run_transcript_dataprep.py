@@ -12,6 +12,8 @@ deterministic splitting → tokenize+pack / shard.
         [--near-dup] [--minhash-threshold 0.9] \
         [--split train:0.98,val:0.01,test:0.01]  hash-keyed disjoint splits
         [--sft]               also extract (prompt, response) SFT pairs
+        [--sft-pack]          with --sft + --budget: loss-masked SFT chunks
+        [--html]              HTML->text extraction as the first curation stage
         [--budget 2048]       tokenize + pack fixed-length sequences
         [--vocab-size 50000] [--min-count 2] \
         [--shard-bytes N]     size-balanced text shards instead of packing
@@ -47,7 +49,10 @@ recomputed per action):
      tokenize_ids → ``out/tokens``, packing.pack_chunks +
      assemble_chunks per split stream → ``out/chunks`` (GPT-style
      concat-and-split; block-offset running sums, no task scans a
-     stream's full history).
+     stream's full history). With ``--sft --sft-pack`` the committed
+     pairs additionally become loss-masked training chunks
+     (packing.sft_examples + pack_masked, same train-fit vocabulary)
+     under ``out/sft_chunks``.
    --shard-bytes: packing.shard_plan → ``out/corpus/split=S/shard=N``
      size-balanced text shards.
 7. ``out/summary.json`` — row counts per stage (also printed).
@@ -105,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sft", action="store_true",
                     help="extract SFT (prompt, response) pairs from the "
                          "surviving conversations")
+    ap.add_argument("--sft-pack", action="store_true",
+                    help="with --sft and --budget: also pack the pairs "
+                         "into loss-masked training chunks (out/sft_chunks)")
+    ap.add_argument("--html", action="store_true",
+                    help="run HTML->text extraction as the first curation "
+                         "stage (for web-sourced document tables)")
     ap.add_argument("--budget", type=int, default=None,
                     help="tokens per packed training sequence")
     ap.add_argument("--vocab-size", type=int, default=50_000)
@@ -116,6 +127,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.budget and args.shard_bytes:
         ap.error("--budget and --shard-bytes are alternative outputs; "
                  "pick one")
+    if args.sft_pack and not (args.sft and args.budget):
+        ap.error("--sft-pack needs both --sft and --budget")
     splits = _parse_split(args.split) if args.split else None
 
     from pyspark.sql import functions as F
@@ -181,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
         repetition=args.repetition,
         scrub_pii=args.scrub_pii,
         line_clean=args.line_clean,
+        html=args.html,
     )
     keep = write(keep, "keep_list")
     curate_mod.release_cached_frames()
@@ -204,6 +218,7 @@ def main(argv: list[str] | None = None) -> int:
     mark("split")
 
     # 5. SFT pairs from surviving conversations only
+    sft_df = None
     if args.sft:
         kept_convs = survivors.select(
             F.col("doc_id").alias("conv_id"), "split"
@@ -211,7 +226,8 @@ def main(argv: list[str] | None = None) -> int:
         pairs = transcript.sft_pairs(turns.join(
             kept_convs.select("conv_id"), "conv_id"
         )).join(kept_convs, "conv_id")
-        summary["sft_pairs"] = write(pairs, "sft").count()
+        sft_df = write(pairs, "sft")
+        summary["sft_pairs"] = sft_df.count()
         mark("sft")
 
     # 6. output: packed sequences or sharded text corpus
@@ -262,6 +278,34 @@ def main(argv: list[str] | None = None) -> int:
                 F.sum(F.size("ids")).cast("long").alias("tok"),
             ).collect()
         }
+        if args.sft_pack:
+            # loss-masked SFT chunks from the committed pairs, same
+            # train-fit vocabulary; pair key = hash of (conv, response
+            # turn) — deterministic and unique per pair
+            pares = sft_df.withColumn(
+                "pair_id", F.xxhash64("conv_id", "response_turn_idx")
+            )
+            ex = packing.sft_examples(pares, vocab).join(
+                pares.select("pair_id", "split"), "pair_id"
+            )
+            masked = packing.pack_masked(
+                ex, budget=args.budget, group_col="split"
+            )
+            masked.repartition(F.col("split"), F.col("chunk_id")).write.mode(
+                "overwrite"
+            ).option("compression", args.codec).partitionBy("split").parquet(
+                os.path.join(args.out, "sft_chunks")
+            )
+            sfc = spark.read.schema(masked.schema).parquet(
+                os.path.join(args.out, "sft_chunks")
+            )
+            summary["sft_chunks"] = {
+                r["split"]: {"n_chunks": r["n"], "loss_tokens": r["lt"]}
+                for r in sfc.groupBy("split").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_loss_tokens").cast("long").alias("lt"),
+                ).collect()
+            }
     elif args.shard_bytes:
         plan = packing.shard_plan(
             survivors, args.shard_bytes, group_col="split"

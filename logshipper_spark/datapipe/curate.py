@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_key, minhash_lsh_pairs
-from .filters import c4_line_clean, pii_scrub, repetition_stats
+from .filters import c4_line_clean, html_extract, pii_scrub, repetition_stats
 from .substr import merge_spans, remove_dup_spans, substr_dup_spans
 from .textstats import quality_score_arr, tokens
 
@@ -56,6 +56,7 @@ def curate(
     substr_dedup: bool = False,
     substr_w: int = 8,
     substr_window: int = 4,
+    html: bool = False,
 ) -> DataFrame:
     """Keep-list ``(doc_id, quality, exact_dup_count)`` of documents that
     survive curation. ``exact_dup_count`` is how many identical copies
@@ -84,8 +85,23 @@ def curate(
     boilerplate passage collapse together. Unlike the other pre-stages
     this one is not map-only (span detection is a corpus aggregate),
     so it runs before the cheap per-row filters can prune; it is off
-    by default for that reason."""
+    by default for that reason.
+
+    ``html=True`` runs HTML→text extraction (filters.html_extract)
+    FIRST — before even the PII scrub, matching a real crawl pipeline's
+    WARC→WET order: documents failing the link-density screen
+    (``html_keep``) drop, survivors continue as their extracted plain
+    text, so every downstream stage (scrub, quality, dedup keys,
+    signatures) sees markup-free text and two pages identical up to
+    markup collapse together. Map-only — composes with the scrub/clean
+    stages into the same pre-dedup projection."""
     src = df
+    if html:
+        src = (
+            html_extract(src.select(F.col(id_col), F.col(text_col)), text_col)
+            .filter("html_keep")
+            .select(F.col(id_col), F.col("extracted_text").alias(text_col))
+        )
     if scrub_pii:
         src = (
             pii_scrub(src.select(F.col(id_col), F.col(text_col)), text_col)

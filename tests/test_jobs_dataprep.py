@@ -42,7 +42,7 @@ def _run(turns_dir, out, *extra):
 
 def test_dataprep_budget_mode(spark, turns_dir, tmp_path):
     out = str(tmp_path / "out")
-    s = _run(turns_dir, out, "--sft", "--budget", "128",
+    s = _run(turns_dir, out, "--sft", "--sft-pack", "--budget", "128",
              "--vocab-size", "1000", "--min-count", "1")
     # stage accounting: every conversation renders to one doc; splits
     # partition the kept docs
@@ -70,6 +70,27 @@ def test_dataprep_budget_mode(spark, turns_dir, tmp_path):
     # split per doc
     sv = spark.read.parquet(os.path.join(out, "survivors"))
     assert sv.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # loss-masked SFT chunks: mask aligned, non-final chunks full, and
+    # token/loss totals conserved from the committed pairs (loss = every
+    # response token + EOS; stream = both lanes + BOS + EOS per pair)
+    from logshipper_spark.datapipe import textstats
+
+    sfc = spark.read.parquet(os.path.join(out, "sft_chunks"))
+    assert sfc.filter(F.size("input_ids") != F.size("loss_mask")).count() == 0
+    mx2 = sfc.groupBy("split").agg(F.max("chunk_id").alias("mx"))
+    assert sfc.join(mx2, "split").filter(
+        (F.col("chunk_id") != F.col("mx")) & (F.col("n_tokens") != 128)
+    ).count() == 0
+    pairs = spark.read.parquet(os.path.join(out, "sft"))
+    lanes = pairs.select(
+        F.size(textstats.tokens(F.lower(F.col("prompt")))).alias("p"),
+        F.size(textstats.tokens(F.lower(F.col("response")))).alias("r"),
+    ).agg(F.sum("p").alias("p"), F.sum("r").alias("r"),
+          F.count(F.lit(1)).alias("n")).head()
+    got = sfc.agg(F.sum("n_tokens"), F.sum("n_loss_tokens")).head()
+    assert got[0] == lanes["p"] + lanes["r"] + 2 * lanes["n"]
+    assert got[1] == lanes["r"] + lanes["n"]
+    assert s["sft_chunks"]["train"]["n_chunks"] > 0
 
 
 def test_dataprep_shard_mode(spark, turns_dir, tmp_path):
