@@ -1984,6 +1984,30 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor (vec_id < 5), the top-5 most
+    similar index vectors excluding the anchor itself and its labeled
+    positives (planted rule: v is a positive of anchor q iff
+    v % 97 = q). Retrieval over-fetches k + max-positives + 1 through
+    the batch ANN join; the oracle re-derives the cells, probe sets,
+    over-fetch depth (same scalar max), anti-join, and re-rank."""
+    import os
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = f"/tmp/spark_graft_contract/ivf_{os.path.basename(sf_dir.rstrip('/'))}"
+    similarity.write_ivf_index(emb, idx, num_cells=IVF_CELLS, dim=IVF_DIM)
+    queries = emb.filter("vec_id < 5")
+    positives = emb.select(
+        (F.col("vec_id") % 97).alias("query_id"), "vec_id"
+    ).filter("query_id < 5")
+    return similarity.hard_negatives(
+        spark, idx, queries, positives, k=5,
+        num_cells=IVF_CELLS, n_probe=IVF_PROBE, dim=IVF_DIM,
+    )
+
+
 MEDIA_PATH = "/tmp/spark_graft_contract/media_200.parquet"
 _media_written = False
 
@@ -2488,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "ivf_pq_knn": q_ivf_pq_knn,
         "knn_join": q_knn_join,
+        "hard_negatives": q_hard_negatives,
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
@@ -3283,6 +3308,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cosine FROM sc
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, vec_id) <= 5
+        """,
+        "hard_negatives": f"""
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cells AS (SELECT vec_id, v, {_ivf_cell_sql('v')} AS cell FROM s),
+            q AS (SELECT vec_id AS query_id, v AS qv, cell AS qc FROM cells WHERE vec_id < 5),
+            pos AS (
+              SELECT vec_id % 97 AS query_id, vec_id
+              FROM embeddings WHERE vec_id % 97 < 5),
+            pmax AS (
+              SELECT max(c) AS m
+              FROM (SELECT COUNT(*) AS c FROM pos GROUP BY query_id)),
+            probes AS (
+              SELECT query_id, qv,
+                     unnest([qc, xor(qc, 1), xor(qc, 2), xor(qc, 4)]) AS cell
+              FROM q),
+            sc AS (
+              SELECT p.query_id, c.vec_id,
+                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                                                   i -> c.v[i] * p.qv[i]))
+                           / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))), 6)
+                       AS cosine
+              FROM probes p JOIN cells c USING (cell)),
+            cand AS (
+              SELECT query_id, vec_id, cosine FROM sc
+              QUALIFY row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id)
+                      <= 5 + (SELECT m FROM pmax) + 1),
+            neg AS (
+              SELECT c.query_id, c.vec_id, c.cosine
+              FROM cand c
+              WHERE c.vec_id <> c.query_id
+                AND NOT EXISTS (SELECT 1 FROM pos p
+                                WHERE p.query_id = c.query_id
+                                  AND p.vec_id = c.vec_id)),
+            final AS (
+              SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, vec_id)
+                          AS INTEGER) AS neg_rank
+              FROM neg)
+            SELECT * FROM final WHERE neg_rank <= 5
         """,
         "ann_ivf_trained": f"""
             WITH cent AS (

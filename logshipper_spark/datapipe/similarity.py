@@ -256,6 +256,68 @@ def ivf_knn_join(
     )
 
 
+def hard_negatives(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    positives_df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    num_cells: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    every anchor in ``queries_df``, the ``k`` most similar index
+    vectors that are NOT the anchor itself (``exclude_self`` — anchors
+    drawn from the corpus always hit themselves at cosine 1) and not
+    among its labeled positives (``positives_df``: one
+    ``(query_id_col, id_col)`` row per positive). Output
+    ``(query_id, id, cosine, neg_rank)``.
+
+    Retrieval over-fetches exactly ``k + max positives per anchor
+    (+1 for self)`` through ``ivf_knn_join`` — the max is a tiny
+    driver-side aggregate over the positives table (label data, never
+    corpus-sized) — so after the anti-join every anchor still has ≥ k
+    candidates FROM THE PROBED POOL (the usual ANN recall caveat, same
+    as ivf_knn_join itself). The anti-join keys on (query, id); the
+    re-rank window scans only each anchor's ≤ fetch candidates."""
+    p_max_row = (
+        positives_df.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c"))
+        .first()
+    )
+    p_max = int(p_max_row[0] or 0) if p_max_row else 0
+    fetch = k + p_max + (1 if exclude_self else 0)
+    cand = ivf_knn_join(
+        spark,
+        index_path,
+        queries_df,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        k=fetch,
+        num_cells=num_cells,
+        n_probe=n_probe,
+        dim=dim,
+    )
+    pos = positives_df.select(query_id_col, id_col).dropDuplicates()
+    neg = cand.join(pos, [query_id_col, id_col], "left_anti")
+    if exclude_self:
+        neg = neg.filter(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+    )
+
+
 def quantize_vectors(
     df: DataFrame, vec_col: str = "embedding", bits: int = 8
 ) -> DataFrame:

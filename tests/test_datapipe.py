@@ -1105,6 +1105,38 @@ def test_html_extract(spark):
     assert got[6]["extracted_text"] == "Case insensitive survives."
 
 
+def test_hard_negatives(spark, tmp_path):
+    """Self and labeled positives are excluded; survivors rank by
+    cosine. n_probe = num_cells makes the probe exhaustive, so the
+    expected order is exact."""
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),   # labeled positive of anchor 0
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.5, 0.5, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "hnidx")
+    similarity.write_ivf_index(emb, idx, num_cells=2, dim=4)
+    queries = emb.filter("vec_id = 0")
+    positives = spark.createDataFrame([(0, 1)], "query_id long, vec_id long")
+    got = similarity.hard_negatives(
+        spark, idx, queries, positives, k=3, num_cells=2, n_probe=2, dim=4
+    ).orderBy("neg_rank").collect()
+    assert [(r["vec_id"], r["neg_rank"]) for r in got] == [(2, 1), (3, 2), (4, 3)]
+    assert got[0]["cosine"] > got[1]["cosine"] > got[2]["cosine"]
+    # with exclude_self off and no positives, the anchor is its own
+    # top hit at cosine 1
+    raw = similarity.hard_negatives(
+        spark, idx, queries, positives.limit(0), k=2,
+        num_cells=2, n_probe=2, dim=4, exclude_self=False,
+    ).orderBy("neg_rank").collect()
+    assert raw[0]["vec_id"] == 0 and raw[0]["cosine"] == 1.0
+    similarity.release_cached_probes()
+
+
 def test_sft_examples_and_pack_masked(spark):
     """Loss-masked SFT examples (BOS+prompt masked 0, response+EOS
     masked 1) packed into fixed-budget chunks with the mask staying
