@@ -1345,6 +1345,39 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.shard_plan(docs, target_bytes=25_000, block_size=64)
 
 
+EPOCH_KEYS_PATH = "/tmp/spark_graft_contract/epoch_keys.parquet"
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch reshuffle (packing.epoch_shards) for
+    epochs 0 and 1: per-epoch pseudo-random layout + 25 kB shard cuts.
+    The per-epoch layout hashes are materialized (the only non-SQL
+    part — stratified_k precedent) and the oracle re-derives each
+    epoch's running byte sum and shard ids with a plain SQL window
+    ordered by the same (hash, key) bytes — proving the block-offset
+    two-phase layout equals the single-window form for BOTH epochs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = [
+        docs.select(
+            "doc_id",
+            F.lit(e).alias("epoch"),
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(f"#e{e}")
+            ).alias("ekey"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        for e in (0, 1)
+    ]
+    frames[0].unionByName(frames[1]).withColumn(
+        "h", F.xxhash64("ekey")
+    ).write.mode("overwrite").option("compression", "zstd").parquet(
+        EPOCH_KEYS_PATH
+    )
+    return packing.epoch_shards(docs, 0, 25_000, block_size=64).unionByName(
+        packing.epoch_shards(docs, 1, 25_000, block_size=64)
+    )
+
+
 MIXTURE_BUCKETS_PATH = "/tmp/spark_graft_contract/mixture_buckets.parquet"
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
@@ -2488,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "prototype_prune": q_prototype_prune,
         "shard_plan": q_shard_plan,
+        "epoch_shuffle": q_epoch_shuffle,
         "sample_split": q_sample_split,
         "stratified_k": q_stratified_k,
         "cosine_topk": q_cosine_topk,
@@ -4985,6 +5019,21 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS cum_bytes
               FROM b)
             SELECT doc_id, n_bytes, cum_bytes,
+                   (cum_bytes - n_bytes) // 25000 AS shard
+            FROM r
+        """,
+        "epoch_shuffle": f"""
+            WITH k AS (
+              SELECT doc_id, epoch, ekey, n_bytes, h
+              FROM read_parquet('{EPOCH_KEYS_PATH}/*.parquet')),
+            r AS (
+              SELECT doc_id, epoch, n_bytes,
+                     CAST(SUM(n_bytes) OVER (
+                       PARTITION BY epoch ORDER BY h, ekey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_bytes
+              FROM k)
+            SELECT doc_id, epoch, n_bytes, cum_bytes,
                    (cum_bytes - n_bytes) // 25000 AS shard
             FROM r
         """,

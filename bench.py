@@ -378,6 +378,21 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(filters_mod.pii_scrub(filters_mod.repetition_stats(docs))),
         "repetition_pii",
     )
+    # HTML-wrapped docs so the WARC→WET extraction pass measures its
+    # real shape: block removal + tag strip + entity decode + the
+    # anchor-chars fold, all one map-only projection
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script>var x=1;</script>"
+                  "<style>p { x: 1 }</style></head><body><p>"),
+            F.col("text"),
+            F.lit('</p><a href="/n">next page</a><!-- f --></body></html>'),
+        ).alias("text"),
+    )
+    times["html_extract"] = _timed(
+        lambda: _force(filters_mod.html_extract(wrapped)), "html_extract"
+    )
     # multi-line docs (per-source boilerplate footer) so the cross-doc
     # line-dedup pass measures its real shape: explode → df-count →
     # anti-mark join → positional rebuild
@@ -442,6 +457,21 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         _force(tokenize_mod.tokenize_ids(docs, vocab))
 
     times["tokenize_ids"] = _timed(_tokenize_ids, "tokenize_ids")
+    # loss-masked SFT packing: vocab fit once outside the timing so the
+    # row measures examples (two lane tokenizations + pair join) + the
+    # zipped pack/assemble — the text→training-tensors step itself
+    _sft_vocab = tokenize_mod.vocab_build(docs, max_size=50_000, min_count=2)
+    _sft_pairs = docs.selectExpr(
+        "doc_id AS pair_id", "text AS prompt", "text AS response"
+    )
+    times["sft_mask_pack"] = _timed(
+        lambda: _force(
+            packing_mod.pack_masked(
+                packing_mod.sft_examples(_sft_pairs, _sft_vocab), budget=2048
+            )
+        ),
+        "sft_mask_pack",
+    )
     # bpe_train is a driver-paced merge loop (one vocab-sized job per
     # merge) — time a fixed 8-merge train once, then the corpus-wide
     # segmentation with the trained dictionary

@@ -192,6 +192,7 @@ def shard_plan(
     bytes_col: str | None = None,
     group_col: str | None = None,
     block_size: int = 4096,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Size-balanced output sharding: assign every document the shard
     it falls into when documents are laid out in ``order_col`` order
@@ -214,7 +215,9 @@ def shard_plan(
     never funnels through one task; the subsequent physical write is
     ``.repartition(shard)`` + partitionBy, one shuffle sized by the
     data. Per-group sharding (``group_col``) keys shard streams by
-    source/language for mixture-stratified output."""
+    source/language for mixture-stratified output. ``carry_cols``:
+    extra input columns passed through to the output (e.g. the original
+    document key when ``order_col`` is a derived layout key)."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     nbytes = (
@@ -231,6 +234,7 @@ def shard_plan(
     out = d.select(
         *([group_col] if group_col else []),
         F.col(order_col),
+        *(carry_cols or []),
         F.col("_nb").alias("n_bytes"),
         "cum_bytes",
         F.expr(f"(cum_bytes - _nb) DIV {target_bytes}").alias("shard"),
@@ -247,6 +251,56 @@ def shard_stats(
     return plan.groupBy(*keys).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_bytes").alias("shard_bytes"),
+    )
+
+
+def epoch_shards(
+    df: DataFrame,
+    epoch: int,
+    target_bytes: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bytes_col: str | None = None,
+    group_col: str | None = None,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Deterministic multi-epoch reshuffle + shard layout: lay the
+    corpus out in a per-epoch pseudo-random order and cut size-balanced
+    shards — the "each training epoch sees a different, reproducible
+    global order" step a multi-epoch loader needs. The layout key is
+    ``key || '#e<epoch>'``, which ``shard_plan`` orders by
+    ``(xxhash64(layout_key), layout_key)`` (sampling.numeric_order):
+    epoch orders are mutually decorrelated (different hash inputs),
+    each epoch is reproducible run-to-run and partition-independent,
+    and uniqueness follows from the key's. Output ``(group?, key,
+    epoch, n_bytes, cum_bytes, shard)``.
+
+    Scale posture: exactly the ``shard_plan`` machinery — the running
+    byte sum is the block-offset two-phase decomposition, so no task
+    scans the corpus order; one map-only projection on top. Emitting N
+    epochs is N independent plans (or one union) — nothing is stateful
+    across epochs."""
+    d = df.withColumn(
+        "_ekey",
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#e{int(epoch)}")),
+    )
+    plan = shard_plan(
+        d,
+        target_bytes,
+        order_col="_ekey",
+        text_col=text_col,
+        bytes_col=bytes_col,
+        group_col=group_col,
+        block_size=block_size,
+        carry_cols=[key_col],
+    )
+    return plan.select(
+        *([group_col] if group_col else []),
+        key_col,
+        F.lit(int(epoch)).alias("epoch"),
+        "n_bytes",
+        "cum_bytes",
+        "shard",
     )
 
 

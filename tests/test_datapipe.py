@@ -1105,6 +1105,29 @@ def test_html_extract(spark):
     assert got[6]["extracted_text"] == "Case insensitive survives."
 
 
+def test_epoch_shards(spark):
+    """Each epoch is a deterministic global order; different epochs
+    are decorrelated; bytes are conserved within every epoch."""
+    from logshipper_spark.datapipe import packing
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (5 + i % 7)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    e0 = {r["doc_id"]: (r["cum_bytes"], r["shard"])
+          for r in packing.epoch_shards(docs, 0, 200, block_size=8).collect()}
+    e0b = {r["doc_id"]: (r["cum_bytes"], r["shard"])
+           for r in packing.epoch_shards(docs, 0, 200, block_size=8).collect()}
+    e1 = {r["doc_id"]: (r["cum_bytes"], r["shard"])
+          for r in packing.epoch_shards(docs, 1, 200, block_size=8).collect()}
+    assert e0 == e0b  # reproducible
+    assert e0 != e1   # epochs decorrelated (orders differ)
+    # byte conservation: the max cum equals total bytes in both epochs
+    total = sum(len("word " * (5 + i % 7)).__int__() for i in range(60))
+    assert max(c for c, _ in e0.values()) == total
+    assert max(c for c, _ in e1.values()) == total
+
+
 def test_hard_negatives(spark, tmp_path):
     """Self and labeled positives are excluded; survivors rank by
     cosine. n_probe = num_cells makes the probe exhaustive, so the
