@@ -457,10 +457,15 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         _force(tokenize_mod.tokenize_ids(docs, vocab))
 
     times["tokenize_ids"] = _timed(_tokenize_ids, "tokenize_ids")
-    # loss-masked SFT packing: vocab fit once outside the timing so the
-    # row measures examples (two lane tokenizations + pair join) + the
-    # zipped pack/assemble — the text→training-tensors step itself
-    _sft_vocab = tokenize_mod.vocab_build(docs, max_size=50_000, min_count=2)
+    # loss-masked SFT packing: vocab MATERIALIZED (persist + count)
+    # outside the timing — a lazy vocab frame would re-run the full
+    # corpus fit inside both lanes' broadcast on every evaluation — so
+    # the row measures examples (two lane tokenizations + pair join) +
+    # the zipped pack/assemble, the text→training-tensors step itself
+    _sft_vocab = tokenize_mod.vocab_build(
+        docs, max_size=50_000, min_count=2
+    ).persist()
+    _sft_vocab.count()
     _sft_pairs = docs.selectExpr(
         "doc_id AS pair_id", "text AS prompt", "text AS response"
     )
@@ -472,6 +477,7 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "sft_mask_pack",
     )
+    _sft_vocab.unpersist()
     # bpe_train is a driver-paced merge loop (one vocab-sized job per
     # merge) — time a fixed 8-merge train once, then the corpus-wide
     # segmentation with the trained dictionary

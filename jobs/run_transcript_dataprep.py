@@ -33,11 +33,16 @@ recomputed per action):
 2. render — transcript.render_conversations: each conversation becomes
    one training document (turn lines in turn_idx order), written to
    ``out/rendered``. Downstream treats it exactly like documents.text.
-3. curate — datapipe.curate.curate over the rendered documents
-   (optional PII scrub / C4 line clean / Gopher repetition gate,
-   quality score, 128-bit exact dedup, optional MinHash near-dup
-   keep-list); keep-list written to ``out/keep_list``, survivors
-   joined back to their text.
+2b. text-rewriting prep (``--html`` / ``--scrub-pii`` /
+   ``--line-clean``) — extraction, scrubbing, and line cleaning run
+   BEFORE curation and the rewritten text is materialized to
+   ``out/prepared``, so curation keys AND every training output see
+   it (keep-list-only gating would pack raw markup/PII). With
+   ``--scrub-pii`` the SFT pair lanes are scrubbed too.
+3. curate — datapipe.curate.curate over the prepared documents
+   (optional Gopher repetition gate, quality score, 128-bit exact
+   dedup, optional MinHash near-dup keep-list); keep-list written to
+   ``out/keep_list``, survivors joined back to their text.
 4. split — sampling.train_val_test_split keyed on conv_id (map-only,
    reproducible, partition-independent). The vocabulary (stage 6) is
    fit on the TRAIN split only so held-out text never leaks into it.
@@ -185,16 +190,58 @@ def main(argv: list[str] | None = None) -> int:
     summary["rendered_docs"] = rendered.count()
     mark("render")
 
-    # 3. curate the rendered documents
+    # 2b. text-REWRITING prep stages (html extraction, PII scrub, C4
+    # line clean) run BEFORE curation and are MATERIALIZED, so every
+    # downstream consumer — curation keys, vocab, tokens, chunks,
+    # shards — sees the rewritten text. Passing these as curate() flags
+    # instead would gate only the keep-list while survivors rejoin the
+    # RAW rendered text: packed training data would silently keep HTML
+    # markup / PII spans / boilerplate lines. Same stage order as
+    # curate()'s internal html → scrub → line-clean.
+    prep = rendered
+    if args.html:
+        from logshipper_spark.datapipe import filters as filters_mod
+
+        prep = (
+            filters_mod.html_extract(prep)
+            .filter("html_keep")
+            .select(
+                "doc_id",
+                F.col("extracted_text").alias("text"),
+                "n_turns",
+                "n_chars",
+            )
+        )
+    if args.scrub_pii:
+        from logshipper_spark.datapipe import filters as filters_mod
+
+        prep = filters_mod.pii_scrub(prep).select(
+            "doc_id", F.col("scrubbed").alias("text"), "n_turns", "n_chars"
+        )
+    if args.line_clean:
+        from logshipper_spark.datapipe import filters as filters_mod
+
+        prep = (
+            filters_mod.c4_line_clean(prep)
+            .filter("c4_keep")
+            .select(
+                "doc_id", F.col("clean_text").alias("text"),
+                "n_turns", "n_chars",
+            )
+        )
+    if args.html or args.scrub_pii or args.line_clean:
+        rendered = write(prep, "prepared")
+        summary["prepared_docs"] = rendered.count()
+        mark("prep")
+
+    # 3. curate the prepared documents (rewriting stages already
+    # applied above — only gate/dedup stages remain here)
     keep = curate_mod.curate(
         rendered,
         min_quality=args.min_quality,
         near_dup=args.near_dup,
         minhash_threshold=args.minhash_threshold,
         repetition=args.repetition,
-        scrub_pii=args.scrub_pii,
-        line_clean=args.line_clean,
-        html=args.html,
     )
     keep = write(keep, "keep_list")
     curate_mod.release_cached_frames()
@@ -226,6 +273,16 @@ def main(argv: list[str] | None = None) -> int:
         pairs = transcript.sft_pairs(turns.join(
             kept_convs.select("conv_id"), "conv_id"
         )).join(kept_convs, "conv_id")
+        if args.scrub_pii:
+            # pairs derive from the RAW turns, not the scrubbed docs —
+            # scrub both lanes or --sft-pack chunks would carry raw PII
+            from logshipper_spark.datapipe import filters as filters_mod
+
+            for lane in ("prompt", "response"):
+                cols = [c for c in pairs.columns if c != lane]
+                pairs = filters_mod.pii_scrub(pairs, text_col=lane).select(
+                    *cols, F.col("scrubbed").alias(lane)
+                )
         sft_df = write(pairs, "sft")
         summary["sft_pairs"] = sft_df.count()
         mark("sft")

@@ -284,7 +284,15 @@ def hard_negatives(
     corpus-sized) — so after the anti-join every anchor still has ≥ k
     candidates FROM THE PROBED POOL (the usual ANN recall caveat, same
     as ivf_knn_join itself). The anti-join keys on (query, id); the
-    re-rank window scans only each anchor's ≤ fetch candidates."""
+    re-rank window scans only each anchor's ≤ fetch candidates.
+
+    ``exclude_self`` compares index ids to query ids DIRECTLY, so it is
+    only meaningful when anchors are drawn from the indexed corpus
+    (shared id space — the usual mining setup). If query ids live in a
+    separate id space, a corpus vector whose id happens to equal a
+    query id would be silently dropped: pass ``exclude_self=False``
+    there and list the anchor's own row (if any) among its
+    positives."""
     p_max_row = (
         positives_df.groupBy(query_id_col)
         .agg(F.count(F.lit(1)).alias("c"))
