@@ -2041,6 +2041,24 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level edge report in one pass: ROLLUP over (src, dst) —
+    per-edge, per-src subtotal, grand total — with grouping_id. Three
+    report levels, one exchange. Oracle: GROUP BY ROLLUP + GROUPING()
+    over the same enriched bytes."""
+    return agg.edge_rollup(_pipeline_enriched(spark))
+
+
+def q_format_level_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format × level counters matrix: pinned format column list, one
+    map-side-combined shuffle on level; exact long counts. Oracle:
+    conditional aggregation over the same bytes."""
+    return agg.format_level_matrix(
+        _pipeline_enriched(spark),
+        formats=["json", "ecs_json", "metric_json", "plain"],
+    )
+
+
 MEDIA_PATH = "/tmp/spark_graft_contract/media_200.parquet"
 _media_written = False
 
@@ -2550,6 +2568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
+        "edge_rollup": q_edge_rollup,
+        "format_level_matrix": q_format_level_matrix,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -2809,6 +2829,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN level = 'error' OR status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT)
                      AS error_pattern_count
             FROM r GROUP BY sink, conv_id, 3
+        """,
+        "edge_rollup": f"""
+            SELECT src_service, dst_service,
+                   CAST(2 * GROUPING(src_service) + GROUPING(dst_service)
+                        AS BIGINT) AS gid,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN status_code >= 500 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors,
+                   CAST(SUM(COALESCE(latency_us, 0)) AS BIGINT)
+                     AS latency_sum_us
+            FROM {_ENRICHED_REL}
+            WHERE src_service <> '' AND dst_service <> ''
+            GROUP BY ROLLUP (src_service, dst_service)
+        """,
+        "format_level_matrix": f"""
+            SELECT level,
+                   CAST(SUM(CASE WHEN format = 'json' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS json,
+                   CAST(SUM(CASE WHEN format = 'ecs_json' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ecs_json,
+                   CAST(SUM(CASE WHEN format = 'metric_json' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS metric_json,
+                   CAST(SUM(CASE WHEN format = 'plain' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS plain
+            FROM {_ENRICHED_REL}
+            GROUP BY level
         """,
         "pipeline_edge_agg": f"""
             WITH fed AS ({_PIPE_FED_SQL}),

@@ -270,6 +270,59 @@ def service_rollup(edges: DataFrame, anomaly_counts: DataFrame | None = None) ->
     )
 
 
+def edge_rollup(
+    df: DataFrame,
+    src_col: str = "src_service",
+    dst_col: str = "dst_service",
+    latency_col: str = "latency_us",
+) -> DataFrame:
+    """Multi-level edge report in ONE pass via ROLLUP over (src, dst):
+    per-edge rows, per-src subtotals, and the grand total, with
+    ``gid`` (grouping_id: 0 = edge, 1 = per-src subtotal, 3 = grand
+    total) distinguishing levels — rolled-up key columns are NULL, the
+    SQL-standard convention both engines share. Aggregates are exact
+    longs: ``n_events``, ``n_errors`` (is_error_col), and
+    ``latency_sum_us`` (null latencies contribute 0).
+
+    The reference renders per-edge, per-service, and total counters as
+    separate passes over its in-memory graph (screen1.go); at 100 TB a
+    ROLLUP is the right shape — Spark expands the grouping sets
+    map-side BEFORE the single hash shuffle, and map-side partial
+    aggregation combines every level, so three report levels cost one
+    exchange instead of three scans."""
+    d = df.filter((F.col(src_col) != "") & (F.col(dst_col) != ""))
+    return d.rollup(src_col, dst_col).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_error_col(F.col("status_code")).cast("long")).alias("n_errors"),
+        F.sum(F.coalesce(F.col(latency_col), F.lit(0)).cast("long")).alias(
+            "latency_sum_us"
+        ),
+    )
+
+
+def format_level_matrix(
+    df: DataFrame,
+    formats: list[str],
+    format_col: str = "format",
+    level_col: str = "level",
+) -> DataFrame:
+    """Format × level count matrix (the counters dashboard view): one
+    row per level, one column per format from the EXPLICIT ``formats``
+    list — pivot with a pinned value list keeps the output schema
+    deterministic (no extra distinct-scan job, no run-to-run column
+    drift) and is required for oracle comparison. Formats outside the
+    list are ignored; counts are exact longs (0 where absent).
+
+    One map-side-combined shuffle on the level key; the pivot is a
+    conditional aggregation, not a join."""
+    counts = [
+        F.sum((F.col(format_col) == f).cast("long")).alias(f)
+        for f in formats
+    ]
+    return df.groupBy(level_col).agg(*counts)
+
+
 def filter_services(rollup: DataFrame, contains: str) -> DataFrame:
     """Case-insensitive substring filter (screen1.go:110-117)."""
     return rollup.filter(F.lower(F.col("service")).contains(contains.lower()))

@@ -261,3 +261,41 @@ def test_top_k(spark):
     )
     got = [r["name"] for r in agg.top_k(df, "v", 2, tiebreak=["name"]).collect()]
     assert got == ["b", "c"]
+
+
+def test_edge_rollup(spark):
+    """Three report levels in one pass: edge rows (gid 0), per-src
+    subtotals (gid 1, dst NULL), grand total (gid 3, both NULL)."""
+    df = spark.createDataFrame(
+        [("a", "b", 200, 10), ("a", "b", 503, 20), ("a", "c", 200, None),
+         ("b", "c", 500, 5), ("", "c", 500, 5), ("a", "", 200, 1)],
+        "src_service string, dst_service string, status_code int, latency_us long",
+    )
+    rows = {
+        (r["src_service"], r["dst_service"], r["gid"]): (
+            r["n_events"], r["n_errors"], r["latency_sum_us"])
+        for r in agg.edge_rollup(df).collect()
+    }
+    # empty-src / empty-dst rows are excluded everywhere
+    assert rows[("a", "b", 0)] == (2, 1, 30)
+    assert rows[("a", "c", 0)] == (1, 0, 0)       # NULL latency -> 0
+    assert rows[("a", None, 1)] == (3, 1, 30)     # per-src subtotal
+    assert rows[("b", None, 1)] == (1, 1, 5)
+    assert rows[(None, None, 3)] == (4, 2, 35)    # grand total
+    assert len(rows) == 6  # 3 edges + 2 subtotals + 1 total
+
+
+def test_format_level_matrix(spark):
+    df = spark.createDataFrame(
+        [("json", "info"), ("json", "error"), ("plain", "info"),
+         ("ecs_json", "info"), ("weird", "info")],
+        "format string, level string",
+    )
+    got = {
+        r["level"]: (r["json"], r["ecs_json"], r["plain"])
+        for r in agg.format_level_matrix(
+            df, formats=["json", "ecs_json", "plain"]
+        ).collect()
+    }
+    # unknown formats ignored; absent cells are 0, not NULL
+    assert got == {"info": (1, 1, 1), "error": (1, 0, 0)}
