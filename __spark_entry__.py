@@ -2041,6 +2041,25 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from 4 deterministic dimension
+    snapshots (key = source, value = team changing at snapshot 2):
+    consecutive unchanged snapshots collapse to runs with half-open
+    [valid_from, valid_to). Oracle: LAG + IS DISTINCT FROM + LEAD."""
+    src = _t(spark, sf_dir, "documents").select("source").distinct()
+    snaps = None
+    for s in range(4):
+        f = src.selectExpr(
+            "source",
+            f"concat('team', (length(source) + {s // 2}) % 3) AS team",
+            f"CAST({s} AS LONG) AS snapshot_ts",
+        )
+        snaps = f if snaps is None else snaps.unionByName(f)
+    return temporal.scd2_intervals(
+        snaps, key_cols=["source"], value_cols=["team"]
+    )
+
+
 def q_edge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level edge report in one pass: ROLLUP over (src, dst) —
     per-edge, per-src subtotal, grand total — with grouping_id. Three
@@ -2568,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
+        "scd2_intervals": q_scd2_intervals,
         "edge_rollup": q_edge_rollup,
         "format_level_matrix": q_format_level_matrix,
         "anomaly_alerts": q_anomaly_alerts,
@@ -2829,6 +2849,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN level = 'error' OR status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT)
                      AS error_pattern_count
             FROM r GROUP BY sink, conv_id, 3
+        """,
+        "scd2_intervals": r"""
+            WITH src AS (SELECT DISTINCT source FROM documents),
+            snaps AS (
+              SELECT source, 'team' || ((length(source) + 0) % 3) AS team,
+                     CAST(0 AS BIGINT) AS ts FROM src
+              UNION ALL
+              SELECT source, 'team' || ((length(source) + 0) % 3),
+                     CAST(1 AS BIGINT) FROM src
+              UNION ALL
+              SELECT source, 'team' || ((length(source) + 1) % 3),
+                     CAST(2 AS BIGINT) FROM src
+              UNION ALL
+              SELECT source, 'team' || ((length(source) + 1) % 3),
+                     CAST(3 AS BIGINT) FROM src),
+            m AS (
+              SELECT source, team, ts,
+                     team IS DISTINCT FROM
+                       LAG(team) OVER (PARTITION BY source ORDER BY ts)
+                       AS chg
+              FROM snaps),
+            r AS (
+              SELECT source, team, ts AS valid_from,
+                     LEAD(ts) OVER (PARTITION BY source ORDER BY ts)
+                       AS valid_to
+              FROM m WHERE chg)
+            SELECT source, team, valid_from, valid_to FROM r
         """,
         "edge_rollup": f"""
             SELECT src_service, dst_service,

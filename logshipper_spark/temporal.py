@@ -295,3 +295,49 @@ def range_join(
     return (
         f_b.join(iv_b, on=[*keys, "_rb"], how="inner").where(in_range).drop("_rb")
     )
+
+
+def scd2_intervals(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    ts_col: str = "snapshot_ts",
+) -> DataFrame:
+    """Build SCD2 validity intervals from periodic full snapshots of a
+    dimension table (the lookup/enrichment tables the reference reloads
+    from config — enrich.py's (role, tool) table being the canonical
+    case): one output row per (key, value-run) with ``valid_from`` =
+    the first snapshot timestamp carrying the value and ``valid_to`` =
+    the next change's timestamp (NULL = still current, half-open
+    ``[from, to)``). Consecutive snapshots with unchanged values
+    collapse (run-length encoding), so the output is sized by CHANGES,
+    not by snapshots — the shape ``asof_join`` / ``range_join`` then
+    consume to answer "which dimension version was live for this
+    event".
+
+    A key absent from a snapshot simply has no row at that ts — its
+    current run stays open (dimension deletions need an explicit
+    tombstone row, i.e. a snapshot row with the deleted marker as its
+    value; the run machinery then closes the previous run at that ts).
+
+    Spark form: one key-partitioned window chain — value struct
+    null-safe-compared to its ``lag`` marks run starts (first row's
+    lag is NULL → always a start), run starts filter, and ``lead(ts)``
+    over the surviving run starts is each run's close. Per-task work
+    is bounded by one key's snapshot count; no join. DuckDB twin:
+    LAG + IS DISTINCT FROM + LEAD."""
+    _check_reserved(snapshots)
+    val = F.struct(*[F.col(c) for c in value_cols])
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    marked = snapshots.withColumn(
+        "_chg", ~val.eqNullSafe(F.lag(val).over(w))
+    )
+    runs = marked.filter(F.col("_chg")).withColumn(
+        "valid_to", F.lead(F.col(ts_col)).over(w)
+    )
+    return runs.select(
+        *key_cols,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        "valid_to",
+    )

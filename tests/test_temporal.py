@@ -238,3 +238,36 @@ def test_reserved_internal_names_raise(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_scd2_intervals(spark):
+    """Run-length collapse, A->B->A flapping, NULL-valued runs
+    (null-safe compare), late-appearing keys, and half-open chaining."""
+    from logshipper_spark import temporal
+
+    snaps = spark.createDataFrame(
+        [
+            # k1 flaps: A,A,B,A -> three runs
+            ("k1", "A", 0), ("k1", "A", 1), ("k1", "B", 2), ("k1", "A", 3),
+            # k2: NULL then NULL then C -> NULL run collapses null-safely
+            ("k2", None, 0), ("k2", None, 1), ("k2", "C", 2),
+            # k3 appears late, single snapshot -> one open run
+            ("k3", "D", 5),
+        ],
+        "k string, v string, snapshot_ts long",
+    )
+    got = {
+        (r["k"], r["valid_from"]): (r["v"], r["valid_to"])
+        for r in temporal.scd2_intervals(
+            snaps, key_cols=["k"], value_cols=["v"]
+        ).collect()
+    }
+    assert got == {
+        ("k1", 0): ("A", 2),
+        ("k1", 2): ("B", 3),
+        ("k1", 3): ("A", None),
+        ("k2", 0): (None, 2),
+        ("k2", 2): ("C", None),
+        ("k3", 5): ("D", None),
+    }
+    # every key's runs chain half-open: valid_to == next valid_from
