@@ -706,6 +706,28 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
     finally:
         shutil.rmtree(os.path.dirname(pq_dir), ignore_errors=True)
 
+    # headline RETAKE at the end of the capture: the VM's noise storms
+    # last minutes (round-3o/3p captures: every early headline run
+    # 7-21 s while later rows in the same JVM read best-ever), so
+    # best-of-N inside one placement can't ride one out. Sampling the
+    # same plan again ~10-20 wall-clock minutes later gives a second
+    # independent placement; the headline is the min across both.
+    # the cached enriched frame would SUBSTITUTE into the identical
+    # retake plan (InMemoryRelation reuse) and we'd time the cache, not
+    # the chain — release it first (no later row reads it)
+    enriched.unpersist(blocking=True)
+    enr_retake = pipeline.normalize_and_enrich(spark, tr)
+    _force(enr_retake)  # warm (Janino/JIT already hot from placement 1)
+    retake = []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))):
+        t0 = time.time()
+        _force(enr_retake)
+        retake.append(round(time.time() - t0, 3))
+    times["pipeline_parse_enrich"] = min(times["pipeline_parse_enrich"],
+                                         min(retake))
+    turns_per_sec = round(n_turns / times["pipeline_parse_enrich"], 1)
+    result["pipeline_runs_retake"] = retake
+
     result["value"] = turns_per_sec
     result["batch_turns_per_sec_with_sink_io"] = result_batch_tps
     result["batch_turns_per_sec_by_mode"] = batch_tps
