@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.pq is not None and not args.trained:
             raise SystemExit("--pq requires --trained (coarse cells are "
                              "k-means centroids)")
+        if args.pq is not None and args.quantize:
+            # the PQ layout stores M-int code rows, not float vectors —
+            # int8 codes have nothing to attach to; refusing beats a
+            # summary line that claims codes were stored
+            raise SystemExit("--pq and --quantize are exclusive: the "
+                             "IVF x PQ index stores code rows only")
         if args.trained:
             cents = similarity.kmeans_fit(
                 emb, num_cells=args.cells, dim=dim,
@@ -120,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
     qrow = emb.filter(F.col("vec_id") == args.query_id).head()
     if qrow is None:
         raise SystemExit(
-            f"--query-id {args.query_id} not found in {args.embeddings}"
+            f"--query-id {args.query_id} not found in {args.emb}"
         )
     qv = [float(x) for x in qrow["embedding"]]
     if args.pq:

@@ -159,15 +159,18 @@ def write_ivf_index(
     vec_col: str = "embedding",
     dim: int | None = None,
     mode: str = "overwrite",
+    codec: str = "zstd",
 ) -> None:
     """Persist the table partitioned by its IVF cell (the cell id is
     stable per vector, so this is a one-time ingest-side cost). Queries
     through ``ivf_topk_indexed`` then read only the probed partition
     directories — at 100 TB, a ``n_probe/num_cells`` fraction of the
-    bytes, decided before any task launches."""
-    assign_cells(df, num_cells, vec_col, dim=dim).write.mode(mode).partitionBy(
-        "cell"
-    ).parquet(path)
+    bytes, decided before any task launches. ``codec`` defaults zstd
+    like every sibling index writer (the session default lz4 is
+    unreadable to DuckDB — CLAUDE.md round-2 gotcha)."""
+    assign_cells(df, num_cells, vec_col, dim=dim).write.mode(mode).option(
+        "compression", codec
+    ).partitionBy("cell").parquet(path)
 
 
 def ivf_knn_join(
@@ -203,7 +206,12 @@ def ivf_knn_join(
     import math
 
     bits = max(1, int(math.ceil(math.log2(num_cells))))
-    q = assign_cells(queries_df, num_cells, vec_col, dim=dim)
+    # NULL query vectors have no well-defined probe set — without the
+    # filter they'd assign to cell 0 and emit k fabricated cosine-0.0
+    # "neighbors" (the ivf_pq_knn_join convention)
+    q = assign_cells(
+        queries_df.filter(F.col(vec_col).isNotNull()), num_cells, vec_col, dim=dim
+    )
     probe_arr = F.slice(
         F.array(
             F.col("cell"),
@@ -423,12 +431,19 @@ def nearest_centroid_struct(v: Column, centroids: list[list[float]]) -> Column:
     independent re-derivation (the DuckDB oracle) agrees on near-ties,
     index tie-break. One multiply-add pass per centroid per row. ``d``
     is the (6 dp) distance to the WINNING centroid — the
-    prototypicality score pruning ranks on (datapipe.pruning)."""
+    prototypicality score pruning ranks on (datapipe.pruning).
+
+    A NULL vector ELEMENT contributes 0.0 to every distance (per-term
+    coalesce) — matching kmeans_fit's Lloyd-sum convention exactly, so
+    assignment and centroid update agree on such rows instead of a
+    NULL distance silently degenerating every assignment to cell 0."""
     ds = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
         d = F.aggregate(
-            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(
+                v, lit, lambda a, b: F.coalesce((a - b) * (a - b), F.lit(0.0))
+            ),
             F.lit(0.0),
             lambda s, x: s + x,
         )
@@ -547,6 +562,52 @@ def kmeans_fit(
     return centroids
 
 
+def _write_centroids(
+    spark, path: str, centroids: list[list[float]], mode: str, codec: str
+) -> None:
+    """One (cell, centroid) sidecar row per coarse cell — the
+    self-describing half every IVF-family writer shares (schema, codec,
+    and single-file layout must stay identical across writers so
+    probes and oracles read any of them interchangeably)."""
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode(mode).option("compression", codec).parquet(path)
+
+
+def _write_codebook(
+    spark, path: str, codebooks: list[list[list[float]]], mode: str, codec: str
+) -> None:
+    """(sub, code, centroid) PQ codebook sidecar — shared by
+    write_pq_index and write_ivf_pq for the same reason as
+    ``_write_centroids``."""
+    rows = [
+        (s, c, list(book[c]))
+        for s, book in enumerate(codebooks)
+        for c in range(len(book))
+    ]
+    spark.createDataFrame(
+        rows, "sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).option("compression", codec).parquet(path)
+
+
+def _nearest_probe_cells(
+    cent: dict[int, list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` trained cells nearest the query, driver-side
+    (the centroid table is num_cells rows): 6-dp-rounded squared-L2 /
+    cell-id tie-break — the ONE convention every probe path and every
+    contract oracle re-derives, kept in one place."""
+    by_dist = sorted(
+        cent,
+        key=lambda c: (
+            round(sum((a - b) * (a - b) for a, b in zip(query, cent[c])), 6),
+            c,
+        ),
+    )
+    return by_dist[: max(1, n_probe)]
+
+
 def write_ivf_trained(
     df: DataFrame,
     path: str,
@@ -563,12 +624,7 @@ def write_ivf_trained(
     df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids)).write.mode(
         mode
     ).option("compression", codec).partitionBy("cell").parquet(path)
-    cent = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, centroid array<double>"
-    )
-    cent.coalesce(1).write.mode(mode).option("compression", codec).parquet(
-        path + "_centroids"
-    )
+    _write_centroids(spark, path + "_centroids", centroids, mode, codec)
 
 
 def ivf_trained_topk(
@@ -593,14 +649,7 @@ def ivf_trained_topk(
         r["cell"]: list(r["centroid"])
         for r in spark.read.parquet(path + "_centroids").collect()
     }
-    by_dist = sorted(
-        cent,
-        key=lambda c: (
-            round(sum((a - b) * (a - b) for a, b in zip(query, cent[c])), 6),
-            c,
-        ),
-    )
-    probes = by_dist[: max(1, n_probe)]
+    probes = _nearest_probe_cells(cent, query, n_probe)
     pruned = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     if rerank:
         return quantized_topk(pruned, query, vec_col, id_col, k, rerank=rerank)
@@ -713,16 +762,7 @@ def write_pq_index(
     pq_codes(df, codebooks, vec_col).select(id_col, "codes").write.mode(mode).option(
         "compression", codec
     ).parquet(path)
-    rows = [
-        (s, c, list(book[c]))
-        for s, book in enumerate(codebooks)
-        for c in range(len(book))
-    ]
-    spark.createDataFrame(
-        rows, "sub int, code int, centroid array<double>"
-    ).coalesce(1).write.mode(mode).option("compression", codec).parquet(
-        path + "_codebook"
-    )
+    _write_codebook(spark, path + "_codebook", codebooks, mode, codec)
 
 
 def _read_codebook(spark, path: str) -> dict[int, dict[int, list[float]]]:
@@ -751,8 +791,16 @@ def _adc_scored(
     import math
 
     m = len(books)
+    # subspace bounds come from the CODEBOOK's widths, not the query:
+    # a dim-mismatched query would otherwise slice misaligned subspaces
+    # and mis-score silently (zip truncates)
+    dim = sum(len(books[s][min(books[s])]) for s in books)
+    if len(query) != dim:
+        raise ValueError(
+            f"query dim {len(query)} != codebook dim {dim}"
+        )
     tables: list[list[int]] = []
-    for s, (st, w) in enumerate(subspace_bounds(len(query), m)):
+    for s, (st, w) in enumerate(subspace_bounds(dim, m)):
         qsub = query[st - 1 : st - 1 + w]
         tables.append(
             [
@@ -865,23 +913,8 @@ def write_ivf_pq(
     coded.select(id_col, "codes", "cell").write.mode(mode).option(
         "compression", codec
     ).partitionBy("cell").parquet(path)
-    cent = spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
-    )
-    cent.coalesce(1).write.mode(mode).option("compression", codec).parquet(
-        path + "_centroids"
-    )
-    rows = [
-        (s, c, list(book[c]))
-        for s, book in enumerate(codebooks)
-        for c in range(len(book))
-    ]
-    spark.createDataFrame(
-        rows, "sub int, code int, centroid array<double>"
-    ).coalesce(1).write.mode(mode).option("compression", codec).parquet(
-        path + "_codebook"
-    )
+    _write_centroids(spark, path + "_centroids", centroids, mode, codec)
+    _write_codebook(spark, path + "_codebook", codebooks, mode, codec)
 
 
 def ivf_pq_topk(
@@ -907,14 +940,7 @@ def ivf_pq_topk(
         r["cell"]: list(r["centroid"])
         for r in spark.read.parquet(path + "_centroids").collect()
     }
-    by_dist = sorted(
-        cent,
-        key=lambda c: (
-            round(sum((a - b) * (a - b) for a, b in zip(query, cent[c])), 6),
-            c,
-        ),
-    )
-    probes = by_dist[: max(1, n_probe)]
+    probes = _nearest_probe_cells(cent, query, n_probe)
     codes = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     scored = _adc_scored(codes, _read_codebook(spark, path), query, id_col=id_col)
     return _adc_cut(scored, query, k, id_col, rerank_df, vec_col, rerank)
