@@ -96,6 +96,19 @@ def committed_batches(spark: SparkSession, index_dir: str) -> set[int]:
     return {r["batch_id"] for r in df.select("batch_id").distinct().collect()}
 
 
+def append_commit_marker(
+    spark: SparkSession, index_dir: str, batch_id: int
+) -> None:
+    """Append the single-row commit marker for ``batch_id`` — the
+    write half of the marker protocol ``committed_batches`` reads.
+    EVERY marker writer (the streaming dedup/screen indexes, as-of
+    state epochs, epoch pins) must go through here so the schema and
+    path layout live in exactly one place."""
+    spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+        "append"
+    ).parquet(os.path.join(index_dir, "_commits"))
+
+
 def compaction_state(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     """``(epoch, covered)`` of the newest COMMITTED compaction: readers
     trust ``<table>_compact/epoch=<epoch>`` plus committed batch

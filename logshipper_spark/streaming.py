@@ -35,6 +35,58 @@ from . import gen, pipeline, route
 from .schemas import DEFAULT_INGEST_TS, TRANSCRIPT_SCHEMA
 
 
+def _stream_key(path: str) -> str:
+    """Canonical form of a checkpoint path for run-id derivation:
+    scheme-prefixed paths (``hdfs://x``, ``s3a://x``, and single-slash
+    Hadoop forms like ``file:/x``) hash VERBATIM — ``os.path.abspath``
+    would join them onto the driver's cwd and a legitimate restart from
+    a different directory would compute a different run_id and be
+    refused as foreign. A scheme is a letter-led token containing ':'
+    before the first '/'."""
+    head = path.split("/", 1)[0]
+    if ":" in head and head[:1].isalpha():
+        return path
+    return os.path.abspath(path)
+
+
+def _claim_stream_dir(
+    spark: SparkSession, state_dir: str, checkpoint_dir: str
+) -> str:
+    """An index/state/pins directory belongs to ONE logical stream.
+    Claim it with a run id derived from the checkpoint path: a restart
+    (same checkpoint) re-claims silently; a DIFFERENT checkpoint over
+    the same directory is refused loudly. Without the guard, Spark's
+    per-checkpoint batch numbering restarts at 0, so a fresh stream
+    over an accumulated index would find the old run's batch_id-keyed
+    commit markers and silently SKIP its own first epochs (or, for
+    pins, enrich new data against stale pinned state) — the same
+    failure mode run_stream's lineage run_id guard exists for. A
+    pre-guard directory (markers but no ``_stream_id``) is adopted by
+    the first claimer. The underscore prefix keeps the marker invisible
+    to parquet directory listings."""
+    from .datapipe.compaction import _exists
+
+    digest = hashlib.sha256(_stream_key(checkpoint_dir).encode()).hexdigest()
+    run_id = f"stream-{digest[:12]}"
+    marker = os.path.join(state_dir, "_stream_id")
+    if _exists(spark, marker):
+        owner = spark.read.schema("run_id string").parquet(marker).head()
+        if owner is not None and owner["run_id"] != run_id:
+            raise ValueError(
+                f"{state_dir!r} is owned by stream {owner['run_id']!r}; "
+                f"this checkpoint derives {run_id!r} — a state directory "
+                f"belongs to ONE logical stream (its batch_id-keyed "
+                f"markers would collide). Use a fresh directory, or "
+                f"resume with the original checkpoint."
+            )
+        if owner is not None:
+            return run_id
+    spark.createDataFrame([(run_id,)], "run_id string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(marker)
+    return run_id
+
+
 def read_transcript_stream(
     spark: SparkSession,
     input_dir: str,
@@ -83,16 +135,10 @@ def run_stream(
         # never skips its own batch 0 because an older run's lineage
         # is lying around (completed_batches' run_id contract). A
         # shared constant default would silently drop the new run's
-        # first epochs. URI paths (hdfs://, s3a://) hash VERBATIM —
-        # os.path.abspath would join them onto the driver's cwd, so a
-        # legitimate restart from a different directory would compute
-        # a different run_id and be refused as a foreign run.
-        key = (
-            checkpoint_dir
-            if "://" in checkpoint_dir
-            else os.path.abspath(checkpoint_dir)
-        )
-        digest = hashlib.sha256(key.encode()).hexdigest()
+        # first epochs. Scheme-prefixed paths hash VERBATIM
+        # (_stream_key) — including single-slash Hadoop forms like
+        # file:/x that a '://' test would miss.
+        digest = hashlib.sha256(_stream_key(checkpoint_dir).encode()).hexdigest()
         run_id = f"stream-{digest[:12]}"
     rules = rules or gen.routing_rules()
     # per-run constants built ONCE, not per micro-batch: the lookup
@@ -235,7 +281,15 @@ def streaming_exact_dedup(
     narrow projection; the stateful operator shuffles only
     (key, event-time) pairs. ``schema`` is required: streaming parquet
     sources cannot infer schemas (and an empty first listing would
-    throw — CLAUDE.md round-2 gotcha)."""
+    throw — CLAUDE.md round-2 gotcha).
+
+    NULL ``ts_col`` rows are DROPPED by the watermark machinery (the
+    same documented posture as ``streaming_sink_counts`` /
+    ``streaming_conv_stats``, and ``streaming_first_seen`` with
+    ``ttl``): a row with no event time cannot age against the TTL
+    horizon. Coalesce to a real ingest timestamp upstream if such rows
+    must survive — for a dedup stage, silently vanishing input is
+    worse than a late duplicate."""
     from .datapipe.dedup import dedup_key
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
@@ -321,6 +375,10 @@ def streaming_near_dedup(
     from .datapipe import compaction
     from .datapipe import dedup as ddp
 
+    # the index belongs to ONE logical stream: Spark restarts batch ids
+    # at 0 per checkpoint, so a new checkpoint over an accumulated index
+    # would silently skip its first epochs via the old markers
+    _claim_stream_dir(spark, index_dir, checkpoint_dir)
     # one _commits + _compaction scan at stream start: this process is
     # the only marker writer afterwards (run_stream's lineage pattern),
     # so the locally-maintained set stays exact and each epoch pays
@@ -334,70 +392,76 @@ def streaming_near_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed:
             return
-        # ONE signature computation per batch: the persisted frame
-        # serves the index join, the batch-internal pair search, and
-        # the index append
-        sigs = batch_df.select(
-            F.col(id_col),
-            ddp.minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
-        ).persist()
-        sigs.count()
-        # (a) cross-snapshot drops vs the committed live view (epoch
-        # snapshot + committed batch tail — compaction/vacuum
-        # transparent, datapipe.compaction)
-        survivors = batch_df
-        if committed:
-            idx_sigs, idx_bands = compaction.read_minhash_index(
-                spark, index_dir, id_col=id_col,
-                committed=committed, state=comp_state,
+        # persisted frames release in the finally: a mid-batch failure
+        # otherwise leaks the cached blocks for the session's lifetime
+        # (the streaming query replays the batch with FRESH persists)
+        cached: list[DataFrame] = []
+        try:
+            # ONE signature computation per batch: the persisted frame
+            # serves the index join, the batch-internal pair search, and
+            # the index append
+            sigs = batch_df.select(
+                F.col(id_col),
+                ddp.minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+            ).persist()
+            cached.append(sigs)
+            sigs.count()
+            # (a) cross-snapshot drops vs the committed live view (epoch
+            # snapshot + committed batch tail — compaction/vacuum
+            # transparent, datapipe.compaction)
+            survivors = batch_df
+            if committed:
+                idx_sigs, idx_bands = compaction.read_minhash_index(
+                    spark, index_dir, id_col=id_col,
+                    committed=committed, state=comp_state,
+                )
+                idx_sigs = idx_sigs.withColumnRenamed(id_col, "doc_id")
+                idx_bands = idx_bands.withColumnRenamed(id_col, "doc_id")
+                survivors = ddp.near_dedup_against(
+                    survivors,
+                    idx_sigs,
+                    idx_bands,
+                    text_col=text_col,
+                    id_col=id_col,
+                    k=k,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    threshold=threshold,
+                    sigs_df=sigs,
+                )
+            # (b) batch-internal losers: any doc with a lower-id
+            # near-dup — pairs come from the ALREADY-persisted
+            # signatures, not a second shingle+hash pass over the batch
+            pairs = ddp.minhash_pairs_from_sigs(
+                sigs.select(F.col(id_col).alias("doc_id"), "sig"),
+                num_hashes,
+                bands,
+                threshold,
             )
-            idx_sigs = idx_sigs.withColumnRenamed(id_col, "doc_id")
-            idx_bands = idx_bands.withColumnRenamed(id_col, "doc_id")
-            survivors = ddp.near_dedup_against(
-                survivors,
-                idx_sigs,
-                idx_bands,
-                text_col=text_col,
-                id_col=id_col,
-                k=k,
-                num_hashes=num_hashes,
-                bands=bands,
-                threshold=threshold,
-                sigs_df=sigs,
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = survivors.join(losers, id_col, "left_anti").persist()
+            cached.append(survivors)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
             )
-        # (b) batch-internal losers: any doc with a lower-id near-dup —
-        # pairs come from the ALREADY-persisted signatures, not a
-        # second shingle+hash pass over the batch
-        pairs = ddp.minhash_pairs_from_sigs(
-            sigs.select(F.col(id_col).alias("doc_id"), "sig"),
-            num_hashes,
-            bands,
-            threshold,
-        )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = survivors.join(losers, id_col, "left_anti").persist()
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
-        kept_sigs = sigs.join(
-            survivors.select(id_col), id_col
-        ).persist()
-        kept_sigs.write.mode("overwrite").option("compression", "zstd").parquet(
-            os.path.join(index_dir, "sigs", f"batch_id={batch_id}")
-        )
-        ddp.banded_buckets(
-            kept_sigs.withColumnRenamed(id_col, "doc_id"), num_hashes, bands
-        ).withColumnRenamed("doc_id", id_col).write.mode("overwrite").option(
-            "compression", "zstd"
-        ).parquet(os.path.join(index_dir, "bands", f"batch_id={batch_id}"))
-        # marker LAST — the restart point
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-            "append"
-        ).parquet(os.path.join(index_dir, "_commits"))
-        committed.add(batch_id)
-        kept_sigs.unpersist()
-        survivors.unpersist()
-        sigs.unpersist()
+            kept_sigs = sigs.join(
+                survivors.select(id_col), id_col
+            ).persist()
+            cached.append(kept_sigs)
+            kept_sigs.write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(os.path.join(index_dir, "sigs", f"batch_id={batch_id}"))
+            ddp.banded_buckets(
+                kept_sigs.withColumnRenamed(id_col, "doc_id"), num_hashes, bands
+            ).withColumnRenamed("doc_id", id_col).write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(os.path.join(index_dir, "bands", f"batch_id={batch_id}"))
+            # marker LAST — the restart point
+            compaction.append_commit_marker(spark, index_dir, batch_id)
+            committed.add(batch_id)
+        finally:
+            while cached:
+                cached.pop().unpersist()
         if chaos is not None:
             chaos(batch_id)
 
@@ -457,6 +521,8 @@ def streaming_semantic_dedup(
     from .datapipe import compaction
     from .datapipe import semdedup as sdd
 
+    # one stream owns the index (see streaming_near_dedup)
+    _claim_stream_dir(spark, index_dir, checkpoint_dir)
     # one commit/compaction scan at stream start, maintained locally —
     # see streaming_near_dedup for the sole-writer argument
     committed = near_dedup_committed(spark, index_dir)
@@ -465,56 +531,63 @@ def streaming_semantic_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed:
             return
-        # ONE cell assignment per batch (the near-dup stream's
-        # one-signature rule): the LOCALLY-persisted frame serves the
-        # index probe, the batch-internal pair search, and the index
-        # append — never the module cache, whose global release would
-        # yank frames out from under concurrent queries
-        cells = sdd.assign_trained_cells(batch_df, centroids, vec_col).persist()
-        cells.count()
-        survivors = batch_df
-        if committed:
-            # committed live view (epoch snapshot + batch tail, both
-            # cell-partitioned — probe filters still prune directories)
-            idx = compaction.read_semantic_index(
-                spark, index_dir, id_col=id_col, vec_col=vec_col,
-                committed=committed, state=comp_state,
-            ).select(
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("embedding"),
-                "cell",
+        cached: list[DataFrame] = []
+        try:
+            # ONE cell assignment per batch (the near-dup stream's
+            # one-signature rule): the LOCALLY-persisted frame serves
+            # the index probe, the batch-internal pair search, and the
+            # index append — never the module cache, whose global
+            # release would yank frames out from under concurrent
+            # queries
+            cells = sdd.assign_trained_cells(
+                batch_df, centroids, vec_col
+            ).persist()
+            cached.append(cells)
+            cells.count()
+            survivors = batch_df
+            if committed:
+                # committed live view (epoch snapshot + batch tail,
+                # both cell-partitioned — probe filters still prune
+                # directories)
+                idx = compaction.read_semantic_index(
+                    spark, index_dir, id_col=id_col, vec_col=vec_col,
+                    committed=committed, state=comp_state,
+                ).select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                    "cell",
+                )
+                survivors = sdd.semantic_dedup_against(
+                    survivors,
+                    threshold=threshold,
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    index_df=idx,
+                    centroids=centroids,
+                    cells_df=cells,
+                )
+            # batch-internal losers: lower-id keeper rule, same as the
+            # near-dup stream (pairs emit id_a < id_b)
+            pairs = sdd.semantic_pairs(
+                batch_df, centroids, threshold, vec_col, id_col, cells_df=cells
             )
-            survivors = sdd.semantic_dedup_against(
-                survivors,
-                threshold=threshold,
-                vec_col=vec_col,
-                id_col=id_col,
-                index_df=idx,
-                centroids=centroids,
-                cells_df=cells,
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = survivors.join(losers, id_col, "left_anti").persist()
+            cached.append(survivors)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
             )
-        # batch-internal losers: lower-id keeper rule, same as the
-        # near-dup stream (pairs emit id_a < id_b)
-        pairs = sdd.semantic_pairs(
-            batch_df, centroids, threshold, vec_col, id_col, cells_df=cells
-        )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = survivors.join(losers, id_col, "left_anti").persist()
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
-        cells.select(id_col, vec_col, "cell").join(
-            survivors.select(id_col), id_col
-        ).write.mode("overwrite").option("compression", "zstd").partitionBy(
-            "cell"
-        ).parquet(os.path.join(index_dir, "vectors", f"batch_id={batch_id}"))
-        # marker LAST — the restart point
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-            "append"
-        ).parquet(os.path.join(index_dir, "_commits"))
-        committed.add(batch_id)
-        survivors.unpersist()
-        cells.unpersist()
+            cells.select(id_col, vec_col, "cell").join(
+                survivors.select(id_col), id_col
+            ).write.mode("overwrite").option("compression", "zstd").partitionBy(
+                "cell"
+            ).parquet(os.path.join(index_dir, "vectors", f"batch_id={batch_id}"))
+            # marker LAST — the restart point
+            compaction.append_commit_marker(spark, index_dir, batch_id)
+            committed.add(batch_id)
+        finally:
+            while cached:
+                cached.pop().unpersist()
         if chaos is not None:
             chaos(batch_id)
 
@@ -547,9 +620,12 @@ def streaming_substr_screen(
     """Streaming substring-level boilerplate screening: each
     micro-batch computes every document's winnowed-fingerprint
     contamination against the persisted index of everything KEPT so
-    far (datapipe.substr.substr_contamination) and drops documents at
-    or above ``max_contamination`` — pages that are mostly passages the
-    corpus already holds. Survivors land under ``out_dir/batch_id=N``
+    far (datapipe.substr.substr_contamination semantics) PLUS the
+    lower-id documents of the same batch (the siblings' rule (b), so
+    boilerplate duplicates arriving in one micro-batch don't all pass)
+    and drops documents at or above ``max_contamination`` — pages that
+    are mostly passages the corpus already holds. Survivors land under
+    ``out_dir/batch_id=N``
     and their DISTINCT fingerprints append to the index as a
     ``batch_id=N`` partition, so the index is exactly the kept corpus's
     substring memory (the streaming twin of write_fingerprint_index /
@@ -569,6 +645,8 @@ def streaming_substr_screen(
     from .datapipe import compaction
     from .datapipe import substr as sub
 
+    # one stream owns the index (see streaming_near_dedup)
+    _claim_stream_dir(spark, index_dir, checkpoint_dir)
     # one commit/compaction scan at stream start, maintained locally —
     # see streaming_near_dedup for the sole-writer argument
     committed = near_dedup_committed(spark, index_dir)
@@ -577,40 +655,72 @@ def streaming_substr_screen(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in committed:
             return
-        # ONE fingerprint pass per batch: serves the contamination
-        # join, the keep filter, and the index append
-        fp = sub.fingerprint_table(batch_df, text_col, id_col, w, window).persist()
-        fp.count()
-        if committed:
-            # committed live view (compaction/vacuum transparent)
-            idx = compaction.read_fingerprint_index(
-                spark, index_dir, committed=committed, state=comp_state
+        cached: list[DataFrame] = []
+        try:
+            # ONE fingerprint pass per batch: serves the contamination
+            # join, the keep filter, and the index append
+            fp = sub.fingerprint_table(
+                batch_df, text_col, id_col, w, window
+            ).persist()
+            cached.append(fp)
+            fp.count()
+            if committed:
+                # committed live view (compaction/vacuum transparent)
+                idx = compaction.read_fingerprint_index(
+                    spark, index_dir, committed=committed, state=comp_state
+                )
+            else:
+                idx = spark.createDataFrame([], "gram_hash long")
+            # contamination vs the index AND the batch itself (the
+            # siblings' rule (b)): a fingerprint counts as seen for
+            # doc a when the index holds it OR a LOWER-id doc in this
+            # batch does — without the batch-internal lane, boilerplate
+            # duplicates arriving in ONE micro-batch all pass and the
+            # kept corpus depends on trigger boundaries. Same
+            # n_seen/n_fingerprints (+1e-9, 4 dp) convention as
+            # substr_contamination; fingerprint-less docs never drop.
+            min_holder = fp.groupBy("gram_hash").agg(
+                F.min("doc_id").alias("_minh")
             )
-        else:
-            idx = spark.createDataFrame([], "gram_hash long")
-        cont = sub.substr_contamination(
-            batch_df, idx, text_col, id_col, w, window, fp_df=fp
-        )
-        keep_ids = cont.filter(
-            F.col("contamination") < max_contamination
-        ).select(F.col("doc_id").alias(id_col))
-        survivors = batch_df.join(keep_ids, id_col, "left_semi").persist()
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={batch_id}")
-        )
-        kept_fp = fp.join(
-            survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
-        )
-        kept_fp.select("gram_hash").distinct().write.mode("overwrite").option(
-            "compression", "zstd"
-        ).parquet(os.path.join(index_dir, "grams", f"batch_id={batch_id}"))
-        # marker LAST — the restart point
-        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-            "append"
-        ).parquet(os.path.join(index_dir, "_commits"))
-        committed.add(batch_id)
-        survivors.unpersist()
-        fp.unpersist()
+            in_idx = idx.select("gram_hash").distinct().withColumn(
+                "_ins", F.lit(1)
+            )
+            seen = (
+                (F.col("_minh") < F.col("doc_id"))
+                | F.col("_ins").isNotNull()
+            ).cast("long")
+            scored = (
+                fp.join(min_holder, "gram_hash")
+                .join(in_idx, "gram_hash", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("_nfp"),
+                    F.sum(seen).alias("_nseen"),
+                )
+            )
+            drop_ids = scored.filter(
+                F.round(F.col("_nseen") / F.col("_nfp") + F.lit(1e-9), 4)
+                >= max_contamination
+            ).select(F.col("doc_id").alias(id_col))
+            survivors = batch_df.join(drop_ids, id_col, "left_anti").persist()
+            cached.append(survivors)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={batch_id}")
+            )
+            kept_fp = fp.join(
+                survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
+            )
+            kept_fp.select("gram_hash").distinct().write.mode(
+                "overwrite"
+            ).option("compression", "zstd").parquet(
+                os.path.join(index_dir, "grams", f"batch_id={batch_id}")
+            )
+            # marker LAST — the restart point
+            compaction.append_commit_marker(spark, index_dir, batch_id)
+            committed.add(batch_id)
+        finally:
+            while cached:
+                cached.pop().unpersist()
         if chaos is not None:
             chaos(batch_id)
 
@@ -736,12 +846,12 @@ def asof_state_append(
     to every reader and a rerun re-commits the same bytes — the same
     marker protocol as the streaming dedup indexes
     (datapipe.compaction.committed_batches)."""
+    from .datapipe.compaction import append_commit_marker
+
     rows.write.mode("overwrite").option("compression", "zstd").parquet(
         os.path.join(state_dir, f"batch_id={batch_id}")
     )
-    spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-        "append"
-    ).parquet(os.path.join(state_dir, "_commits"))
+    append_commit_marker(spark, state_dir, batch_id)
 
 
 def streaming_asof_enrich(
@@ -790,14 +900,23 @@ def streaming_asof_enrich(
     explicit partition paths so only pinned epochs are ever listed.
     """
     from . import temporal
-    from .datapipe.compaction import committed_batches
+    from .datapipe.compaction import append_commit_marker, committed_batches
 
     state_fields = spark.createDataFrame([], state_schema).columns
     pins_dir = os.path.join(out_dir, "_epoch_pins")
+    # the pins belong to ONE logical stream: a new checkpoint over a
+    # reused out_dir would collide batch ids with the old run's pins
+    # and enrich NEW data against STALE pinned state views
+    _claim_stream_dir(spark, pins_dir, checkpoint_dir)
+    # one pins _commits scan at stream start, maintained locally — this
+    # process is the sole pins writer (run_stream's lineage pattern);
+    # the per-batch STATE-dir scan below stays, state has an external
+    # writer (asof_state_append callers)
+    pinned_batches = committed_batches(spark, pins_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         pin_path = os.path.join(pins_dir, f"batch_id={batch_id}")
-        if batch_id in committed_batches(spark, pins_dir):
+        if batch_id in pinned_batches:
             pinned = {
                 r["state_batch_id"]
                 for r in spark.read.schema("state_batch_id long")
@@ -810,9 +929,8 @@ def streaming_asof_enrich(
                 [(b,) for b in sorted(pinned)] or [], "state_batch_id long"
             ).coalesce(1).write.mode("overwrite").parquet(pin_path)
             # pin marker LAST — a crash mid-pin-write is invisible
-            spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
-                "append"
-            ).parquet(os.path.join(pins_dir, "_commits"))
+            append_commit_marker(spark, pins_dir, batch_id)
+            pinned_batches.add(batch_id)
         if chaos is not None:
             chaos(batch_id, "pinned")
         if pinned:

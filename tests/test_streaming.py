@@ -739,3 +739,40 @@ def test_streaming_asof_enrich_pins_state_epoch(spark, tmp_path):
         for r in spark.read.schema(out_schema).parquet(out_dir).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_index_stream_foreign_checkpoint_refused(spark, tmp_path):
+    """An accumulated index belongs to ONE logical stream: a second
+    stream (different checkpoint) over the same index_dir must be
+    refused loudly — Spark restarts batch ids at 0 per checkpoint, so
+    the new stream would silently skip its first epochs via the old
+    run's batch_id-keyed commit markers."""
+    import pytest
+
+    input_dir = str(tmp_path / "fg_in")
+    out_dir = str(tmp_path / "fg_out")
+    ckpt_a = str(tmp_path / "fg_ck_a")
+    idx = str(tmp_path / "fg_idx")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    q = streaming.streaming_near_dedup(
+        spark, input_dir, out_dir, ckpt_a, idx, schema=schema
+    )
+    q.awaitTermination(180)
+    assert streaming.near_dedup_committed(spark, idx) == {0}
+
+    # same checkpoint resumes fine
+    q2 = streaming.streaming_near_dedup(
+        spark, input_dir, out_dir, ckpt_a, idx, schema=schema
+    )
+    q2.awaitTermination(180)
+
+    # a DIFFERENT checkpoint over the same index is refused before any
+    # batch runs
+    with pytest.raises(ValueError, match="ONE logical stream"):
+        streaming.streaming_near_dedup(
+            spark, input_dir, str(tmp_path / "fg_out2"),
+            str(tmp_path / "fg_ck_b"), idx, schema=schema,
+        )
