@@ -2041,6 +2041,16 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per hour over the raw transcripts (count DESC,
+    token ASC; min_count 2): the salted two-phase per-bucket top-k must
+    equal the oracle's plain single-window ranking over the same
+    unnest+count."""
+    return textstats.trending_terms(
+        _transcripts_raw(spark), k=5, duration="1 hour", min_count=2
+    )
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals from 4 deterministic dimension
     snapshots (key = source, value = team changing at snapshot 2):
@@ -2587,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
+        "trending_terms": q_trending_terms,
         "scd2_intervals": q_scd2_intervals,
         "edge_rollup": q_edge_rollup,
         "format_level_matrix": q_format_level_matrix,
@@ -2849,6 +2860,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN level = 'error' OR status_code >= 500 THEN 1 ELSE 0 END) AS BIGINT)
                      AS error_pattern_count
             FROM r GROUP BY sink, conv_id, 3
+        """,
+        "trending_terms": f"""
+            WITH t AS (
+              SELECT ts, text
+              FROM read_parquet('{TRANSCRIPTS_PATH}/*.parquet')),
+            tok AS (
+              SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+                     ts IS NULL AS tsnull,
+                     unnest(CASE WHEN trim(text) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE list_filter(
+                              regexp_split_to_array(lower(text), '\\s+'),
+                              tk -> tk <> '')
+                            END) AS token
+              FROM t),
+            c AS (
+              SELECT wstart, tsnull, token,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+            r AS (
+              SELECT wstart, tsnull, token, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY wstart, tsnull
+                       ORDER BY n DESC, token) AS INTEGER) AS rank
+              FROM c)
+            SELECT CASE WHEN tsnull THEN NULL ELSE wstart END
+                     AS window_start,
+                   token, n, rank
+            FROM r WHERE rank <= 5
         """,
         "scd2_intervals": r"""
             WITH src AS (SELECT DISTINCT source FROM documents),

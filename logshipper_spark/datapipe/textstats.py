@@ -490,3 +490,70 @@ def bm25_topk(
             "matched_terms",
         )
     )
+
+
+def trending_terms(
+    df: DataFrame,
+    k: int = 5,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    duration: str = "1 hour",
+    min_count: int = 2,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Top-k terms per tumbling time bucket — the "trending tokens this
+    hour" view a log/transcript analytics surface renders. Output
+    ``(window_start, token, n, rank)`` with rank by (count DESC, token
+    ASC); ``min_count`` prunes the singleton tail before any ranking.
+
+    Plan shape: tokenize (map-only) → ONE map-side-combined count
+    shuffle on (bucket, token) — Zipf skew arrives pre-combined per map
+    task — → salted two-phase top-k on the (count, token) order (phase
+    1 ranks within (bucket, token-hash salt) and keeps local top-k;
+    any global top-k term is necessarily in its salt's local top-k, so
+    phase 2 ranks ≤ salt_buckets·k survivors per bucket): a bucket's
+    full vocabulary never sorts in one task. NULL-``ts_col`` rows land
+    in a NULL ``window_start`` group (coalesce-to-sentinel INSIDE
+    window() — Spark's TimeWindowing rule silently drops NULL inputs,
+    the CLAUDE.md round-3 gotcha)."""
+    from pyspark.sql import Window
+
+    sentinel = F.to_timestamp(F.lit("0001-01-01 00:00:00"))
+    counts = (
+        df.select(
+            F.window(
+                F.coalesce(F.col(ts_col), sentinel), duration
+            ).alias("_w"),
+            F.col(ts_col).isNull().alias("_ts_null"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("_w", "_ts_null", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64("token"), F.lit(salt_buckets))
+    )
+    local_w = Window.partitionBy("_w", "_ts_null", "_salt").orderBy(
+        F.col("n").desc(), F.col("token")
+    )
+    survivors = (
+        salted.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_salt")
+    )
+    global_w = Window.partitionBy("_w", "_ts_null").orderBy(
+        F.col("n").desc(), F.col("token")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.when(~F.col("_ts_null"), F.col("_w.start")).alias(
+                "window_start"
+            ),
+            "token",
+            "n",
+            "rank",
+        )
+    )

@@ -2489,3 +2489,53 @@ def test_semantic_dedup_against_empty_index_dir(spark, tmp_path):
     kept = semdedup.semantic_dedup_against(batch, idx)
     assert {r["vec_id"] for r in kept.collect()} == {1, 2}
     semdedup.release_cached_cells()
+
+
+def test_trending_terms(spark):
+    """Two-phase per-bucket top-k == plain single-window ranking;
+    NULL-ts rows land in a NULL bucket instead of vanishing."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(40):
+        rows.append((datetime(2024, 3, 1, 10, i % 50), "hot hot warm cool%d" % (i % 9)))
+    for i in range(10):
+        rows.append((datetime(2024, 3, 1, 11, i), "evening token burst burst"))
+    rows.append((None, "nullbucket nullbucket words here"))
+    rows.append((None, "nullbucket again appears twice twice"))
+    df = spark.createDataFrame(rows, "ts timestamp, text string")
+    got = textstats.trending_terms(df, k=3, min_count=2, salt_buckets=4)
+    # single-window reference over the same counts
+    ref_counts = (
+        df.select(
+            F.window(
+                F.coalesce(F.col("ts"), F.to_timestamp(F.lit("0001-01-01"))),
+                "1 hour",
+            ).alias("_w"),
+            F.col("ts").isNull().alias("_n"),
+            F.explode(textstats.tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("_w", "_n", "token")
+        .count()
+        .filter("count >= 2")
+    )
+    w = Window.partitionBy("_w", "_n").orderBy(F.col("count").desc(), "token")
+    ref = (
+        ref_counts.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3")
+        .select(
+            F.when(~F.col("_n"), F.col("_w.start")).alias("window_start"),
+            "token",
+            F.col("count").alias("n"),
+            "rank",
+        )
+    )
+    g = {(r["window_start"], r["rank"]): (r["token"], r["n"]) for r in got.collect()}
+    e = {(r["window_start"], r["rank"]): (r["token"], r["n"]) for r in ref.collect()}
+    assert g == e and len(g) > 0
+    # the 10:00 bucket's top term is the hot token; NULL bucket present
+    hot = g[(datetime(2024, 3, 1, 10, 0), 1)]
+    assert hot[0] == "hot" and hot[1] == 80
+    assert any(k[0] is None for k in g)
