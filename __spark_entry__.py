@@ -3019,8 +3019,15 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN tool <> '' THEN role || ':' || tool ELSE role END AS step
               FROM {_TRANSCRIPTS_REL}),
             l AS (
-              SELECT COALESCE(lag(step) OVER (PARTITION BY conv_id ORDER BY turn_idx),
-                              'START') AS prev_step, step
+              -- START gates on the first ROW (row_number), mirroring
+              -- step_transitions: coalescing lag's NULL would also
+              -- rewrite a genuinely NULL previous label as a start
+              SELECT CASE WHEN row_number() OVER
+                            (PARTITION BY conv_id ORDER BY turn_idx) = 1
+                          THEN 'START'
+                          ELSE lag(step) OVER
+                            (PARTITION BY conv_id ORDER BY turn_idx)
+                     END AS prev_step, step
               FROM s),
             c AS (SELECT prev_step, step, COUNT(*) AS n_transitions
                   FROM l GROUP BY prev_step, step)
@@ -3045,9 +3052,12 @@ def oracle_sql() -> dict[str, str]:
         "transcript_render": f"""
             WITH r AS (
               SELECT conv_id, COUNT(*) AS n_turns,
-                     string_agg(role ||
+                     -- role/text COALESCE mirrors render_conversations:
+                     -- a NULL lane must not drop the whole turn line
+                     string_agg(COALESCE(role, '') ||
                                 CASE WHEN tool <> '' THEN '[' || tool || ']' ELSE '' END
-                                || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+                                || ': ' || COALESCE(text, ''),
+                                chr(10) ORDER BY turn_idx) AS doc
               FROM {_TRANSCRIPTS_REL} GROUP BY conv_id)
             SELECT conv_id, CAST(n_turns AS INT) AS n_turns, doc,
                    CAST(LENGTH(doc) AS INT) AS n_chars

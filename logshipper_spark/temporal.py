@@ -59,7 +59,7 @@ ASOF_TS = "asof_ts"
 #: columns may not reuse them (a silent alias collision would corrupt
 #: the match instead of failing loudly)
 _RESERVED = frozenset({"_ats", "_pay", "_tag", "_tie", "_ck", "_blk", "_loc",
-                       "_blast", "_carry", "_rb"})
+                       "_blast", "_carry", "_rb", "_rk", "_chg"})
 
 
 def _check_reserved(*frames: DataFrame) -> None:
@@ -280,20 +280,38 @@ def range_join(
     nonempty = (start < end) if end_exclusive else (start <= end)
     iv = intervals.filter(start.isNotNull() & end.isNotNull() & nonempty)
 
+    # keys join as ONE struct column: struct equality is null-safe (the
+    # module contract — asof_join's group_key_struct convention) AND
+    # shares hash partitioning, where an eqNullSafe join condition
+    # would force an extra exchange (CLAUDE.md round-3 gotcha). The
+    # interval side drops its raw key columns so the output keeps one
+    # set (from facts).
+    kf = F.struct(*[F.col(k) for k in keys])
+
     if method == "broadcast":
-        return facts.join(F.broadcast(iv), on=keys, how="inner").where(in_range)
+        ivj = iv.withColumn("_rk", kf).drop(*keys)
+        return (
+            facts.withColumn("_rk", kf)
+            .join(F.broadcast(ivj), on="_rk", how="inner")
+            .where(in_range)
+            .drop("_rk")
+        )
     if method != "bucketed":
         raise ValueError(f"unknown method: {method!r}")
 
     wus = bucket_width_s * 1_000_000
     last_us = _ts_micros(end) - (1 if end_exclusive else 0)
-    iv_b = iv.withColumn(
+    iv_b = iv.withColumn("_rk", kf).drop(*keys).withColumn(
         "_rb",
         F.explode(F.sequence(F.floor(_ts_micros(start) / wus), F.floor(last_us / wus))),
     )
-    f_b = facts.withColumn("_rb", F.floor(_ts_micros(ts) / wus))
+    f_b = facts.withColumn("_rk", kf).withColumn(
+        "_rb", F.floor(_ts_micros(ts) / wus)
+    )
     return (
-        f_b.join(iv_b, on=[*keys, "_rb"], how="inner").where(in_range).drop("_rb")
+        f_b.join(iv_b, on=["_rk", "_rb"], how="inner")
+        .where(in_range)
+        .drop("_rk", "_rb")
     )
 
 
@@ -327,6 +345,14 @@ def scd2_intervals(
     is bounded by one key's snapshot count; no join. DuckDB twin:
     LAG + IS DISTINCT FROM + LEAD."""
     _check_reserved(snapshots)
+    bad = {"valid_from", "valid_to"} & (
+        set(key_cols) | set(value_cols) | {ts_col}
+    )
+    if bad:
+        raise ValueError(
+            f"scd2_intervals output names collide with input columns: "
+            f"{sorted(bad)} — rename them first"
+        )
     val = F.struct(*[F.col(c) for c in value_cols])
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     marked = snapshots.withColumn(

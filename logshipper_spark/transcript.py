@@ -95,13 +95,20 @@ def step_transitions(
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     step = _step_label(F.col("role"), F.col("tool"))
+    # the start marker applies ONLY to each conversation's first row
+    # (row_number gate) — coalescing lag's NULL would also rewrite a
+    # genuinely NULL previous step label (NULL role) as a conversation
+    # start, inflating START's out-total and halving its probabilities
     steps = turns.select(
         "conv_id",
         "turn_idx",
         step.alias("step"),
         F.lag(step).over(w).alias("prev_raw"),
+        F.row_number().over(w).alias("_rn"),
     ).select(
-        F.coalesce("prev_raw", F.lit(start_marker)).alias("prev_step"),
+        F.when(F.col("_rn") == 1, F.lit(start_marker))
+        .otherwise(F.col("prev_raw"))
+        .alias("prev_step"),
         "step",
     )
     counts = steps.groupBy("prev_step", "step").agg(
@@ -169,12 +176,16 @@ def render_conversations(turns: DataFrame, sep: str = "\n") -> DataFrame:
     deterministic under any partitioning. Per-task memory is one
     conversation's turns — bounded by conversation length.
     """
+    # role/text coalesce to '' so a NULL lane cannot NULL the whole
+    # line (concat propagates NULL and array_join then silently DROPS
+    # the turn while n_turns still counts it — the rendered doc would
+    # lose turns with no signal)
     line = F.concat(
-        F.col("role"),
+        F.coalesce(F.col("role"), F.lit("")),
         F.when(F.col("tool") != "", F.concat(F.lit("["), F.col("tool"), F.lit("]")))
         .otherwise(F.lit("")),
         F.lit(": "),
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
     )
     return (
         turns.select("conv_id", F.struct("turn_idx", line.alias("line")).alias("tl"))
@@ -255,11 +266,15 @@ def integrity_report(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
         .orderBy(idx.asc_nulls_first(), ts.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # role/text reduce to their boolean lanes BEFORE the window: the
+    # conv-partitioned exchange otherwise ships full document text just
+    # to null/blank-check it after the shuffle — two bits per row
+    # instead at 100 TB, identical results
     flagged = turns.select(
         "conv_id",
         "turn_idx",
-        "role",
-        "text",
+        (F.col("role").isNull() | (F.col("role") == "")).alias("_blank_role"),
+        F.col("text").isNull().alias("_null_text"),
         ts.alias("_ts"),
         (ts < F.max(ts).over(w)).alias("_inv"),
     )
@@ -284,8 +299,8 @@ def integrity_report(turns: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.coalesce(F.min("turn_idx") == 0, F.lit(False)).alias("starts_at_zero"),
         long_sum(F.col("turn_idx").isNull()).alias("null_turn_idx"),
         long_sum(F.col("_ts").isNull()).alias("null_ts"),
-        long_sum(F.col("role").isNull() | (F.col("role") == "")).alias("blank_role"),
-        long_sum(F.col("text").isNull()).alias("null_text"),
+        long_sum(F.col("_blank_role")).alias("blank_role"),
+        long_sum(F.col("_null_text")).alias("null_text"),
     )
     ok = (
         (F.col("ts_inversions") == 0)

@@ -238,3 +238,34 @@ def test_integrity_report_clean_corpus(turns_df):
     rep = transcript.integrity_report(turns_df)
     assert rep.filter("NOT conv_ok").count() == 0
     assert rep.count() == turns_df.select("conv_id").distinct().count()
+
+
+def test_render_null_lanes_keep_turns(spark):
+    """A NULL text/role turn renders as an empty lane instead of
+    silently vanishing from the doc (n_turns == rendered line count)."""
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "hi", "", None),
+         ("c1", 1, "assistant", None, "", None),
+         ("c1", 2, None, "bye", "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    r = transcript.render_conversations(turns).collect()[0]
+    assert r["n_turns"] == 3
+    assert r["doc"].split("\n") == ["user: hi", "assistant: ", ": bye"]
+
+
+def test_step_transitions_null_prev_not_start(spark):
+    """A genuinely NULL previous step label stays a distinct group —
+    only each conversation's FIRST turn transitions from START."""
+    turns = spark.createDataFrame(
+        [("c1", 0, None, "t", "", None),
+         ("c1", 1, "assistant", "t", "", None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {(r["prev_step"], r["step"]): r["n_transitions"]
+           for r in transcript.step_transitions(turns).collect()}
+    # first turn (NULL role) transitions FROM START; the second
+    # transitions from the NULL label, not from START
+    assert got == {("START", None): 1, (None, "assistant"): 1}
