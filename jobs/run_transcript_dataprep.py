@@ -230,6 +230,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     if args.html or args.scrub_pii or args.line_clean:
+        # length metadata must describe the REWRITTEN text column, not
+        # the raw render it replaced (n_turns stays pre-extraction by
+        # design — the turn count is a conversation fact, not a text
+        # fact)
+        prep = prep.withColumn("n_chars", F.length("text").cast("long"))
         rendered = write(prep, "prepared")
         summary["prepared_docs"] = rendered.count()
         mark("prep")

@@ -395,16 +395,28 @@ def pack_masked(
     g = group_col or "_g"
     d = examples if group_col else examples.withColumn("_g", F.lit(0))
     # arrays_zip null-pads a length mismatch silently — corrupt masks
-    # must abort, not train
-    aligned = F.when(
-        F.size(ids_col) == F.size(mask_col), F.lit(True)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("pack_masked: ids/mask length mismatch at "),
-                F.col(order_col).cast("string"),
-            )
-        ).cast("boolean")
+    # must abort, not train. NULL arrays get their own branch: size(
+    # NULL) = NULL would make the equality check NULL and fall through
+    # to the mismatch raise with a misleading message.
+    aligned = (
+        F.when(
+            F.col(ids_col).isNull() | F.col(mask_col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_masked: NULL ids/mask array at "),
+                    F.col(order_col).cast("string"),
+                )
+            ).cast("boolean"),
+        )
+        .when(F.size(ids_col) == F.size(mask_col), F.lit(True))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pack_masked: ids/mask length mismatch at "),
+                    F.col(order_col).cast("string"),
+                )
+            ).cast("boolean")
+        )
     )
     d = d.filter(aligned)
     d = d.withColumn("_n", F.size(ids_col).cast("long")).withColumn(

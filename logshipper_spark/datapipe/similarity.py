@@ -324,7 +324,9 @@ def hard_negatives(
     pos = positives_df.select(query_id_col, id_col).dropDuplicates()
     neg = cand.join(pos, [query_id_col, id_col], "left_anti")
     if exclude_self:
-        neg = neg.filter(F.col(id_col) != F.col(query_id_col))
+        # null-safe: plain != is never true under a NULL id and would
+        # silently drop NULL-id candidates along with the self rows
+        neg = neg.filter(~F.col(id_col).eqNullSafe(F.col(query_id_col)))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,10 +42,14 @@ def _stream_key(path: str) -> str:
     Hadoop forms like ``file:/x``) hash VERBATIM — ``os.path.abspath``
     would join them onto the driver's cwd and a legitimate restart from
     a different directory would compute a different run_id and be
-    refused as foreign. A scheme is a letter-led token containing ':'
-    before the first '/'."""
+    refused as foreign. A scheme is a full RFC-3986 scheme token
+    ENDING at the ':' before the first '/' — a relative path that
+    merely contains a colon (``ckpt:v2/cp``) is NOT a scheme and must
+    abspath like any other relative path, else a restart from a
+    different cwd would silently re-claim a directory Spark resolves
+    to a different checkpoint location."""
     head = path.split("/", 1)[0]
-    if ":" in head and head[:1].isalpha():
+    if re.fullmatch(r"[A-Za-z][A-Za-z0-9+.\-]*:", head):
         return path
     return os.path.abspath(path)
 
@@ -639,7 +644,19 @@ def streaming_substr_screen(
 
     State posture at 100 TB: the index carries 8 bytes per distinct
     kept fingerprint (~2/(W+1) per kept token); per-batch work is one
-    hash-join of the batch's fingerprints against it."""
+    hash-join of the batch's fingerprints against it.
+
+    Known asymmetry vs batch ``substr_contamination`` (deliberate —
+    one pass instead of two): the batch-internal lane counts a gram as
+    seen when ANY lower-id doc in the batch holds it, including
+    lower-id docs that are themselves dropped for contamination — a
+    doc can be screened against text that never enters the kept
+    corpus. The batch form screens only against kept text; exact
+    kept-corpus semantics here would need a second pass restricted to
+    surviving min-holders. The index lane (cross-batch) is identical
+    in both forms, so the divergence is bounded to single-micro-batch
+    sibling sets and biases toward DROPPING near-boilerplate, never
+    keeping it."""
     import os
 
     from .datapipe import compaction

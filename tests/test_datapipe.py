@@ -1200,6 +1200,14 @@ def test_sft_examples_and_pack_masked(spark):
     with pytest.raises(Exception, match="length mismatch"):
         packing.pack_masked(bad, budget=4).collect()
 
+    # NULL arrays abort with their OWN message (size(NULL)=NULL would
+    # otherwise fall into the mismatch branch and mislead)
+    nul = ex.withColumn(
+        "mask", F.when(F.col("pair_id") == 0, F.col("mask"))
+    )
+    with pytest.raises(Exception, match="NULL ids/mask"):
+        packing.pack_masked(nul, budget=4).collect()
+
 
 def test_decontaminate_streaming_foreachbatch(spark, tmp_path):
     """decontaminate() composes with Structured Streaming the way a

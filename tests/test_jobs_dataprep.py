@@ -95,13 +95,21 @@ def test_dataprep_budget_mode(spark, turns_dir, tmp_path):
 
 def test_dataprep_shard_mode(spark, turns_dir, tmp_path):
     out = str(tmp_path / "out")
-    s = _run(turns_dir, out, "--shard-bytes", "30000")
+    s = _run(turns_dir, out, "--shard-bytes", "30000", "--scrub-pii")
     corpus = spark.read.parquet(os.path.join(out, "corpus"))
     assert corpus.count() == s["kept_docs"]
-    # byte conservation: shard plan bytes == rendered text bytes
+    # a rewrite stage (--scrub-pii) must leave out/prepared's length
+    # metadata describing its OWN text column (ADVICE r3)
+    prepared = spark.read.parquet(os.path.join(out, "prepared"))
+    assert prepared.filter(
+        F.col("n_chars") != F.length("text")
+    ).count() == 0
+    # byte conservation: shard plan bytes == prepared (post-scrub)
+    # text bytes — the scrub stage REWRITES text, so the raw render is
+    # no longer the corpus's byte source
     assert (
         corpus.agg(F.sum(F.octet_length("text"))).head()[0]
-        == spark.read.parquet(os.path.join(out, "rendered"))
+        == spark.read.parquet(os.path.join(out, "prepared"))
         .agg(F.sum(F.octet_length("text"))).head()[0]
     )
     # every non-final shard per split reaches the target (its last doc

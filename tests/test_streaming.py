@@ -19,6 +19,24 @@ def _write_input(spark, path, n_turns, n_files):
     return tr
 
 
+def test_stream_key_scheme_vs_relative_colon():
+    """Run-id canonicalization: real URI schemes hash verbatim, but a
+    RELATIVE path that merely contains a colon must abspath — else a
+    restart from a different cwd silently re-claims a directory Spark
+    resolves to a different checkpoint location (ADVICE r3)."""
+    import os
+
+    from logshipper_spark.streaming import _stream_key
+
+    assert _stream_key("hdfs://nn/cp") == "hdfs://nn/cp"
+    assert _stream_key("s3a://b/cp") == "s3a://b/cp"
+    assert _stream_key("file:/x/cp") == "file:/x/cp"
+    # colon-bearing relative paths are NOT schemes
+    assert _stream_key("ckpt:v2/cp") == os.path.abspath("ckpt:v2/cp")
+    assert _stream_key("9p:/cp") == os.path.abspath("9p:/cp")
+    assert _stream_key("/abs/cp") == "/abs/cp"
+
+
 def test_run_stream_refuses_foreign_out_dir(spark, tmp_path):
     """Batch outputs are keyed by batch_id alone, so a NEW logical
     stream (fresh checkpoint) over a reused out_dir would overwrite the
