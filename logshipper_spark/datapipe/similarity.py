@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -458,6 +460,116 @@ def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
     return nearest_centroid_struct(v, centroids)["i"].cast("int")
 
 
+# Above this many centroids the expression form of nearest-centroid
+# assignment (one fold per centroid per row) stops being viable: the
+# generated projection blows past the JVM's 64 KB method limit and
+# drops to interpreted eval, and cost is O(num_cells) scalar fold
+# steps per row. Lloyd's INTERNAL assignment switches to an
+# Arrow-batched numpy kernel there — same arithmetic in the same IEEE
+# order (per-term (a-b)^2 with NULL→0, left-to-right accumulation over
+# dimensions, 6-dp round of the total, first-index argmin), verified
+# equal by test_kmeans_arrow_assign_parity. Index-facing assignment
+# (pq_codes, write_ivf_trained) stays expression-based: those codes
+# must be re-derivable by the SQL oracles, and their centroid counts
+# are small by construction.
+_ARROW_ASSIGN_MIN_CELLS = 33
+
+
+def _lloyd_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """``(cell, _v)`` Lloyd assignment of ``base._v`` to the nearest
+    driver-literal centroid — expression form for small centroid sets,
+    Arrow kernel beyond ``_ARROW_ASSIGN_MIN_CELLS`` (bit-identical; see
+    note above)."""
+    if len(centroids) < _ARROW_ASSIGN_MIN_CELLS:
+        return base.select(
+            _nearest_centroid(F.col("_v"), centroids).alias("cell"), "_v"
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+
+    @F.pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        arr = np.full((len(vs), dim), np.nan)
+        for i, vec in enumerate(vs):
+            if vec is None:
+                continue
+            a = np.asarray(vec, dtype=np.float64)[:dim]
+            arr[i, : len(a)] = a
+        acc = np.zeros((len(vs), k))
+        for j in range(dim):
+            d = arr[:, j][:, None] - C[None, :, j]
+            d *= d
+            # NaN terms = missing/NULL elements: contribute 0.0, the
+            # zip_with coalesce convention
+            np.nan_to_num(d, copy=False)
+            acc += d
+        np.round(acc, 6, out=acc)
+        return pd.Series(np.argmin(acc, axis=1).astype("int32"))
+
+    return base.select(cell_of("_v").alias("cell"), "_v")
+
+
+def _maximin_seeds_scalar(
+    pts: list[list[float]], num_cells: int
+) -> list[list[float]]:
+    """Scalar reference for ``_maximin_seeds`` — kept as the fallback
+    for ragged samples (zip truncates to the shorter vector, which a
+    rectangular numpy matrix can't express) and as the equality target
+    for the vectorized path's unit test."""
+    centroids = [list(pts[0])]
+    dmin = [float("inf")] * len(pts)
+    while len(centroids) < num_cells:
+        c = centroids[-1]
+        for i, p in enumerate(pts):
+            d = round(sum((a - b) * (a - b) for a, b in zip(p, c)), 6)
+            if d < dmin[i]:
+                dmin[i] = d
+        # max() returns the FIRST maximal element and pts are hash-
+        # ordered, so ties resolve to the smallest hash. dmin 0 =
+        # every distinct sample vector already chosen (tiny corpus):
+        # the pick duplicates a centroid, whose cell just stays empty.
+        centroids.append(list(pts[max(range(len(pts)), key=dmin.__getitem__)]))
+    return centroids
+
+
+def _maximin_seeds(pts: list[list[float]], num_cells: int) -> list[list[float]]:
+    """Farthest-point (maximin) seeding over a hash-ordered sample,
+    numpy-vectorized: first seed = ``pts[0]`` (smallest hash), each
+    next seed = the sample point maximizing its 6-dp-rounded squared
+    L2 distance to the nearest chosen seed. ``np.argmax`` returns the
+    FIRST maximal element and ``pts`` are hash-ordered, so ties
+    resolve to the smallest hash — the scalar reference loop's pick
+    order. Distances accumulate per-dimension in the same order as the
+    scalar loop's left-to-right ``sum``, so every IEEE addition is
+    order-identical; only the 6-dp rounding goes through ``np.round``
+    (verified equal to ``round`` on the repo corpora by the paired
+    unit test). The scalar loop is O(num_cells·|sample|·dim) Python
+    float ops — at a serving-realistic num_cells=4096 over the 32x
+    sample that is hours on the driver; the numpy form is the same
+    arithmetic at C speed."""
+
+    if len({len(p) for p in pts}) != 1:
+        # ragged sample (mixed vector widths): the reference zip
+        # truncates per pair — not expressible as one matrix op
+        return _maximin_seeds_scalar(pts, num_cells)
+    P = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    seeds = [list(pts[0])]
+    last = P[0]
+    dmin = np.full(n, np.inf)
+    while len(seeds) < num_cells:
+        diff = P - last
+        sq = diff * diff
+        acc = np.zeros(n)
+        for j in range(P.shape[1]):
+            acc += sq[:, j]
+        np.minimum(dmin, np.round(acc, 6), out=dmin)
+        i = int(np.argmax(dmin))
+        seeds.append([float(x) for x in P[i]])
+        last = P[i]
+    return seeds
+
+
 def kmeans_fit(
     df: DataFrame,
     num_cells: int = 16,
@@ -508,23 +620,9 @@ def kmeans_fit(
     # hash-ordered; NULL elements read as 0.0 (the Lloyd update's
     # coalesce convention) instead of float(None) TypeError
     pts = [[0.0 if x is None else float(x) for x in r["_v"]] for r in sample]
-    centroids = [pts[0]]
-    dmin = [float("inf")] * len(pts)
-    while len(centroids) < num_cells:
-        c = centroids[-1]
-        for i, p in enumerate(pts):
-            d = round(sum((a - b) * (a - b) for a, b in zip(p, c)), 6)
-            if d < dmin[i]:
-                dmin[i] = d
-        # max() returns the FIRST maximal element and pts are hash-
-        # ordered, so ties resolve to the smallest hash. dmin 0 =
-        # every distinct sample vector already chosen (tiny corpus):
-        # the pick duplicates a centroid, whose cell just stays empty.
-        centroids.append(pts[max(range(len(pts)), key=dmin.__getitem__)])
+    centroids = _maximin_seeds(pts, num_cells)
     for _ in range(max_iter):
-        assigned = base.select(
-            _nearest_centroid(F.col("_v"), centroids).alias("cell"), "_v"
-        )
+        assigned = _lloyd_assign(base, centroids)
         # per-dimension sums quantized to integer micros and summed in
         # decimal(38,0): plain double F.sum is partition-merge-order
         # dependent, so the same data could yield ulp-different
@@ -689,26 +787,117 @@ def pq_fit(
     centroids — ``codebooks[s][c]`` is a width-``w_s`` vector. Returns
     ``[]`` on an empty fit frame (the ``kmeans_fit`` convention).
 
-    Fitting is ``m`` small ``kmeans_fit`` runs — a one-time cost on a
-    hash-slice sample (``sample_mod``) at corpus scale, exactly like
-    IVF training; assignment (``pq_codes``) is the single full-data
-    pass. Each fit inherits ``kmeans_fit``'s determinism (maximin
-    seeding over a hash-uniform sample, integer-micros Lloyd sums)."""
+    All ``m`` subspaces fit in ONE Spark job per phase instead of
+    ``m`` sequential ``kmeans_fit`` runs (which cost
+    ``m×(1+max_iter)`` scheduling round-trips — pure overhead at small
+    fit frames, the dominant cost of ``pq_index_build``): the slices
+    are staged once and persisted, ONE exploded pass takes every
+    subspace's hash-uniform sample (per-sub top-S by slice hash —
+    WindowGroupLimit pushes the rank cut down), maximin seeding runs
+    vectorized on the driver per subspace, and each Lloyd iteration is
+    ONE exploded groupBy computing all ``m`` cell assignments and
+    integer-micro dimension sums together. Results are bit-identical
+    to the sequential form: per-subspace fit membership (slice
+    non-null, per-SLICE ``sample_mod`` hash slice), the sample set,
+    the seeding, and the order-independent decimal sums are all
+    unchanged — only the job count drops ``m``-fold. The lanes padded
+    to the widest subspace sum ``floor(0.5)=0`` and are cut back to
+    ``w_s`` on the driver."""
     dim = dim if dim is not None else _vec_dim(df, vec_col)
-    books: list[list[list[float]]] = []
-    for st, w in subspace_bounds(dim, m):
-        book = kmeans_fit(
-            df.select(F.slice(F.col(vec_col), st, w).alias("_sub")),
-            num_cells=codes_per_sub,
-            vec_col="_sub",
-            dim=w,
-            max_iter=max_iter,
-            sample_mod=sample_mod,
+    bounds = subspace_bounds(dim, m)
+    v = F.col(vec_col)
+    cols, keeps = [], []
+    for s, (st, w) in enumerate(bounds):
+        sl = F.slice(v, st, w)
+        cols.append(sl.alias(f"_s{s}"))
+        keep = (
+            (F.pmod(_vec_key(sl), F.lit(sample_mod)) == 0)
+            if sample_mod
+            else F.lit(True)
         )
-        if not book:
-            return []
-        books.append(book)
-    return books
+        keeps.append(keep.alias(f"_in{s}"))
+    staged = df.filter(v.isNotNull()).select(*cols, *keeps).persist()
+    try:
+        n_sample = max(256, 32 * codes_per_sub)
+        lanes = F.array(
+            *[
+                F.struct(
+                    F.col(f"_s{s}").alias("v"),
+                    _vec_key(F.col(f"_s{s}")).alias("k"),
+                    F.col(f"_in{s}").alias("m"),
+                )
+                for s in range(len(bounds))
+            ]
+        )
+        wnd = Window.partitionBy("sub").orderBy(F.col("x.k"))
+        samp = (
+            staged.select(F.posexplode(lanes).alias("sub", "x"))
+            .filter(F.col("x.m"))
+            .withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") <= n_sample)
+            .select("sub", F.col("x.v").alias("sv"), F.col("x.k").alias("sk"))
+            .collect()
+        )
+        by_sub: dict[int, list[list[float]]] = {}
+        for r in sorted(samp, key=lambda r: (r["sub"], r["sk"])):
+            by_sub.setdefault(r["sub"], []).append(
+                [0.0 if x is None else float(x) for x in r["sv"]]
+            )
+        if len(by_sub) < len(bounds):
+            return []  # some subspace has an empty fit slice
+        books = [
+            _maximin_seeds(by_sub[s], codes_per_sub)
+            for s in range(len(bounds))
+        ]
+        wmax = max(w for _, w in bounds)
+
+        def micro(col: Column, i: int) -> Column:
+            return F.floor(
+                F.coalesce(F.try_element_at(col, F.lit(i + 1)), F.lit(0.0))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("decimal(38,0)")
+
+        for _ in range(max_iter):
+            lanes2 = F.array(
+                *[
+                    F.struct(
+                        F.col(f"_s{s}").alias("v"),
+                        _nearest_centroid(F.col(f"_s{s}"), books[s]).alias(
+                            "c"
+                        ),
+                        F.col(f"_in{s}").alias("m"),
+                    )
+                    for s in range(len(bounds))
+                ]
+            )
+            sums = (
+                staged.select(F.posexplode(lanes2).alias("sub", "x"))
+                .filter(F.col("x.m"))
+                .groupBy("sub", F.col("x.c").alias("cell"))
+                .agg(
+                    F.array(
+                        *[F.sum(micro(F.col("x.v"), i)) for i in range(wmax)]
+                    ).alias("_s"),
+                    F.count("*").alias("_n"),
+                )
+            )
+            got = {(r["sub"], r["cell"]): r for r in sums.collect()}
+            for s, (_, w) in enumerate(bounds):
+                books[s] = [
+                    (
+                        [
+                            float(x) / (got[(s, c)]["_n"] * 1_000_000.0)
+                            for x in got[(s, c)]["_s"][:w]
+                        ]
+                        if (s, c) in got
+                        else books[s][c]
+                    )
+                    for c in range(codes_per_sub)
+                ]
+        return books
+    finally:
+        staged.unpersist()
 
 
 def pq_codes(
