@@ -186,6 +186,7 @@ def ivf_knn_join(
     num_cells: int = 16,
     n_probe: int = 4,
     dim: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Batch ANN join: top-k neighbors for EVERY query row against a
     ``write_ivf_index`` table, in one plan. Each query's probe cells
@@ -204,7 +205,20 @@ def ivf_knn_join(
     unprobed directories are skipped at planning time (verify:
     PLANS.md shows ``PartitionFilters`` for this path, the same proof
     as ``ivf_topk_indexed``).
-    """
+
+    Skew: the candidate equi-join key has ≤ ``num_cells`` distinct
+    values, so when BOTH sides are large (no broadcast) a hot cell
+    concentrates in one task. Two mitigations, pick one: (a) default —
+    the join is a plain shuffle join, so AQE's skew-join splits the
+    oversized partition at runtime (session default on; PLANS.md
+    carries the ``skew=true`` proof on a synthetic hot cell); (b)
+    ``salt=s`` — explicit two-sided salting: index rows carry
+    ``pmod(xxhash64(id), s)``, each query-probe row fans out to all
+    ``s`` salt lanes, and the join key becomes ``(cell, _salt)`` — a
+    hot cell spreads across ``s`` tasks deterministically (results
+    identical: every (candidate, probe) pair still meets exactly
+    once). Salting multiplies the query side ×``s``, so prefer (a)
+    unless the query batch is small relative to the hot cell."""
     import math
 
     bits = max(1, int(math.ceil(math.log2(num_cells))))
@@ -249,11 +263,24 @@ def ivf_knn_join(
             F.col("cell").cast("int").alias("cell"),
         )
     )
+    join_keys = ["cell"]
+    if salt and salt > 1:
+        # two-sided salt: index rows hold ONE salt lane, probe rows fan
+        # out to ALL lanes — the salt explode happens AFTER the persist
+        # so the probe-set collect isn't multiplied
+        idx = idx.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+        )
+        qx = qx.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+        )
+        join_keys = ["cell", "_salt"]
     n2 = F.col("_in") * F.col("_qn")
     cos = F.when(
         n2 > 0, _dot(F.col(vec_col), F.col("_qv")) / n2
     ).otherwise(F.lit(0.0))
-    scored = idx.join(qx, "cell").select(
+    scored = idx.join(qx, join_keys).select(
         query_id_col,
         F.col(id_col),
         F.round(cos, 6).alias("cosine"),
@@ -1148,6 +1175,7 @@ def ivf_pq_knn_join(
     query_id_col: str = "query_id",
     rerank_df: DataFrame | None = None,
     rerank: int = 4,
+    salt: int | None = None,
 ) -> DataFrame:
     """Batch ANN join against a ``write_ivf_pq`` index: ADC top-k for
     EVERY query row, in one plan. Each query computes its probe cells
@@ -1165,7 +1193,10 @@ def ivf_pq_knn_join(
     probe set). ``rerank_df``: exact-cosine rerank of each query's top
     ``k·rerank`` ADC candidates (needs float vectors for candidates —
     joined by id — and carries the query vector through the probe
-    explode). Output: ``(query_id, id, adc_micros[, cosine_r])``."""
+    explode). Output: ``(query_id, id, adc_micros[, cosine_r])``.
+    ``salt``: explicit two-sided hot-cell salting, same contract and
+    trade-off as ``ivf_knn_join`` (AQE skew-join handles the default
+    path; see that docstring)."""
     cent = {
         r["cell"]: list(r["centroid"])
         for r in spark.read.parquet(path + "_centroids").collect()
@@ -1224,10 +1255,22 @@ def ivf_pq_knn_join(
     codes = spark.read.parquet(path).where(
         F.col("cell").isin(probed) if probed else F.lit(False)
     )
+    join_keys = ["cell"]
+    if salt and salt > 1:
+        # two-sided hot-cell salt (see ivf_knn_join): code rows carry
+        # one hash lane, probe rows fan out to all lanes post-persist
+        codes = codes.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+        )
+        qx = qx.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+        )
+        join_keys = ["cell", "_salt"]
     adc: Column = F.lit(0).cast("long")
     for s in range(m):
         adc = adc + F.element_at(F.col(f"_lut{s}"), F.col("codes")[s] + 1)
-    joined = codes.join(qx, "cell").select(
+    joined = codes.join(qx, join_keys).select(
         query_id_col,
         F.col(id_col),
         adc.alias("adc_micros"),

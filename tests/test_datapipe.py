@@ -590,6 +590,65 @@ def test_kmeans_arrow_assign_parity(spark):
     assert exp == arw
 
 
+def test_knn_join_hot_cell_salt_parity(spark, tmp_path):
+    """Hot-cell drill for the batch ANN joins (r3 verdict watch-item):
+    ~90% of the corpus lands in ONE IVF cell; the explicit two-sided
+    salt must return the IDENTICAL result set as the unsalted join
+    (every candidate×probe pair meets exactly once per lane layout) —
+    the edge_agg hot-edge parity pattern."""
+    from logshipper_spark.datapipe import similarity
+
+    rows = []
+    for i in range(400):  # hot cluster: tight around one corner
+        rows.append(
+            (i, [1.0 + ((i * 13 + j) % 7) * 0.01 for j in range(8)])
+        )
+    for i in range(400, 440):  # scattered remainder
+        rows.append(
+            (i, [((i * 31 + j * 17) % 40) / 10.0 - 2.0 for j in range(8)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "hot_ivf")
+    similarity.write_ivf_index(df, idx, num_cells=8, dim=8)
+    # the hot cluster really is one cell
+    top = (
+        similarity.assign_cells(df, num_cells=8, dim=8)
+        .groupBy("cell").count().orderBy(F.desc("count")).head()
+    )
+    assert top["count"] >= 400
+    queries = df.filter("vec_id % 50 = 0")
+
+    def rows_of(sdf):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["cosine"]) for r in sdf.collect()
+        )
+
+    plain = rows_of(similarity.ivf_knn_join(
+        spark, idx, queries, k=5, num_cells=8, n_probe=2, dim=8))
+    salted = rows_of(similarity.ivf_knn_join(
+        spark, idx, queries, k=5, num_cells=8, n_probe=2, dim=8, salt=4))
+    similarity.release_cached_probes()
+    assert plain == salted and len(plain) == queries.count() * 5
+
+    # same drill through the IVF-PQ composed join
+    cents = similarity.kmeans_fit(df, num_cells=4, dim=8, max_iter=2)
+    books = similarity.pq_fit(df, m=2, codes_per_sub=4, dim=8, max_iter=2)
+    pq_idx = str(tmp_path / "hot_ivfpq")
+    similarity.write_ivf_pq(df, pq_idx, cents, books)
+
+    def pq_rows(sdf):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["adc_micros"]) for r in sdf.collect()
+        )
+
+    p1 = pq_rows(similarity.ivf_pq_knn_join(
+        spark, pq_idx, queries, k=5, n_probe=2))
+    p2 = pq_rows(similarity.ivf_pq_knn_join(
+        spark, pq_idx, queries, k=5, n_probe=2, salt=4))
+    similarity.release_cached_probes()
+    assert p1 == p2 and len(p1) == queries.count() * 5
+
+
 def test_pq_fit_batched_matches_sequential(spark):
     """pq_fit's one-scan-per-iteration batching (r3 verdict nit #2) is
     bit-identical to m independent kmeans_fit runs over the subspace
