@@ -33,6 +33,7 @@ from logshipper_spark import (
     skew, template, temporal, transcript, transform,
 )
 from logshipper_spark.datapipe import (
+    bpe,
     compaction,
     curate,
     decontam,
@@ -927,6 +928,37 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids_str"),
         "n_tokens",
         "n_oov",
+    )
+
+
+BPE_MERGES_PATH = "/tmp/spark_graft_contract/bpe_merges"
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation under a trained merge table — the APPLY half
+    of L39 (bpe.py; the training loop's iterative argmax has no SQL
+    twin and stays unit-verified). Training runs on the doc_id%2=0
+    half (30 merges) and materializes the (rank, left, right) merge
+    table; segmentation covers ALL documents, so the odd half
+    exercises the unseen-word codepoint fallback. The oracle reads
+    ONLY the merge bytes and re-derives every training word's piece
+    sequence by replaying the merge list in rank order as a recursive
+    CTE (one greedy left-to-right fold step per recursion row — the
+    _merge_pair semantics), then rebuilds each document's positional
+    piece stream and the fallback independently from the raw text."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    train = docs.filter("doc_id % 2 = 0")
+    merges, word_pieces = bpe.bpe_train(train, num_merges=30)
+    merges.coalesce(1).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(BPE_MERGES_PATH)
+    out = bpe.bpe_segment(docs, word_pieces)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "pieces").alias("pieces_str"),
+        "n_pieces",
     )
 
 
@@ -2547,6 +2579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "vocab_topk": q_vocab_topk,
         "tokenize_ids": q_tokenize_ids,
+        "bpe_segment": q_bpe_segment,
         "sentence_chunks": q_sentence_chunks,
         "pack_assemble": q_pack_assemble,
         "sft_mask_pack": q_sft_mask_pack,
@@ -4589,6 +4622,82 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.n_tokens, 0) AS n_tokens,
                    COALESCE(a.n_oov, 0) AS n_oov
             FROM t LEFT JOIN a USING (doc_id)
+        """,
+        "bpe_segment": rf"""
+            WITH RECURSIVE
+            m AS (SELECT rank, "left", "right"
+                  FROM read_parquet('{BPE_MERGES_PATH}/*.parquet')),
+            params AS (SELECT COALESCE(MAX(rank), -1) AS maxr FROM m),
+            docs AS (SELECT doc_id, COALESCE(text, '') AS text
+                     FROM documents),
+            tw AS (  -- training vocabulary: the doc_id%2=0 half
+              SELECT DISTINCT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))
+                AS word
+              FROM docs WHERE doc_id % 2 = 0),
+            init AS (
+              SELECT word,
+                     list_append(list_transform(
+                       range(1, length(word) + 1), i -> word[i]),
+                       '</w>') AS syms
+              FROM tw),
+            -- replay the merge list per word: state machine with ONE
+            -- greedy-fold symbol step per recursion row. Within rank r
+            -- the input stays in syms while acc builds left-to-right
+            -- (merge when the acc tail is "left" and the next symbol
+            -- is "right" — a just-merged tail is longer than "left" so
+            -- it can never re-match, exactly bpe._merge_pair); when
+            -- pos runs past the input, acc becomes the next rank's
+            -- input. Final state r = maxr+1 carries the segmentation.
+            seg AS (
+              SELECT word, 0 AS r, syms,
+                     CAST([] AS VARCHAR[]) AS acc, 1 AS pos
+              FROM init, params WHERE params.maxr >= 0
+              UNION ALL
+              SELECT word,
+                     CASE WHEN pos <= len(syms) THEN r ELSE r + 1 END,
+                     CASE WHEN pos <= len(syms) THEN syms ELSE acc END,
+                     CASE WHEN pos <= len(syms)
+                          THEN CASE WHEN len(acc) > 0
+                                     AND acc[-1] = m."left"
+                                     AND syms[pos] = m."right"
+                                    THEN list_append(
+                                      acc[1:len(acc) - 1],
+                                      m."left" || m."right")
+                                    ELSE list_append(acc, syms[pos]) END
+                          ELSE CAST([] AS VARCHAR[]) END,
+                     CASE WHEN pos <= len(syms) THEN pos + 1 ELSE 1 END
+              FROM seg JOIN m ON m.rank = seg.r),
+            final AS (
+              SELECT word, syms FROM seg, params WHERE r = params.maxr + 1
+              UNION ALL
+              SELECT word, syms FROM init, params WHERE params.maxr < 0),
+            tokd AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), t -> t <> '')
+                AS toks
+              FROM docs),
+            e AS (SELECT doc_id,
+                         unnest(generate_series(1, len(toks))) AS pos,
+                         toks
+                  FROM tokd),
+            x0 AS (SELECT doc_id, pos, toks[pos] AS word FROM e),
+            x AS (
+              SELECT x0.doc_id, x0.pos,
+                     COALESCE(f.syms, list_append(list_transform(
+                       range(1, length(x0.word) + 1), i -> x0.word[i]),
+                       '</w>')) AS pieces
+              FROM x0 LEFT JOIN final f USING (word)),
+            a AS (
+              SELECT doc_id,
+                     string_agg(array_to_string(pieces, ' '),
+                                ' ' ORDER BY pos) AS body,
+                     CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces
+              FROM x GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.body, '') AS pieces_str,
+                   COALESCE(a.n_pieces, 0) AS n_pieces
+            FROM docs d LEFT JOIN a USING (doc_id)
         """,
         "sentence_chunks": r"""
             WITH prep AS (

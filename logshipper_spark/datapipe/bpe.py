@@ -16,8 +16,13 @@ no rand()/now(); the per-iteration plan is severed with
 localCheckpoint so lineage stays O(1) across hundreds of merges.
 
 Correctness: pure-Python reference-BPE equality test
-(tests/test_datapipe.py) — the iterative argmax has no SQL twin, so
-this family is unit-verified (same posture as streaming, SURVEY L11).
+(tests/test_datapipe.py) for TRAINING — the iterative argmax has no
+SQL twin. SEGMENTATION under a materialized merge table is
+deterministic rewriting and carries an exact contract oracle
+(`bpe_segment` in __spark_entry__.py): a DuckDB recursive CTE replays
+the merge list in rank order per training word (one greedy-fold
+symbol step per recursion row) and rebuilds every document's piece
+stream, fallback included, from the raw text + merge bytes alone.
 """
 
 from __future__ import annotations
