@@ -2523,10 +2523,104 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Declaration order is the driver's certification order: the
+    # correctness gate runs the FIRST ~50 declared queries each round
+    # (r1: 42, r2: 45, r3: 50 — always a prefix). Policy (r3 verdict
+    # #1): a ~12-query core smoke set leads, then the families with no
+    # green row in any CORRECTNESS_r*.json yet — ANN/similarity,
+    # substring dedup, temporal joins, packing/tokenize, and the
+    # incremental-index ops for round 4 — then the remaining
+    # never-certified queries (next in line for rotation), then the
+    # r1–r3-certified remainder. Rotate the post-core window each
+    # round so driver coverage accumulates across rounds.
     return {
+        # ── core smoke (certified every round) ──
         "edge_agg": q_edge_agg,
-        "edge_metrics": q_edge_metrics,
+        "parse_json": q_parse_json,
+        "parse_formats": q_parse_formats,
+        "parse_extended": q_parse_extended,
+        "routing_fanout": q_routing_fanout,
+        "sink_counts": q_sink_counts,
+        "zscore_flags": q_zscore_flags,
+        "resolver_chain": q_resolver_chain,
+        "turn_rank_salted": q_turn_rank_salted,
+        "conv_stats": q_conv_stats,
         "service_rollup": q_service_rollup,
+        "dedup_exact": q_dedup_exact,
+        # ── round-4 window: ANN / similarity family ──
+        "cosine_topk": q_cosine_topk,
+        "quantized_topk": q_quantized_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint": q_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "ivf_pq_knn": q_ivf_pq_knn,
+        "knn_join": q_knn_join,
+        "hard_negatives": q_hard_negatives,
+        # ── round-4 window: substring-level dedup family ──
+        "substr_spans": q_substr_spans,
+        "substr_pairs": q_substr_pairs,
+        "substr_merge": q_substr_merge,
+        "substr_remove": q_substr_remove,
+        "substr_contamination": q_substr_contamination,
+        "substr_stop_grams": q_substr_stop_grams,
+        "curate_substr": q_curate_substr,
+        # ── round-4 window: temporal joins ──
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "scd2_intervals": q_scd2_intervals,
+        # ── round-4 window: packing / tokenize ──
+        "pack_chunks": q_pack_chunks,
+        "pack_assemble": q_pack_assemble,
+        "sft_mask_pack": q_sft_mask_pack,
+        "vocab_topk": q_vocab_topk,
+        "tokenize_ids": q_tokenize_ids,
+        "token_budget": q_token_budget,
+        "shard_plan": q_shard_plan,
+        "epoch_shuffle": q_epoch_shuffle,
+        # ── round-4 window: incremental indexes + new-this-round ──
+        "dedup_incremental": q_dedup_incremental,
+        "near_dedup_incremental": q_near_dedup_incremental,
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "index_compaction": q_index_compaction,
+        "bpe_segment": q_bpe_segment,
+        "dsir": q_dsir,
+        # ── not yet driver-certified: next in rotation ──
+        "anomaly_alerts": q_anomaly_alerts,
+        "graph_cycles": q_graph_cycles,
+        "sink_roundtrip": q_sink_roundtrip,
+        "conv_integrity": q_conv_integrity,
+        "pipeline_sink_counts": q_pipeline_sink_counts,
+        "pipeline_edge_agg": q_pipeline_edge_agg,
+        "trending_terms": q_trending_terms,
+        "edge_rollup": q_edge_rollup,
+        "format_level_matrix": q_format_level_matrix,
+        "lm_score": q_lm_score,
+        "lm_bigram": q_lm_bigram,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_decontam": q_semantic_decontam,
+        "prototype_prune": q_prototype_prune,
+        "sample_split": q_sample_split,
+        "stratified_k": q_stratified_k,
+        "quantile_bins": q_quantile_bins,
+        "decontaminate": q_decontaminate,
+        "mixture": q_mixture_sample,
+        "c4_clean": q_c4_clean,
+        "html_extract": q_html_extract,
+        "line_dedup": q_line_dedup,
+        "source_overlap": q_source_overlap,
+        "pii_scrub": q_pii_scrub,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "media_features": q_media_features,
+        "sentence_chunks": q_sentence_chunks,
+        # ── r1–r3 driver-certified remainder ──
+        "edge_metrics": q_edge_metrics,
         "first_seen": q_first_seen,
         "p99_exact": q_p99_exact,
         "topk_edges": q_topk_edges,
@@ -2537,33 +2631,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": q_latency_percentiles,
         "event_predicates": q_event_predicates,
         "truncate": q_truncate,
-        "zscore_flags": q_zscore_flags,
         "zscore_blocked": q_zscore_blocked,
         "error_rate_feed": q_error_rate_feed,
         "time_buckets": q_time_buckets,
         "json_extract": q_json_extract,
-        "parse_json": q_parse_json,
         "parse_ecs": q_parse_ecs,
-        "parse_formats": q_parse_formats,
         "template_nginx": q_template_nginx,
-        "parse_extended": q_parse_extended,
         "parse_nested": q_parse_nested,
-        "turn_rank_salted": q_turn_rank_salted,
         "case_transforms": q_case_transforms,
         "transform_remap": q_transform_remap,
         "graph_nodes": q_graph_nodes,
         "fanin_union": q_fanin_union,
         "cycle_keys": q_cycle_keys,
-        "conv_stats": q_conv_stats,
         "tool_transitions": q_tool_transitions,
         "conv_funnel": q_conv_funnel,
         "transcript_render": q_transcript_render,
         "sft_pairs": q_sft_pairs,
         "enrich_lookup": q_enrich_lookup,
-        "resolver_chain": q_resolver_chain,
-        "routing_fanout": q_routing_fanout,
-        "sink_counts": q_sink_counts,
-        "dedup_exact": q_dedup_exact,
         "curate": q_curate,
         "curate_full": q_curate_full,
         "curate_html": q_curate_html,
@@ -2574,72 +2658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "url_filter": q_url_filter,
         "repetition_filter": q_repetition_filter,
-        "pii_scrub": q_pii_scrub,
-        "token_budget": q_token_budget,
-        "pack_chunks": q_pack_chunks,
-        "vocab_topk": q_vocab_topk,
-        "tokenize_ids": q_tokenize_ids,
-        "bpe_segment": q_bpe_segment,
-        "sentence_chunks": q_sentence_chunks,
-        "pack_assemble": q_pack_assemble,
-        "sft_mask_pack": q_sft_mask_pack,
-        "quantile_bins": q_quantile_bins,
-        "decontaminate": q_decontaminate,
-        "mixture": q_mixture_sample,
-        "c4_clean": q_c4_clean,
-        "html_extract": q_html_extract,
-        "line_dedup": q_line_dedup,
-        "source_overlap": q_source_overlap,
-        "dedup_incremental": q_dedup_incremental,
-        "near_dedup_incremental": q_near_dedup_incremental,
-        "index_compaction": q_index_compaction,
-        "lm_score": q_lm_score,
-        "lm_bigram": q_lm_bigram,
-        "dsir": q_dsir,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_decontam": q_semantic_decontam,
-        "semantic_dedup_incremental": q_semantic_dedup_incremental,
-        "prototype_prune": q_prototype_prune,
-        "shard_plan": q_shard_plan,
-        "epoch_shuffle": q_epoch_shuffle,
-        "sample_split": q_sample_split,
-        "stratified_k": q_stratified_k,
-        "cosine_topk": q_cosine_topk,
-        "quantized_topk": q_quantized_topk,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "fingerprint": q_fingerprint,
-        "substr_spans": q_substr_spans,
-        "substr_pairs": q_substr_pairs,
-        "substr_merge": q_substr_merge,
-        "substr_remove": q_substr_remove,
-        "substr_contamination": q_substr_contamination,
-        "substr_stop_grams": q_substr_stop_grams,
-        "curate_substr": q_curate_substr,
-        "bm25_topk": q_bm25_topk,
-        "tfidf_topk": q_tfidf_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "pq_topk": q_pq_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "ivf_pq_knn": q_ivf_pq_knn,
-        "knn_join": q_knn_join,
-        "hard_negatives": q_hard_negatives,
-        "media_features": q_media_features,
-        "pipeline_sink_counts": q_pipeline_sink_counts,
-        "pipeline_edge_agg": q_pipeline_edge_agg,
-        "trending_terms": q_trending_terms,
-        "scd2_intervals": q_scd2_intervals,
-        "edge_rollup": q_edge_rollup,
-        "format_level_matrix": q_format_level_matrix,
-        "anomaly_alerts": q_anomaly_alerts,
-        "graph_cycles": q_graph_cycles,
-        "sink_roundtrip": q_sink_roundtrip,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "conv_integrity": q_conv_integrity,
     }
 
 
