@@ -2245,6 +2245,59 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-importance PageRank over the enriched call graph
+    (graphalg.pagerank, L66): 10 fixed iterations of the exact
+    integer-micro recurrence, event-count edge weights. The oracle
+    unrolls the identical recurrence as a 10-CTE chain over the same
+    enriched parquet (recursive members can't aggregate over the
+    recursive reference, so fixed iterations unroll instead) — every
+    share division, teleport term, and damping product re-derived in
+    BIGINT arithmetic, so the hash match is bit-exact."""
+    edges = _pipeline_enriched(spark).filter(
+        "src_service <> '' AND dst_service <> ''"
+    ).select(
+        F.col("src_service").alias("src"), F.col("dst_service").alias("dst")
+    )
+    return graphalg.pagerank(edges, iterations=10)
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled integer-micro PageRank recurrence (see q_pagerank)."""
+    ctes = [
+        f"""e AS (
+              SELECT src_service AS src, dst_service AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS w
+              FROM {_ENRICHED_REL}
+              WHERE src_service <> '' AND dst_service <> ''
+              GROUP BY 1, 2),
+            outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+                     FROM e GROUP BY src),
+            nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+            p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+            it0 AS (SELECT node, CAST(1000000 // p.n AS BIGINT) AS rank
+                    FROM nodes, p)"""
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""it{i} AS (
+              SELECT nodes.node,
+                     CAST((150000 // p.n)
+                          + (850000 * COALESCE(s.s, 0)) // 1000000
+                          AS BIGINT) AS rank
+              FROM nodes CROSS JOIN p
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(SUM((r.rank * e.w) // o.ow) AS BIGINT) AS s
+                FROM e JOIN outw o USING (src)
+                JOIN it{i - 1} r ON r.node = e.src
+                GROUP BY e.dst) s USING (node))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_micro FROM it{iterations}"
+    )
+
+
 def q_cycle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: canonical cycle-key rotation (cycle.go:81-105) as a pure
     relational expression — at corpus scale cycle frames canonicalize
@@ -2591,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "dsir": q_dsir,
         # ── not yet driver-certified: next in rotation ──
+        "pagerank": q_pagerank,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3128,6 +3182,7 @@ def oracle_sql() -> dict[str, str]:
                    prompt, text AS response
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
+        "pagerank": _pagerank_oracle_sql(),
         "graph_cycles": f"""
             WITH RECURSIVE e AS (
               SELECT DISTINCT src_service AS src, dst_service AS dst

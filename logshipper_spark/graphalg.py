@@ -243,3 +243,95 @@ def cycle_membership(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     return nodes.join(on_cycle, "node", "left").select(
         "node", F.coalesce(F.col("_on"), F.lit(False)).alias("on_cycle")
     )
+
+
+PR_DAMPING_MICRO = 850_000  # 0.85 in integer micros
+PR_SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    weight_col: str | None = None,
+    damping_micro: int = PR_DAMPING_MICRO,
+) -> DataFrame:
+    """Service-importance PageRank over the ``(src, dst[, weight])``
+    call graph — 'which service does the topology lean on' for the
+    graph sink's reports (the reference's graph analyses stop at
+    degree/cycle reports, cycle.go:21-79; this is the natural next
+    report over the same edge table). Returns ``(node, rank_micro)``.
+
+    EXACT integer arithmetic so an independent engine reproduces every
+    bit (the lm.py integer-micros discipline): ranks live in micros of
+    probability mass (initial ``SCALE // N``), each iteration sends
+    ``share(u→v) = (rank(u) * w(u→v)) DIV W(u)`` (long division,
+    weights default 1), and the update is ``rank'(v) = (SCALE -
+    damping) * SCALE DIV (SCALE * N) + (damping * Σ share) DIV
+    SCALE``. All sums are longs — order- and partition-independent, so
+    the fixed-``iterations`` result is hash-exact cross-engine (the
+    DuckDB oracle unrolls the same recurrence). Dangling-node mass
+    leaks (the standard simplification) — ranks are a relative
+    ordering, not a strict distribution.
+
+    Scale posture: per iteration ONE groupBy on ``dst`` over the edge
+    table (map-side combined) plus a broadcast-size rank table join —
+    the rank state is V rows (services), never event volume; lineage
+    severed per iteration with localCheckpoint. NULL endpoints are
+    dropped like ``cycle_membership``."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = (
+        edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.sum(w).alias("_w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("long"))
+    teleport = (PR_SCALE - damping_micro) * PR_SCALE // (PR_SCALE * n)
+    outw = e.groupBy("src").agg(F.sum("_w").alias("_outw"))
+    # column-renamed join frames (the cycle_membership checkpoint
+    # discipline): rank table keyed as _rsrc for the edge join
+    ranks = nodes.select(
+        "node", F.lit(int(PR_SCALE // n)).cast("long").alias("rank_micro")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            e.join(outw, "src")
+            .join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    F.col("rank_micro").alias("_r"),
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("_r * _w DIV _outw").alias("_share"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("_share").alias("_s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(teleport)).cast("long")
+                    + F.expr(
+                        f"{damping_micro} * coalesce(_s, 0L) DIV {PR_SCALE}"
+                    )
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -187,3 +187,50 @@ def test_with_cycle_key_matches_expr_and_stays_in_codegen(spark):
     # the Project carrying the key must be inside one
     assert plan.lstrip().startswith("*("), plan.splitlines()[0]
     staged.collect()  # and it runs
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Integer-micro PageRank equals a scalar replay of the exact same
+    recurrence — weighted edges, a dangling node (c), a pure sink, and
+    NULL endpoints (dropped)."""
+    from pyspark.sql import functions as F
+
+    from logshipper_spark.graphalg import PR_SCALE, pagerank
+
+    rows = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("d", "a", 1),
+        ("b", "a", 2), (None, "a", 9), ("a", None, 9),
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, iterations=8, weight_col="w").collect()
+    }
+
+    e = {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 2, ("d", "a"): 1,
+         ("b", "a"): 2}
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    W = {}
+    for (s, _), w in e.items():
+        W[s] = W.get(s, 0) + w
+    tele = (PR_SCALE - 850_000) * PR_SCALE // (PR_SCALE * n)
+    r = {v: PR_SCALE // n for v in nodes}
+    for _ in range(8):
+        sums = {v: 0 for v in nodes}
+        for (s, d), w in e.items():
+            sums[d] += r[s] * w // W[s]
+        r = {v: tele + 850_000 * sums[v] // PR_SCALE for v in nodes}
+    assert got == r
+    # determinism across runs
+    again = {
+        r2["node"]: r2["rank_micro"]
+        for r2 in pagerank(edges, iterations=8, weight_col="w").collect()
+    }
+    assert again == got
+    # unweighted default: hub 'a' outranks the leaf-only 'd'
+    uw = {
+        r2["node"]: r2["rank_micro"]
+        for r2 in pagerank(edges.select("src", "dst"), iterations=8).collect()
+    }
+    assert uw["a"] > uw["d"]
