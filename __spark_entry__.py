@@ -2245,6 +2245,31 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L67 record-linkage fuzzy dedup (dedup.fuzzy_dup_pairs) over a
+    planted-typo corpus: every doc contributes a 24-char title; docs
+    with doc_id%7==0 add a variant (id+100000) with one deterministic
+    substitution, and %14==0 additionally drops the last char (edit
+    distance 2 — the bound's edge). The oracle re-derives the planted
+    variants, the multiset (gram, occ) postings with the same stop-gram
+    cutoff, both candidate lanes (count-filter + short length-window),
+    and the levenshtein verify entirely in SQL."""
+    docs = _t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    base = docs.selectExpr("doc_id", "substr(text, 1, 24) AS title")
+    var = docs.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat(substr(substr(text, 1, 24), 1, doc_id % 10 + 1), 'z',"
+        " substr(substr(text, 1, 24), doc_id % 10 + 3)) AS title",
+        "doc_id AS src",
+    ).selectExpr(
+        "doc_id",
+        "CASE WHEN src % 14 = 0 THEN substr(title, 1, length(title) - 1)"
+        " ELSE title END AS title",
+    )
+    keys = base.unionByName(var)
+    return dedup.fuzzy_dup_pairs(keys, key_col="title", max_edit=2)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service-importance PageRank over the enriched call graph
     (graphalg.pagerank, L66): 10 fixed iterations of the exact
@@ -2645,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         # ── not yet driver-certified: next in rotation ──
         "pagerank": q_pagerank,
+        "fuzzy_dedup": q_fuzzy_dedup,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3183,6 +3209,69 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "fuzzy_dedup": r"""
+            WITH base AS (
+              SELECT doc_id, substr(text, 1, 24) AS title
+              FROM documents WHERE text IS NOT NULL),
+            var1 AS (
+              SELECT doc_id + 100000 AS vid,
+                     concat(substr(title, 1, doc_id % 10 + 1), 'z',
+                            substr(title, doc_id % 10 + 3)) AS title,
+                     doc_id AS src
+              FROM base WHERE doc_id % 7 = 0),
+            var AS (
+              SELECT vid AS doc_id,
+                     CASE WHEN src % 14 = 0
+                          THEN substr(title, 1, length(title) - 1)
+                          ELSE title END AS title
+              FROM var1),
+            keys AS (
+              SELECT doc_id AS fid, title AS fkey,
+                     CAST(length(title) AS INT) AS flen
+              FROM (SELECT * FROM base UNION ALL SELECT * FROM var)
+              WHERE title IS NOT NULL),
+            gpos AS (
+              SELECT fid, flen, fkey,
+                     unnest(generate_series(1, flen - 2)) AS pos
+              FROM keys WHERE flen >= 3),
+            posting1 AS (
+              SELECT fid, flen, substr(fkey, pos, 3) AS gram,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY fid, substr(fkey, pos, 3)
+                       ORDER BY pos) AS occ
+              FROM gpos),
+            dfc AS (SELECT gram, occ, COUNT(*) AS c
+                    FROM posting1 GROUP BY gram, occ),
+            posting AS (
+              SELECT p.fid, p.flen, p.gram, p.occ
+              FROM posting1 p JOIN dfc USING (gram, occ)
+              WHERE dfc.c <= 1000),
+            longc AS (
+              SELECT a.fid AS id_a, b.fid AS id_b
+              FROM posting a JOIN posting b USING (gram, occ)
+              WHERE a.fid < b.fid AND abs(a.flen - b.flen) <= 2
+                AND greatest(a.flen, b.flen) > 8
+              GROUP BY a.fid, b.fid, a.flen, b.flen
+              HAVING COUNT(*) >= greatest(a.flen, b.flen) - 8),
+            shortc AS (
+              SELECT a.fid AS id_a, b.fid AS id_b
+              FROM (SELECT fid, flen FROM keys WHERE flen <= 8) a
+              JOIN (SELECT fid,
+                           unnest(generate_series(flen - 2, flen + 2)) AS lb
+                    FROM keys WHERE flen <= 8) b
+                ON a.flen = b.lb AND a.fid < b.fid),
+            cand AS (SELECT DISTINCT id_a, id_b FROM
+              (SELECT * FROM longc UNION ALL SELECT * FROM shortc)),
+            ver AS (
+              SELECT id_a, id_b,
+                     CAST(levenshtein(ka.fkey, kb.fkey) AS INT)
+                       AS edit_distance
+              FROM cand
+              JOIN keys ka ON ka.fid = id_a
+              JOIN keys kb ON kb.fid = id_b)
+            SELECT id_a, id_b, edit_distance
+            FROM ver WHERE edit_distance <= 2
+        """,
         "graph_cycles": f"""
             WITH RECURSIVE e AS (
               SELECT DISTINCT src_service AS src, dst_service AS dst

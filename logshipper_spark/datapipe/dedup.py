@@ -870,3 +870,118 @@ def representatives(
         score_col,
         (sid == F.col("_win_id")).cast("int").alias("keep"),
     )
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    max_edit: int = 2,
+    q: int = 3,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs over a SHORT key column
+    (titles, URLs, names — record-linkage fuzzy dedup, L67): all pairs
+    with ``levenshtein(a, b) <= max_edit``, output
+    ``(id_a, id_b, edit_distance)`` with ``id_a < id_b``.
+
+    Candidate generation is the q-gram COUNT filter (Gravano et al.
+    2001, approximate string joins): ``ed(s,t) <= k`` implies the
+    multiset q-gram overlap ``>= max(|s|,|t|) - q + 1 - k*q`` (each
+    edit destroys at most ``q`` grams). Multiset overlap is an
+    equi-join on ``(gram, occurrence_index)`` postings — never
+    all-pairs. Keys too short for that bound to guarantee a shared
+    gram (``len < q*(k+1)``) take the SHORT lane instead: a
+    length-window equi-join (each right key fans out to its
+    ``2k+1`` admissible lengths), quadratic only within same-length
+    short keys — bounded by the short-key length histogram, which a
+    title/URL domain keeps tiny. Every candidate is verified with
+    exact ``levenshtein`` before emission, so both lanes are
+    precision-exact; ``max_gram_df`` drops stop-grams (postings in
+    more than that many keys) before the join — the jaccard_pairs
+    scale guard, trading recall on keys whose ONLY shared grams are
+    corpus-universal boilerplate.
+
+    Scale posture: one (id, gram) window for occurrence indexes
+    (per-task state bounded by key length), one posting self-join with
+    the df cutoff, verify joins keyed by id. NULL keys drop."""
+    k = max_edit
+    cut = q * (k + 1) - 1  # len <= cut → the gram bound can be < 1
+    keys = (
+        df.select(F.col(id_col).alias("fid"), F.col(key_col).alias("fkey"))
+        .filter(F.col("fkey").isNotNull())
+        .withColumn("flen", F.length("fkey").cast("int"))
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.col("flen") - q + 1),
+        lambda i: F.col("fkey").substr(i, F.lit(q)),
+    )
+    posting = (
+        keys.filter(F.col("flen") >= q)
+        .select("fid", "flen", F.posexplode(gram_arr).alias("pos", "gram"))
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("fid", "gram").orderBy("pos")
+            ),
+        )
+        .select("fid", "flen", "gram", "occ")
+    )
+    df_counts = posting.groupBy("gram", "occ").agg(
+        F.count("*").alias("_df")
+    )
+    posting = posting.join(
+        F.broadcast(df_counts.filter(F.col("_df") <= max_gram_df)),
+        ["gram", "occ"],
+    )
+    a = posting.select(
+        F.col("fid").alias("id_a"), F.col("flen").alias("len_a"),
+        "gram", "occ",
+    )
+    b = posting.select(
+        F.col("fid").alias("id_b"), F.col("flen").alias("len_b"),
+        "gram", "occ",
+    )
+    need = (
+        F.greatest(F.col("len_a"), F.col("len_b")) - F.lit(q - 1) - F.lit(k * q)
+    )
+    long_cand = (
+        a.join(b, ["gram", "occ"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b")) <= k
+        )
+        .filter(F.greatest(F.col("len_a"), F.col("len_b")) > cut)
+        .groupBy("id_a", "id_b", "len_a", "len_b")
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= need)
+        .select("id_a", "id_b")
+    )
+    short = keys.filter(F.col("flen") <= cut)
+    al = short.select(
+        F.col("fid").alias("id_a"), F.col("flen").alias("_lb")
+    )
+    bl = short.select(
+        F.col("fid").alias("id_b"),
+        F.explode(
+            F.sequence(F.col("flen") - k, F.col("flen") + k)
+        ).alias("_lb"),
+    )
+    short_cand = (
+        al.join(bl, "_lb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = long_cand.unionByName(short_cand).distinct()
+    ka = keys.select(F.col("fid").alias("id_a"), F.col("fkey").alias("_ka"))
+    kb = keys.select(F.col("fid").alias("id_b"), F.col("fkey").alias("_kb"))
+    return (
+        cand.join(ka, "id_a")
+        .join(kb, "id_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("_ka"), F.col("_kb")).cast("int"),
+        )
+        .filter(F.col("edit_distance") <= k)
+        .select("id_a", "id_b", "edit_distance")
+    )

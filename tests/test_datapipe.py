@@ -2694,3 +2694,51 @@ def test_trending_terms(spark):
     hot = g[(datetime(2024, 3, 1, 10, 0), 1)]
     assert hot[0] == "hot" and hot[1] == 80
     assert any(k[0] is None for k in g)
+
+
+def test_fuzzy_dup_pairs_matches_bruteforce(spark):
+    """L67 fuzzy dedup: with the stop-gram cutoff disarmed, the
+    two-lane (gram count filter + short-key length window) candidate
+    generation plus levenshtein verify finds EXACTLY the brute-force
+    edit-distance pair set — typos, deletions, identical keys,
+    repeated-gram keys (multiset occ lanes), short keys below the gram
+    bound, and NULL keys (dropped)."""
+    from logshipper_spark.datapipe import dedup
+
+    keys = [
+        (0, "the quick brown fox"),
+        (1, "the quick brown fix"),      # 1 substitution
+        (2, "the quick brown f"),        # distance 2 from id 1
+        (3, "a completely different"),
+        (4, "abcabcabc"),
+        (5, "abcabcabX"),                # repeated grams + 1 sub
+        (6, "cat"), (7, "cut"), (8, "ca"), (9, "dog"),  # short lane
+        (10, "the quick brown fox"),     # exact dup of 0
+        (11, None),
+    ]
+    df = spark.createDataFrame(keys, "doc_id long, text string")
+
+    def ed(s, t):
+        m, n = len(s), len(t)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (s[i - 1] != t[j - 1])
+                )
+        return d[n]
+
+    vals = [(i, t) for i, t in keys if t is not None]
+    want = sorted(
+        (a, b, ed(sa, sb))
+        for (a, sa) in vals for (b, sb) in vals
+        if a < b and ed(sa, sb) <= 2
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["edit_distance"])
+        for r in dedup.fuzzy_dup_pairs(
+            df, max_edit=2, max_gram_df=10**6
+        ).collect()
+    )
+    assert got == want and (6, 7, 1) in got and (0, 10, 0) in got

@@ -136,7 +136,11 @@ def measure(sf_dir: str) -> dict:
         (F.crc32(F.col("conv_id")) % 100000).alias("ver"),
     )
     asof_probe = tr.select("conv_id", "turn_idx", F.col("role").alias("key"), "ts")
-    sft_pairs_df = transcript.sft_pairs(tr)
+    sft_pairs_df = transcript.sft_pairs(tr).select(
+        F.xxhash64("conv_id", "response_turn_idx").alias("pair_id"),
+        "prompt",
+        "response",
+    )
     mh_dir = tempfile.mkdtemp(prefix="posture_mhidx_") + "/idx"
     for batch_id, part in ((0, "doc_id % 5 = 0"), (1, "doc_id % 5 = 1")):
         sigs = docs.filter(part).select(
