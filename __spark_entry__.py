@@ -2245,6 +2245,18 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68 collocation mining (textstats.pmi_pairs): top-50 PMI token
+    pairs over window-4 co-occurrences, min pair count 3. PMI follows
+    the bm25 micro discipline — the oracle mirrors the ratio's
+    parenthesization exactly (ln((n_ab·T)·T / ((P·n_a)·n_b)), P = the
+    PRE-cutoff total pair mass), re-derives every windowed pair,
+    both count tables, and the TakeOrdered cut in SQL."""
+    return textstats.pmi_pairs(
+        _t(spark, sf_dir, "documents"), window=4, min_pair_count=3, k=50
+    )
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L67 record-linkage fuzzy dedup (dedup.fuzzy_dup_pairs) over a
     planted-typo corpus: every doc contributes a 24-char title; docs
@@ -2671,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ── not yet driver-certified: next in rotation ──
         "pagerank": q_pagerank,
         "fuzzy_dedup": q_fuzzy_dedup,
+        "pmi_pairs": q_pmi_pairs,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3209,6 +3222,49 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "pmi_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, list_filter(
+                regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+                AS toks
+              FROM documents),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 2),
+            dd AS (
+              SELECT doc_id, toks, i, unnest(generate_series(1, 4)) AS d
+              FROM pos),
+            pr AS (
+              SELECT least(toks[i], toks[i + d]) AS token_a,
+                     greatest(toks[i], toks[i + d]) AS token_b
+              FROM dd
+              WHERE i + d <= len(toks) AND toks[i] <> toks[i + d]),
+            pc_all AS (
+              SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT)
+                       AS pair_count
+              FROM pr GROUP BY 1, 2),
+            pc AS (SELECT * FROM pc_all WHERE pair_count >= 3),
+            uc AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT unnest(toks) AS token FROM t) GROUP BY token),
+            tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t_tok FROM uc),
+            ptot AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS p_tot
+                     FROM pc_all),
+            sc AS (
+              SELECT token_a, token_b, pair_count,
+                     CAST(floor(ln(
+                       ((CAST(pair_count AS DOUBLE) * t_tok) * t_tok)
+                       / ((p_tot * CAST(na.n AS DOUBLE))
+                          * CAST(nb.n AS DOUBLE))) * 1000000.0 + 0.5)
+                       AS BIGINT) AS pmi_micro
+              FROM pc
+              JOIN uc na ON na.token = pc.token_a
+              JOIN uc nb ON nb.token = pc.token_b
+              CROSS JOIN tot CROSS JOIN ptot)
+            SELECT token_a, token_b, pair_count, pmi_micro
+            FROM sc ORDER BY pmi_micro DESC, token_a, token_b LIMIT 50
+        """,
         "fuzzy_dedup": r"""
             WITH base AS (
               SELECT doc_id, substr(text, 1, 24) AS title

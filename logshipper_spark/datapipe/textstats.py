@@ -557,3 +557,117 @@ def trending_terms(
             "rank",
         )
     )
+
+
+def cooccurrence_pairs(toks: Column, window: int) -> Column:
+    """Unordered within-``window`` token co-occurrence pairs of a token
+    array: for every position i and distance d in [1, window], the
+    lexicographically sorted ``struct(w1, w2)`` of (toks[i],
+    toks[i+d]), self-pairs (equal tokens) excluded. One nested
+    higher-order transform — no explode until the caller counts, and
+    out-of-range partners drop via try_element_at's NULL (ANSI-safe).
+    ``sequence`` REVERSES when stop < start, so sub-2-token arrays
+    short-circuit to an empty array instead of generating [1, 0]."""
+    n = F.size(toks)
+    pair_of = lambda i, d: F.when(  # noqa: E731
+        F.try_element_at(toks, i + d).isNotNull()
+        & (
+            F.try_element_at(toks, i)
+            != F.try_element_at(toks, i + d)
+        ),
+        F.struct(
+            F.least(
+                F.try_element_at(toks, i), F.try_element_at(toks, i + d)
+            ).alias("w1"),
+            F.greatest(
+                F.try_element_at(toks, i), F.try_element_at(toks, i + d)
+            ).alias("w2"),
+        ),
+    )
+    inner = lambda i: F.filter(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.lit(window)), lambda d: pair_of(i, d)
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return F.when(
+        n >= 2,
+        F.flatten(F.transform(F.sequence(F.lit(1), n - 1), inner)),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    min_pair_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` pointwise-mutual-information token pairs over the
+    corpus (collocation mining — the word2vec/phrase-detection prep
+    step): unordered within-``window`` co-occurrences, ``pmi =
+    ln(p(a,b) / (p(a)p(b)))`` with ``p(a,b) = n_ab/P`` and ``p(w) =
+    n_w/T`` (P = total pair occurrences, T = total tokens). Output
+    ``(token_a, token_b, pair_count, pmi_micro)`` ordered by
+    ``(pmi_micro DESC, token_a, token_b)``.
+
+    PMI is quantized to integer micros with the bm25_topk discipline —
+    ``floor(ln((n_ab·T)·T / ((P·n_a)·n_b))·1e6 + 0.5)`` with the
+    parenthesization mirrored EXACTLY in the contract oracle, so the
+    doubles agree bit-for-bit cross-engine before the floor. Count
+    products stay exact in doubles below 2^53; at corpus scales beyond
+    that the micro grid absorbs the rounding (scores are rankings, not
+    ledgers).
+
+    Scale posture: the pair explode is ≤ ``window`` rows per token
+    (linear), the (w1, w2) count is map-side combined, unigram counts
+    are vocabulary-sized, and the final top-k is TakeOrdered — no
+    all-pairs, no full sort."""
+    toks = tokens(F.lower(F.col(text_col)))
+    all_pairs = (
+        df.select(F.explode(cooccurrence_pairs(toks, window)).alias("p"))
+        .groupBy(F.col("p.w1").alias("token_a"), F.col("p.w2").alias("token_b"))
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+    pair_rows = all_pairs.filter(F.col("pair_count") >= min_pair_count)
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    totals = uni.agg(F.sum("_n").alias("t")).head()
+    t_tok = float(totals["t"] or 0)
+    # P is the TOTAL pair mass (pre-cutoff): the min_pair_count filter
+    # prunes reported rows, not the probability normalization
+    p_tot = float(
+        all_pairs.agg(F.sum("pair_count")).head()[0] or 0
+    )
+    if t_tok == 0 or p_tot == 0:
+        return pair_rows.withColumn(
+            "pmi_micro", F.lit(None).cast("long")
+        ).limit(0)
+    na = uni.select(F.col("token").alias("token_a"), F.col("_n").alias("_na"))
+    nb = uni.select(F.col("token").alias("token_b"), F.col("_n").alias("_nb"))
+    ratio = (
+        (F.col("pair_count").cast("double") * F.lit(t_tok)) * F.lit(t_tok)
+    ) / (
+        (F.lit(p_tot) * F.col("_na").cast("double"))
+        * F.col("_nb").cast("double")
+    )
+    scored = (
+        pair_rows.join(na, "token_a")
+        .join(nb, "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "pair_count",
+            F.floor(F.log(ratio) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), "token_a", "token_b"
+    ).limit(k)

@@ -2742,3 +2742,54 @@ def test_fuzzy_dup_pairs_matches_bruteforce(spark):
         ).collect()
     )
     assert got == want and (6, 7, 1) in got and (0, 10, 0) in got
+
+
+def test_pmi_pairs_matches_python_reference(spark):
+    """L68 collocation mining: windowed co-occurrence counts and
+    integer-micro PMI equal a scalar replay — window edges, unordered
+    pair normalization, self-pair exclusion, min-count cutoff, and the
+    deterministic (pmi, a, b) ordering."""
+    import math
+    from collections import Counter
+
+    from logshipper_spark.datapipe import textstats
+
+    docs = [
+        (0, "new york city is in new york state"),
+        (1, "san francisco and new york"),
+        (2, "york new york new"),
+        (3, ""),
+        (4, None),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W, MIN, K = 3, 2, 10
+    pair_c, uni_c = Counter(), Counter()
+    for _, t in docs:
+        toks = (t or "").lower().split()
+        uni_c.update(toks)
+        for i, a in enumerate(toks):
+            for d in range(1, W + 1):
+                if i + d < len(toks) and toks[i + d] != a:
+                    pair_c[tuple(sorted((a, toks[i + d])))] += 1
+    T = sum(uni_c.values())
+    kept = {p: c for p, c in pair_c.items() if c >= MIN}
+    P = sum(pair_c.values())  # total pair mass, pre-cutoff
+    want = sorted(
+        (
+            (a, b, c,
+             math.floor(
+                 math.log((c * float(T)) * float(T)
+                          / ((float(P) * uni_c[a]) * uni_c[b]))
+                 * 1e6 + 0.5))
+            for (a, b), c in kept.items()
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:K]
+    got = [
+        (r["token_a"], r["token_b"], r["pair_count"], r["pmi_micro"])
+        for r in textstats.pmi_pairs(
+            df, window=W, min_pair_count=MIN, k=K
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
