@@ -2245,6 +2245,39 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+_INDUCTION_MSG_EXPR = """
+    CASE CAST(event_id % 3 AS INT)
+      WHEN 0 THEN concat('user ', CAST(user_id AS STRING),
+                         ' did ', event_type, ' from 10.0.',
+                         CAST(user_id % 256 AS STRING), '.',
+                         CAST(event_id % 256 AS STRING))
+      WHEN 1 THEN concat('txn 0x', lower(hex(event_id)),
+                         ' ', event_type, ' took ',
+                         CAST(CAST(floor(value * 10) AS BIGINT) AS STRING),
+                         'ms')
+      ELSE concat('req ', substr(md5(CAST(event_id AS STRING)), 1, 8), '-',
+                  substr(md5(CAST(event_id AS STRING)), 9, 4), '-',
+                  substr(md5(CAST(event_id AS STRING)), 13, 4), '-',
+                  substr(md5(CAST(event_id AS STRING)), 17, 4), '-',
+                  substr(md5(CAST(event_id AS STRING)), 21, 12),
+                  ' ', event_type, ' v2 ok')
+    END AS message
+"""
+
+
+def q_template_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template INDUCTION (template.induce_templates — the
+    discovery report that precedes authoring P11-P12 grok patterns):
+    log-like messages constructed deterministically from events (ids,
+    ips, hex txn ids, md5-derived uuids, unit-suffixed latencies), the
+    uuid→ip→hex→num masking chain, one map-side-combined groupBy with
+    exact distinct counts and the lexicographic example. The oracle
+    rebuilds the messages and re-runs the identical RE2 chain
+    (g-flag) + grouping + cut in DuckDB."""
+    ev = _t(spark, sf_dir, "events").selectExpr(_INDUCTION_MSG_EXPR)
+    return template.induce_templates(ev, text_col="message", k=20)
+
+
 def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L68 collocation mining (textstats.pmi_pairs): top-50 PMI token
     pairs over window-4 co-occurrences, min pair count 3. PMI follows
@@ -2684,6 +2717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "fuzzy_dedup": q_fuzzy_dedup,
         "pmi_pairs": q_pmi_pairs,
+        "template_induction": q_template_induction,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3222,6 +3256,45 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "template_induction": r"""
+            WITH msgs AS (
+              SELECT CASE CAST(event_id % 3 AS INT)
+                WHEN 0 THEN 'user ' || CAST(user_id AS VARCHAR)
+                         || ' did ' || event_type || ' from 10.0.'
+                         || CAST(user_id % 256 AS VARCHAR) || '.'
+                         || CAST(event_id % 256 AS VARCHAR)
+                WHEN 1 THEN 'txn 0x' || to_hex(event_id)
+                         || ' ' || event_type || ' took '
+                         || CAST(CAST(floor(value * 10) AS BIGINT)
+                                 AS VARCHAR) || 'ms'
+                ELSE 'req '
+                     || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-'
+                     || substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-'
+                     || substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-'
+                     || substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-'
+                     || substr(md5(CAST(event_id AS VARCHAR)), 21, 12)
+                     || ' ' || event_type || ' v2 ok'
+                END AS message
+              FROM events),
+            masked AS (
+              SELECT message,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(message,
+                             '\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b',
+                             '<uuid>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<ip>', 'g'),
+                         '\b0x[0-9a-fA-F]+\b', '<hex>', 'g'),
+                       '\b\d+(\.\d+)?', '<num>', 'g') AS template
+              FROM msgs WHERE message IS NOT NULL)
+            SELECT template, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT message) AS BIGINT) AS n_distinct,
+                   MIN(message) AS example
+            FROM masked GROUP BY template
+            ORDER BY n DESC, template LIMIT 20
+        """,
         "pmi_pairs": r"""
             WITH t AS (
               SELECT doc_id, list_filter(

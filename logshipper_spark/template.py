@@ -179,3 +179,61 @@ class TemplateParser:
             .withColumn("raw", gated(raw_map, F.lit(None).cast("map<string,string>")))
         )
         return out
+
+
+# masking rules for template INDUCTION, most-specific first: a uuid
+# must mask before its hex runs do, an ipv4 before its octets. Each is
+# RE2-compatible so the contract oracle re-runs the identical chain in
+# DuckDB (with the 'g' flag — DuckDB replaces first-match by default,
+# Spark replaces all).
+INDUCTION_MASKS: list[tuple[str, str]] = [
+    (
+        r"\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\b",
+        "<uuid>",
+    ),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<ip>"),
+    (r"\b0x[0-9a-fA-F]+\b", "<hex>"),
+    # no trailing \b: unit-suffixed numbers ("31s", "2.5ms") must
+    # mask too; the LEADING \b still protects embedded digits ("v2")
+    (r"\b\d+(\.\d+)?", "<num>"),
+]
+
+
+def normalize_template(msg: Column) -> Column:
+    """Mask the variable parts of a log message (uuid → ip → hex →
+    number, in that order) — the Drain-family template key, computed
+    relationally instead of via an online parse tree: at batch scale
+    the tree's only job is grouping, and groupBy IS the tree."""
+    out = msg
+    for pat, rep in INDUCTION_MASKS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def induce_templates(
+    df: DataFrame,
+    text_col: str = "message",
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` induced log templates over a raw message column:
+    ``(template, n, n_distinct, example)`` ordered by ``(n DESC,
+    template)``, where ``example`` is the lexicographically smallest
+    raw message of the group — the 'what formats are my services
+    actually emitting' discovery report that precedes writing
+    `compile_template` patterns for them (P11–P12's authoring step).
+
+    Scale posture: masking is a map-only regexp chain; ONE
+    map-side-combined groupBy on the template key (count + exact
+    distinct-message count + min example); top-k is TakeOrdered. NULL
+    messages drop."""
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(text_col).alias("_msg"),
+        normalize_template(F.col(text_col)).alias("template"),
+    )
+    agg = t.groupBy("template").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("_msg").cast("long").alias("n_distinct"),
+        F.min("_msg").alias("example"),
+    )
+    return agg.orderBy(F.col("n").desc(), "template").limit(k)

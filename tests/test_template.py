@@ -69,3 +69,43 @@ def test_compile_template_vars_in_order(spark):
     assert vars_ == ["a", "b", "c"]
     assert pattern.startswith("^")
     assert pattern.endswith("$")
+
+
+def test_induce_templates(spark):
+    """Template induction: uuid/ip/hex/number masking (most-specific
+    first), grouping, exact distinct counts, lexicographic example,
+    (n DESC, template) ordering, NULL messages dropped."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from logshipper_spark.template import induce_templates, normalize_template
+
+    msgs = [
+        "user 17 logged in from 10.0.3.25",
+        "user 9 logged in from 10.0.4.200",
+        "user 17 logged in from 10.0.3.25",  # exact repeat
+        "txn 0xdeadBEEF failed after 2.5s",
+        "txn 0x1f failed after 31s",
+        "req 123e4567-e89b-12d3-a456-426614174000 ok v2",
+        "req 00000000-0000-0000-0000-000000000000 ok v2",
+        None,
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "message string")
+    got = [
+        (r["template"], r["n"], r["n_distinct"], r["example"])
+        for r in induce_templates(df, k=10).collect()
+    ]
+    assert got == [
+        ("user <num> logged in from <ip>", 3, 2,
+         "user 17 logged in from 10.0.3.25"),
+        ("req <uuid> ok v2", 2, 2,
+         "req 00000000-0000-0000-0000-000000000000 ok v2"),
+        ("txn <hex> failed after <num>s", 2, 2,
+         "txn 0x1f failed after 31s"),
+    ]
+    # unit-suffixed decimals and integers share one template
+    # masking order: a uuid's hex runs must not half-mask
+    row = spark.createDataFrame(
+        [("id 123e4567-e89b-12d3-a456-426614174000 x 0xab 7 1.2.3.4",)],
+        "message string",
+    ).select(normalize_template(F.col("message")).alias("t")).head()
+    assert row["t"] == "id <uuid> x <hex> <num> <ip>"
