@@ -2245,6 +2245,18 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+def q_dense_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-event-type minute rates over events
+    (aggregate.dense_time_buckets): empty buckets emitted as 0 between
+    each key's first and last event. The oracle re-derives the bucket
+    arithmetic, per-key spans, the generate_series spine, and the
+    left-join fill independently."""
+    return agg.dense_time_buckets(
+        _t(spark, sf_dir, "events"), ts_col="ts",
+        key_cols=["event_type"], bucket_s=60,
+    )
+
+
 _INDUCTION_MSG_EXPR = """
     CASE CAST(event_id % 3 AS INT)
       WHEN 0 THEN concat('user ', CAST(user_id AS STRING),
@@ -2718,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup": q_fuzzy_dedup,
         "pmi_pairs": q_pmi_pairs,
         "template_induction": q_template_induction,
+        "dense_buckets": q_dense_buckets,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3256,6 +3269,26 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "dense_buckets": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                       AS bucket_start,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2),
+            spans AS (
+              SELECT event_type, MIN(bucket_start) AS lo,
+                     MAX(bucket_start) AS hi
+              FROM c GROUP BY event_type),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, 60)) AS bucket_start
+              FROM spans)
+            SELECT s.event_type, s.bucket_start,
+                   COALESCE(c.n, 0) AS n
+            FROM spine s LEFT JOIN c USING (event_type, bucket_start)
+        """,
         "template_induction": r"""
             WITH msgs AS (
               SELECT CASE CAST(event_id % 3 AS INT)

@@ -387,3 +387,49 @@ def time_buckets(
             "calls",
         )
     )
+
+
+def dense_time_buckets(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    bucket_s: int = 60,
+) -> DataFrame:
+    """Gap-FILLED per-key time-bucket counts: one row per key per
+    ``bucket_s``-second bucket between that key's first and last
+    event, with empty buckets emitted as 0 — the densified rate series
+    a dashboard or anomaly baseline needs (plain ``time_buckets``
+    skips silent minutes, so a rate chart lies by omission during
+    outages, exactly when it matters). Output ``(*key_cols,
+    bucket_start, n)`` with ``bucket_start`` in epoch seconds.
+
+    Scale posture: one map-side-combined (key, bucket) count shuffle
+    over the events; the spine derives from the BUCKET table (per-key
+    min/max over rows-per-(key, bucket), not events), and the gap
+    explode emits span/bucket_s rows per key — sized by wall-clock
+    coverage, never event volume. The spine joins the counts on the
+    same (key, bucket) key. NULL timestamps are excluded (a densified
+    rate series has no place for unknown time; `time_buckets` keeps
+    the NULL lane for accounting)."""
+    keys = key_cols or []
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_s))
+        * F.lit(bucket_s)
+    ).cast("long")
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(*keys, bucket.alias("bucket_start"))
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    spans = counts.groupBy(*keys).agg(
+        F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi")
+    )
+    spine = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(bucket_s)))
+        ).alias("bucket_start"),
+    )
+    return spine.join(counts, [*keys, "bucket_start"], "left").select(
+        *keys, "bucket_start", F.coalesce("_n", F.lit(0)).cast("long").alias("n")
+    )

@@ -299,3 +299,30 @@ def test_format_level_matrix(spark):
     }
     # unknown formats ignored; absent cells are 0, not NULL
     assert got == {"info": (1, 1, 1), "error": (1, 0, 0)}
+
+
+def test_dense_time_buckets(spark):
+    """Gap filling: every bucket between a key's first and last event
+    appears, empties are 0, NULL timestamps drop, keys don't bleed."""
+    from logshipper_spark import aggregate as agg
+
+    rows = [
+        ("a", "2024-01-01 00:00:10"),
+        ("a", "2024-01-01 00:00:50"),
+        ("a", "2024-01-01 00:03:05"),   # 2 empty minutes between
+        ("b", "2024-01-01 00:05:00"),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.to_timestamp("ts").alias("ts")
+    )
+    got = sorted(
+        (r["k"], r["bucket_start"], r["n"])
+        for r in agg.dense_time_buckets(df, key_cols=["k"]).collect()
+    )
+    t0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert got == [
+        ("a", t0, 2), ("a", t0 + 60, 0), ("a", t0 + 120, 0),
+        ("a", t0 + 180, 1),
+        ("b", t0 + 300, 1),
+    ]
