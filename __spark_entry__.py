@@ -2245,6 +2245,40 @@ def q_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphalg.cycle_membership(edges)
 
 
+def q_scd2_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 CONSUMPTION pattern, composed end-to-end: version the
+    (source → team) dimension from the q_scd2_intervals snapshots,
+    then as-of probe it with per-document event times (doc_id % 5 —
+    spanning before-open, mid-run, and past-the-last-snapshot) so each
+    document picks up the dimension version live at ITS time. The
+    Spark path is scd2_intervals → asof_join (running-last window, no
+    join operator); the oracle re-derives the intervals with
+    LAG/LEAD and probes them with an INTERVAL-PREDICATE join
+    (valid_from <= t < valid_to) — a different plan family, so the
+    hash match certifies the as-of ≡ interval-containment equivalence
+    on contiguous runs."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select("source").distinct()
+    snaps = None
+    for s in range(4):
+        f = src.selectExpr(
+            "source",
+            f"concat('team', (length(source) + {s // 2}) % 3) AS team",
+            f"CAST({s} AS LONG) AS snapshot_ts",
+        )
+        snaps = f if snaps is None else snaps.unionByName(f)
+    dim = temporal.scd2_intervals(
+        snaps, key_cols=["source"], value_cols=["team"]
+    )
+    probe = docs.selectExpr(
+        "doc_id", "source", "CAST(doc_id % 5 AS LONG) AS ts"
+    )
+    build = dim.selectExpr("source", "valid_from AS ts", "team")
+    return temporal.asof_join(
+        probe, build, ["source"], payloads=["team"]
+    ).select("doc_id", "source", "ts", "asof_ts", "team")
+
+
 def q_dense_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled per-event-type minute rates over events
     (aggregate.dense_time_buckets): empty buckets emitted as 0 between
@@ -2731,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "template_induction": q_template_induction,
         "dense_buckets": q_dense_buckets,
+        "scd2_probe": q_scd2_probe,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3107,6 +3142,40 @@ def oracle_sql() -> dict[str, str]:
                        AS valid_to
               FROM m WHERE chg)
             SELECT source, team, valid_from, valid_to FROM r
+        """,
+        "scd2_probe": r"""
+            WITH src AS (SELECT DISTINCT source FROM documents),
+            snaps AS (
+              SELECT source, 'team' || ((length(source) + 0) % 3) AS team,
+                     CAST(0 AS BIGINT) AS ts FROM src
+              UNION ALL
+              SELECT source, 'team' || ((length(source) + 0) % 3),
+                     CAST(1 AS BIGINT) FROM src
+              UNION ALL
+              SELECT source, 'team' || ((length(source) + 1) % 3),
+                     CAST(2 AS BIGINT) FROM src
+              UNION ALL
+              SELECT source, 'team' || ((length(source) + 1) % 3),
+                     CAST(3 AS BIGINT) FROM src),
+            m AS (
+              SELECT source, team, ts,
+                     team IS DISTINCT FROM
+                       LAG(team) OVER (PARTITION BY source ORDER BY ts)
+                       AS chg
+              FROM snaps),
+            r AS (
+              SELECT source, team, ts AS valid_from,
+                     LEAD(ts) OVER (PARTITION BY source ORDER BY ts)
+                       AS valid_to
+              FROM m WHERE chg),
+            probe AS (
+              SELECT doc_id, source, CAST(doc_id % 5 AS BIGINT) AS ts
+              FROM documents)
+            SELECT p.doc_id, p.source, p.ts,
+                   r.valid_from AS asof_ts, r.team
+            FROM probe p LEFT JOIN r
+              ON r.source = p.source AND r.valid_from <= p.ts
+             AND (r.valid_to IS NULL OR p.ts < r.valid_to)
         """,
         "edge_rollup": f"""
             SELECT src_service, dst_service,
