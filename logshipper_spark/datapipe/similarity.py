@@ -843,7 +843,11 @@ def pq_fit(
             else F.lit(True)
         )
         keeps.append(keep.alias(f"_in{s}"))
-    staged = df.filter(v.isNotNull()).select(*cols, *keeps).persist()
+    staged = (
+        df.filter(v.isNotNull())
+        .select(v.alias("_v0"), *cols, *keeps)
+        .persist()
+    )
     try:
         n_sample = max(256, 32 * codes_per_sub)
         lanes = F.array(
@@ -885,21 +889,36 @@ def pq_fit(
                 + F.lit(0.5)
             ).cast("decimal(38,0)")
 
+        arrow = len(bounds) * codes_per_sub >= _ARROW_ASSIGN_MIN_CELLS
         for _ in range(max_iter):
+            if arrow:
+                # one order-exact Arrow kernel computes all m code
+                # assignments (the pq_codes discipline) — the m·codes
+                # expression cascade costs seconds of Janino per
+                # iteration and interprets past the 64 KB cliff
+                src = staged.withColumn(
+                    "_codes", _pq_codes_arrow("_v0", books)
+                )
+                cell_of = lambda s: F.element_at(  # noqa: E731
+                    "_codes", s + 1
+                )
+            else:
+                src = staged
+                cell_of = lambda s: _nearest_centroid(  # noqa: E731
+                    F.col(f"_s{s}"), books[s]
+                )
             lanes2 = F.array(
                 *[
                     F.struct(
                         F.col(f"_s{s}").alias("v"),
-                        _nearest_centroid(F.col(f"_s{s}"), books[s]).alias(
-                            "c"
-                        ),
+                        cell_of(s).alias("c"),
                         F.col(f"_in{s}").alias("m"),
                     )
                     for s in range(len(bounds))
                 ]
             )
             sums = (
-                staged.select(F.posexplode(lanes2).alias("sub", "x"))
+                src.select(F.posexplode(lanes2).alias("sub", "x"))
                 .filter(F.col("x.m"))
                 .groupBy("sub", F.col("x.c").alias("cell"))
                 .agg(
@@ -927,8 +946,52 @@ def pq_fit(
         staged.unpersist()
 
 
+def _pq_codes_arrow(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """All ``m`` subspace code assignments in ONE Arrow kernel —
+    ``array<int>`` of per-subspace nearest-code indexes, arithmetic
+    order-identical to the ``nearest_centroid_struct`` expression form
+    (per-term (a-b)² with missing/NULL elements contributing 0.0,
+    left-to-right accumulation over the subspace's dimensions, 6-dp
+    round of the total, first-index argmin) — parity-tested against
+    the expression path. The expression form spends seconds of Janino
+    compilation on ``m·codes_per_sub`` fold expressions per projection
+    and interprets beyond the 64 KB method limit; the kernel is the
+    same arithmetic at C speed and compiles nothing."""
+    dim = sum(len(b[0]) for b in codebooks)
+    bounds = subspace_bounds(dim, len(codebooks))
+    mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def codes_of(vs: pd.Series) -> pd.Series:
+        arr = np.full((len(vs), dim), np.nan)
+        for i, vec in enumerate(vs):
+            if vec is None:
+                continue
+            a = np.asarray(vec, dtype=np.float64)[:dim]
+            arr[i, : len(a)] = a
+        out = np.empty((len(vs), len(bounds)), dtype=np.int32)
+        for s, (st, w) in enumerate(bounds):
+            C = mats[s]
+            acc = np.zeros((len(vs), C.shape[0]))
+            for j in range(w):
+                d = arr[:, st - 1 + j][:, None] - C[None, :, j]
+                d *= d
+                np.nan_to_num(d, copy=False)
+                acc += d
+            np.round(acc, 6, out=acc)
+            out[:, s] = np.argmin(acc, axis=1)
+        return pd.Series(list(out))
+
+    return codes_of(vec_col)
+
+
 def pq_codes(
-    df: DataFrame, codebooks: list[list[list[float]]], vec_col: str = "embedding"
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Adds ``codes`` (``array<int>``, one code per subspace): each
     subspace slice's nearest codebook entry by 6-dp-rounded squared L2,
@@ -938,9 +1001,19 @@ def pq_codes(
     as intermediate columns first: ``nearest_centroid_struct``
     references its input once per centroid, and an inlined slice would
     be re-evaluated ``codes_per_sub`` times per row (the CLAUDE.md
-    column-inlining trap)."""
+    column-inlining trap).
+
+    ``use_arrow`` (default: when total fold count m·codes exceeds
+    ``_ARROW_ASSIGN_MIN_CELLS``) swaps the expression cascade for the
+    order-exact Arrow kernel (``_pq_codes_arrow``) — identical codes,
+    no Janino cost, no 64 KB codegen cliff."""
     if not codebooks or any(not b for b in codebooks):
         raise ValueError("pq_codes: empty codebooks")
+    total = sum(len(b) for b in codebooks)
+    if use_arrow is None:
+        use_arrow = total >= _ARROW_ASSIGN_MIN_CELLS
+    if use_arrow:
+        return df.withColumn("codes", _pq_codes_arrow(vec_col, codebooks))
     dim = sum(len(b[0]) for b in codebooks)
     out = df
     subs = []

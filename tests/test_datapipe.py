@@ -673,7 +673,10 @@ def test_pq_fit_batched_matches_sequential(spark):
             books.append(book)
         return books
 
-    for m, codes, sm in ((3, 4, None), (4, 6, 3)):
+    # (4, 16) crosses _ARROW_ASSIGN_MIN_CELLS total folds, so the
+    # batched Lloyd runs the Arrow code kernel while the sequential
+    # reference stays on the expression path — the cross-parity proof
+    for m, codes, sm in ((3, 4, None), (4, 6, 3), (4, 16, None)):
         got = similarity.pq_fit(
             df, m=m, codes_per_sub=codes, dim=10, max_iter=3, sample_mod=sm
         )
@@ -2793,3 +2796,31 @@ def test_pmi_pairs_matches_python_reference(spark):
         ).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_pq_codes_arrow_matches_expression(spark):
+    """The Arrow PQ code kernel assigns the identical codes as the
+    nearest_centroid_struct expression cascade — including ragged and
+    NULL-element vectors."""
+    from logshipper_spark.datapipe import similarity
+
+    rows = [
+        (i, [((i * 37 + j * 13) % 200) / 50.0 - 2.0 for j in range(12)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).unionByName(spark.createDataFrame(
+        [(900, [0.3] * 5), (901, [None] + [0.1] * 11)],
+        "vec_id long, embedding array<double>",
+    ))
+    books = similarity.pq_fit(df, m=3, codes_per_sub=4, dim=12, max_iter=2)
+    exp = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_codes(df, books, use_arrow=False).collect()
+    }
+    arw = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_codes(df, books, use_arrow=True).collect()
+    }
+    assert exp == arw and len(exp) == 202
