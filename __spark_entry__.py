@@ -2361,6 +2361,36 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_dup_pairs(keys, key_col="title", max_edit=2)
 
 
+FUZZY_IDX_PATH = "/tmp/spark_graft_contract/fuzzy_idx"
+
+
+def q_fuzzy_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup (dedup.write_fuzzy_index /
+    fuzzy_dedup_against — the L67 member of the incremental-index
+    family): titles of doc_id%3==0 persist as the index; the batch is
+    every title plus 1-substitution variants of the indexed %6==0
+    docs. Indexed titles (edit 0) and the typo variants (edit 1) drop;
+    everything genuinely new survives. The stop-gram cutoff is inert
+    at this corpus, so the two lanes exactly realize 'no indexed key
+    within edit 2' — the oracle derives survivors with an INDEPENDENT
+    NOT EXISTS + levenshtein formulation (different plan family)."""
+    docs = _t(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    base = docs.selectExpr("doc_id", "substr(text, 1, 24) AS title")
+    dedup.write_fuzzy_index(
+        base.filter("doc_id % 3 = 0"), FUZZY_IDX_PATH,
+        key_col="title", mode="overwrite",
+    )
+    var = base.filter("doc_id % 6 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat(substr(title, 1, doc_id % 10 + 1), 'z',"
+        " substr(title, doc_id % 10 + 3)) AS title",
+    )
+    batch = base.unionByName(var)
+    return dedup.fuzzy_dedup_against(
+        batch, spark, FUZZY_IDX_PATH, key_col="title"
+    ).select("doc_id")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service-importance PageRank over the enriched call graph
     (graphalg.pagerank, L66): 10 fixed iterations of the exact
@@ -2766,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_induction": q_template_induction,
         "dense_buckets": q_dense_buckets,
         "scd2_probe": q_scd2_probe,
+        "fuzzy_dedup_incremental": q_fuzzy_dedup_incremental,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3338,6 +3369,23 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "fuzzy_dedup_incremental": r"""
+            WITH base AS (
+              SELECT doc_id, substr(text, 1, 24) AS title
+              FROM documents WHERE text IS NOT NULL),
+            idx AS (SELECT title FROM base WHERE doc_id % 3 = 0),
+            var AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     concat(substr(title, 1, doc_id % 10 + 1), 'z',
+                            substr(title, doc_id % 10 + 3)) AS title
+              FROM base WHERE doc_id % 6 = 0),
+            batch AS (SELECT * FROM base UNION ALL SELECT * FROM var)
+            SELECT b.doc_id FROM batch b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM idx i
+              WHERE abs(length(i.title) - length(b.title)) <= 2
+                AND levenshtein(i.title, b.title) <= 2)
+        """,
         "dense_buckets": r"""
             WITH c AS (
               SELECT event_type,

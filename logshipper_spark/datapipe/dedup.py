@@ -872,6 +872,36 @@ def representatives(
     )
 
 
+def _fuzzy_keys(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """``(fid, fkey, flen)`` — NULL keys dropped, length staged."""
+    return (
+        df.select(F.col(id_col).alias("fid"), F.col(key_col).alias("fkey"))
+        .filter(F.col("fkey").isNotNull())
+        .withColumn("flen", F.length("fkey").cast("int"))
+    )
+
+
+def _fuzzy_postings(keys: DataFrame, q: int) -> DataFrame:
+    """Multiset q-gram postings ``(fid, flen, gram, occ)`` of a
+    ``_fuzzy_keys`` frame: one (id, gram) window for the occurrence
+    index (per-task state bounded by key length)."""
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.col("flen") - q + 1),
+        lambda i: F.col("fkey").substr(i, F.lit(q)),
+    )
+    return (
+        keys.filter(F.col("flen") >= q)
+        .select("fid", "flen", F.posexplode(gram_arr).alias("pos", "gram"))
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("fid", "gram").orderBy("pos")
+            ),
+        )
+        .select("fid", "flen", "gram", "occ")
+    )
+
+
 def fuzzy_dup_pairs(
     df: DataFrame,
     key_col: str = "text",
@@ -907,33 +937,15 @@ def fuzzy_dup_pairs(
     the df cutoff, verify joins keyed by id. NULL keys drop."""
     k = max_edit
     cut = q * (k + 1) - 1  # len <= cut → the gram bound can be < 1
-    keys = (
-        df.select(F.col(id_col).alias("fid"), F.col(key_col).alias("fkey"))
-        .filter(F.col("fkey").isNotNull())
-        .withColumn("flen", F.length("fkey").cast("int"))
-    )
-    gram_arr = F.transform(
-        F.sequence(F.lit(1), F.col("flen") - q + 1),
-        lambda i: F.col("fkey").substr(i, F.lit(q)),
-    )
-    posting = (
-        keys.filter(F.col("flen") >= q)
-        .select("fid", "flen", F.posexplode(gram_arr).alias("pos", "gram"))
-        .withColumn(
-            "occ",
-            F.row_number().over(
-                Window.partitionBy("fid", "gram").orderBy("pos")
-            ),
-        )
-        .select("fid", "flen", "gram", "occ")
-    )
+    keys = _fuzzy_keys(df, key_col, id_col)
+    posting = _fuzzy_postings(keys, q)
     df_counts = posting.groupBy("gram", "occ").agg(
         F.count("*").alias("_df")
     )
     posting = posting.join(
         F.broadcast(df_counts.filter(F.col("_df") <= max_gram_df)),
         ["gram", "occ"],
-    )
+    ).select("fid", "flen", "gram", "occ")
     a = posting.select(
         F.col("fid").alias("id_a"), F.col("flen").alias("len_a"),
         "gram", "occ",
@@ -985,3 +997,113 @@ def fuzzy_dup_pairs(
         .filter(F.col("edit_distance") <= k)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+def write_fuzzy_index(
+    df: DataFrame,
+    path: str,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    q: int = 3,
+    mode: str = "append",
+    codec: str = "zstd",
+) -> None:
+    """Persist the fuzzy-dedup carry state of a kept corpus snapshot —
+    the L67 member of the incremental-index family (exact keys L8,
+    MinHash L9, semantic L10): ``<path>/keys`` holds ``(fid, fkey,
+    flen)`` (the key STRINGS — the levenshtein verify needs bytes, so
+    unlike the 16 B/doc exact index this one is sized by key length;
+    titles/URLs keep it tens of bytes per doc) and ``<path>/postings``
+    holds the multiset q-gram postings ``(gram, occ, fid, flen)``.
+    Append mode accumulates snapshots."""
+    keys = _fuzzy_keys(df, key_col, id_col)
+    keys.write.mode(mode).option("compression", codec).parquet(
+        f"{path}/keys"
+    )
+    _fuzzy_postings(keys, q).write.mode(mode).option(
+        "compression", codec
+    ).parquet(f"{path}/postings")
+
+
+def fuzzy_dedup_against(
+    df: DataFrame,
+    spark,
+    path: str,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    max_edit: int = 2,
+    q: int = 3,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """Incremental fuzzy dedup: keep only rows whose key has NO
+    ``levenshtein <= max_edit`` match in the persisted
+    ``write_fuzzy_index`` state — 'is this title/URL genuinely new vs
+    everything kept so far, typos included'. Same candidate discipline
+    as ``fuzzy_dup_pairs`` (count-filter gram lane + short-key length
+    window + exact verify), but one side is the index: the stop-gram
+    ``max_gram_df`` cutoff is computed on the INDEX postings (the
+    accumulated corpus defines what is boilerplate, not the batch) and
+    applied to both sides. Batch-internal fuzzy duplicates are NOT
+    collapsed here (compose with ``fuzzy_dup_pairs``) — the
+    ``dedup_against`` convention.
+
+    Scale posture: the gram lane joins batch postings against index
+    postings on (gram, occ) — traffic bounded by the batch's gram
+    count times the surviving index df; the short lane is batch-short
+    × index-short within the length window; verify joins keyed by id.
+    """
+    k = max_edit
+    cut = q * (k + 1) - 1
+    keys = _fuzzy_keys(df, key_col, id_col)
+    bpost = _fuzzy_postings(keys, q)
+    ikeys = spark.read.schema("fid long, fkey string, flen int").parquet(
+        f"{path}/keys"
+    )
+    ipost = spark.read.schema(
+        "fid long, flen int, gram string, occ int"
+    ).parquet(f"{path}/postings")
+    idf = ipost.groupBy("gram", "occ").agg(F.count("*").alias("_df"))
+    live = F.broadcast(idf.filter(F.col("_df") <= max_gram_df))
+    bp = bpost.join(live, ["gram", "occ"]).select(
+        F.col("fid").alias("bid"), F.col("flen").alias("blen"),
+        "gram", "occ",
+    )
+    ip = ipost.join(live, ["gram", "occ"]).select(
+        F.col("fid").alias("iid"), F.col("flen").alias("ilen"),
+        "gram", "occ",
+    )
+    need = (
+        F.greatest(F.col("blen"), F.col("ilen"))
+        - F.lit(q - 1)
+        - F.lit(k * q)
+    )
+    long_cand = (
+        bp.join(ip, ["gram", "occ"])
+        .filter(F.abs(F.col("blen") - F.col("ilen")) <= k)
+        .filter(F.greatest(F.col("blen"), F.col("ilen")) > cut)
+        .groupBy("bid", "iid", "blen", "ilen")
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= need)
+        .select("bid", "iid")
+    )
+    bshort = keys.filter(F.col("flen") <= cut).select(
+        F.col("fid").alias("bid"),
+        F.explode(
+            F.sequence(F.col("flen") - k, F.col("flen") + k)
+        ).alias("_lb"),
+    )
+    ishort = ikeys.filter(F.col("flen") <= cut).select(
+        F.col("fid").alias("iid"), F.col("flen").alias("_lb")
+    )
+    short_cand = bshort.join(ishort, "_lb").select("bid", "iid")
+    cand = long_cand.unionByName(short_cand).distinct()
+    bk = keys.select(F.col("fid").alias("bid"), F.col("fkey").alias("_bk"))
+    ik = ikeys.select(F.col("fid").alias("iid"), F.col("fkey").alias("_ik"))
+    hit = (
+        cand.join(bk, "bid")
+        .join(ik, "iid")
+        .filter(F.levenshtein(F.col("_bk"), F.col("_ik")) <= k)
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+    )
+    return df.join(hit, id_col, "left_anti")

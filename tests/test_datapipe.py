@@ -2824,3 +2824,40 @@ def test_pq_codes_arrow_matches_expression(spark):
         for r in similarity.pq_codes(df, books, use_arrow=True).collect()
     }
     assert exp == arw and len(exp) == 202
+
+
+def test_fuzzy_dedup_against(spark, tmp_path):
+    """Incremental fuzzy dedup: batch rows whose key is within
+    max_edit of ANY indexed key drop; genuinely new keys and
+    over-the-threshold rewrites survive; batch-internal fuzzy dups are
+    NOT collapsed (dedup_against convention); short keys use the
+    length-window lane."""
+    from logshipper_spark.datapipe import dedup
+
+    idx_rows = [
+        (0, "the quick brown fox"), (1, "a completely different line"),
+        (2, "cat"),
+    ]
+    spark.createDataFrame(idx_rows, "doc_id long, text string")
+    path = str(tmp_path / "fuzzy_idx")
+    dedup.write_fuzzy_index(
+        spark.createDataFrame(idx_rows, "doc_id long, text string"),
+        path, mode="overwrite",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fix"),       # 1 edit from idx 0 → drop
+            (11, "the quick brown foxes run"), # > 2 edits → keep
+            (12, "cut"),                       # short lane, 1 edit → drop
+            (13, "dog"),                       # short, no match → keep
+            (14, "an entirely new sentence"),  # keep
+            (15, "an entirely new sentenc"),   # fuzzy dup of 14 — BATCH
+                                               # internal: still keeps
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.fuzzy_dedup_against(batch, spark, path).collect()
+    )
+    assert got == [11, 13, 14, 15]
