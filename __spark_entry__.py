@@ -670,6 +670,27 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.5, max_shingle_df=100000)
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset pairs (dedup.containment_pairs): 8-token
+    extracts of doc_id%10==0 docs (id+100000) are planted as
+    'quotations' — containment 1.0 against their source while
+    symmetric Jaccard stays low. Oracle re-derives the extracts and
+    the common/least(|A|,|B|) metric via list_intersect all-pairs
+    (the jaccard_pairs oracle family; df cutoff inert)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        "doc_id % 5 = 0 AND text IS NOT NULL AND trim(text) <> ''"
+    )
+    base = docs.select("doc_id", "text")
+    ex = docs.filter("doc_id % 10 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "concat_ws(' ', slice(array_remove(split(lower(text), '\\\\s+'),"
+        " ''), 1, 8)) AS text",
+    )
+    return dedup.containment_pairs(
+        base.unionByName(ex), k=1, threshold=0.8, max_shingle_df=100000
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_bpe_tokens", "quality", "lang_guess"
@@ -2797,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_buckets": q_dense_buckets,
         "scd2_probe": q_scd2_probe,
         "fuzzy_dedup_incremental": q_fuzzy_dedup_incremental,
+        "containment": q_containment,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -4623,6 +4645,34 @@ def oracle_sql() -> dict[str, str]:
                    round(common / (sa + sb - common), 6) AS jaccard
             FROM pairs
             WHERE round(common / (sa + sb - common), 6) >= 0.5 AND common > 0
+        """,
+        "containment": r"""
+            WITH b0 AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 5 = 0 AND text IS NOT NULL
+                AND trim(text) <> ''),
+            ex AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     array_to_string(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       t -> t <> '')[1:8], ' ') AS text
+              FROM b0 WHERE doc_id % 10 = 0),
+            d0 AS (SELECT * FROM b0 UNION ALL SELECT * FROM ex),
+            d AS (
+              SELECT doc_id, list_distinct(list_filter(
+                regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))
+                AS toks
+              FROM d0),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.toks, b.toks)) AS common,
+                     len(a.toks) AS sa, len(b.toks) AS sb
+              FROM d a JOIN d b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(common / least(sa, sb), 6) AS containment
+            FROM pairs
+            WHERE common > 0
+              AND round(common / least(sa, sb), 6) >= 0.8
         """,
         "text_stats": f"""
             {_TEXTSTATS_SQL}

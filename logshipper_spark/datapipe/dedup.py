@@ -1107,3 +1107,58 @@ def fuzzy_dedup_against(
         .distinct()
     )
     return df.join(hit, id_col, "left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-SUBSET detection: pairs where the smaller
+    document's shingle set is ≥ ``threshold`` CONTAINED in the
+    other's — ``containment = |A ∩ B| / min(|A|, |B|)``. Symmetric
+    Jaccard misses these (a page quoting a whole short doc inside a
+    long one scores low Jaccard but containment 1.0); it is the
+    quotation/aggregator signal between exact dedup and the
+    substring-level pass. Output ``(id_a, id_b, containment)``,
+    ``id_a < id_b``, 6-dp rounded.
+
+    Same scale posture as ``ngram_jaccard_pairs`` (one posting-list
+    self-join with the stop-shingle df cutoff, never all-pairs); the
+    cutoff trades recall on stop-shingle-only overlap, mirrored by the
+    oracle. Empty shingle sets (docs shorter than ``k`` tokens) have
+    undefined containment and emit nothing."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("sh_size", F.size("sh"))
+    posting = docs.filter(F.col("sh_size") > 0).select(
+        "doc_id", "sh_size", F.explode("sh").alias("shingle")
+    )
+    df_counts = posting.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    posting = posting.join(
+        F.broadcast(df_counts.filter(F.col("df_cnt") <= max_shingle_df)),
+        "shingle",
+    )
+    a = posting.select(
+        F.col("doc_id").alias("id_a"), F.col("sh_size").alias("size_a"),
+        "shingle",
+    )
+    b = posting.select(
+        F.col("doc_id").alias("id_b"), F.col("sh_size").alias("size_b"),
+        "shingle",
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("common"))
+    )
+    cont = F.col("common") / F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        pairs.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

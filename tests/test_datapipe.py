@@ -2861,3 +2861,29 @@ def test_fuzzy_dedup_against(spark, tmp_path):
         for r in dedup.fuzzy_dedup_against(batch, spark, path).collect()
     )
     assert got == [11, 13, 14, 15]
+
+
+def test_containment_pairs(spark):
+    """Asymmetric containment: a short extract fully contained in a
+    long doc scores 1.0 even though symmetric Jaccard is far below any
+    useful threshold; unrelated docs emit nothing."""
+    from logshipper_spark.datapipe import dedup
+
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    extract = " ".join(f"w{i}" for i in range(8))
+    rows = [
+        (0, long_doc), (1, extract),
+        (2, " ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, k=1, threshold=0.8, max_shingle_df=10**6
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0}
+    jac = dedup.ngram_jaccard_pairs(
+        df, k=1, threshold=0.5, max_shingle_df=10**6
+    ).collect()
+    assert jac == []  # the same pair is invisible to symmetric Jaccard
