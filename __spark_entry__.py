@@ -670,6 +670,26 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.5, max_shingle_df=100000)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC crawl diff (report.snapshot_diff): cur = documents with
+    %11==0 removed, %7==0 rewritten (' updated edition' appended),
+    %13==0 re-added as new ids (+200000). The oracle re-derives the
+    perturbation, the full-outer presence classification, and every
+    signed token delta in SQL."""
+    prev = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = prev.filter("doc_id % 11 != 0").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' updated edition')"
+        " ELSE text END AS text",
+    )
+    added = prev.filter("doc_id % 13 = 0").selectExpr(
+        "doc_id + 200000 AS doc_id", "text"
+    )
+    from logshipper_spark.datapipe import report as report_mod
+
+    return report_mod.snapshot_diff(prev, kept.unionByName(added))
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-subset pairs (dedup.containment_pairs): 8-token
     extracts of doc_id%10==0 docs (id+100000) are planted as
@@ -2819,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_probe": q_scd2_probe,
         "fuzzy_dedup_incremental": q_fuzzy_dedup_incremental,
         "containment": q_containment,
+        "snapshot_diff": q_snapshot_diff,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -4645,6 +4666,37 @@ def oracle_sql() -> dict[str, str]:
                    round(common / (sa + sb - common), 6) AS jaccard
             FROM pairs
             WHERE round(common / (sa + sb - common), 6) >= 0.5 AND common > 0
+        """,
+        "snapshot_diff": r"""
+            WITH prev AS (SELECT doc_id, text FROM documents),
+            cur AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' updated edition'
+                          ELSE text END AS text
+              FROM prev WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id + 200000, text FROM prev
+              WHERE doc_id % 13 = 0),
+            pn AS (SELECT doc_id, text AS pt,
+                          CAST(CASE WHEN text IS NULL THEN NULL
+                               ELSE len(list_filter(
+                                 regexp_split_to_array(text, '\s+'),
+                                 t -> t <> '')) END AS BIGINT) AS n
+                   FROM prev),
+            cn AS (SELECT doc_id, text AS ct,
+                          CAST(CASE WHEN text IS NULL THEN NULL
+                               ELSE len(list_filter(
+                                 regexp_split_to_array(text, '\s+'),
+                                 t -> t <> '')) END AS BIGINT) AS n
+                   FROM cur)
+            SELECT COALESCE(pn.doc_id, cn.doc_id) AS doc_id,
+                   CASE WHEN pn.doc_id IS NULL THEN 'added'
+                        WHEN cn.doc_id IS NULL THEN 'removed'
+                        WHEN pt IS NOT DISTINCT FROM ct THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(cn.n, 0) - COALESCE(pn.n, 0) AS tok_delta
+            FROM pn FULL OUTER JOIN cn ON pn.doc_id = cn.doc_id
         """,
         "containment": r"""
             WITH b0 AS (

@@ -224,3 +224,49 @@ def corpus_report(
 
     docs.unpersist()
     return report
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl CDC classification: one row per document id in
+    EITHER snapshot with ``status ∈ {added, removed, changed,
+    unchanged}`` and ``tok_delta`` (whitespace-token count delta;
+    +n for additions, -n for removals) — the 'what did this crawl
+    actually change' report that gates incremental reprocessing (only
+    added/changed rows need to re-enter the dedup/curation pipeline).
+
+    Text equality is null-safe (a NULL text is a value, not absence —
+    presence is tracked with explicit markers so 'present with NULL
+    text' never classifies as added/removed). One full-outer shuffle
+    on the id; token counts are map-side expressions."""
+    ntok = textstats.token_count
+    p = prev.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias("_pt"),
+        F.lit(1).alias("_pp"),
+        ntok(F.col(text_col)).cast("long").alias("_pn"),
+    )
+    c = cur.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias("_ct"),
+        F.lit(1).alias("_cp"),
+        ntok(F.col(text_col)).cast("long").alias("_cn"),
+    )
+    j = p.join(c, id_col, "full_outer")
+    status = (
+        F.when(F.col("_pp").isNull(), F.lit("added"))
+        .when(F.col("_cp").isNull(), F.lit("removed"))
+        .when(F.col("_pt").eqNullSafe(F.col("_ct")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        id_col,
+        status.alias("status"),
+        (F.coalesce("_cn", F.lit(0)) - F.coalesce("_pn", F.lit(0)))
+        .cast("long")
+        .alias("tok_delta"),
+    )

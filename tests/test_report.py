@@ -114,3 +114,31 @@ def test_corpus_report_substr_section(spark):
     # section off when substr_sample=0
     rep2 = corpus_report(df, near_dup_sample=0.0, substr_sample=0.0)
     assert "substr_sample" not in rep2
+
+
+def test_snapshot_diff(spark):
+    """CDC classification: added/removed/changed/unchanged with
+    null-safe text equality and signed token deltas."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from logshipper_spark.datapipe import report
+
+    prev = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y"), (2, None), (3, "gone now")],
+        "doc_id long, text string",
+    )
+    cur = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y z"), (2, None), (4, "brand new doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["tok_delta"])
+        for r in report.snapshot_diff(prev, cur).collect()
+    }
+    assert got == {
+        0: ("unchanged", 0),
+        1: ("changed", 1),
+        2: ("unchanged", 0),   # NULL == NULL null-safely
+        3: ("removed", -2),
+        4: ("added", 3),
+    }
