@@ -670,6 +670,29 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.5, max_shingle_df=100000)
 
 
+def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-domain embedding centroids (similarity.group_centroids
+    as_micros form — pure integer arithmetic end-to-end): vectors
+    grouped by vec_id%7. The oracle re-derives every per-dimension
+    micro sum and the floor division (emulated exactly in integer
+    arithmetic — DuckDB's // truncates where Spark's floor floors).
+    Micros serialized space-joined (arrays can't hash)."""
+    emb = _t(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(vec_id % 7 AS LONG) AS domain",
+        "CAST(embedding AS array<double>) AS embedding",
+    )
+    out = similarity.group_centroids(
+        emb, "domain", dim=IVF_DIM, as_micros=True
+    )
+    return out.select(
+        "domain",
+        F.concat_ws(
+            " ", F.transform("centroid", lambda x: x.cast("string"))
+        ).alias("centroid_micros"),
+        "n_vectors",
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC crawl diff (report.snapshot_diff): cur = documents with
     %11==0 removed, %7==0 rewritten (' updated edition' appended),
@@ -2840,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_incremental": q_fuzzy_dedup_incremental,
         "containment": q_containment,
         "snapshot_diff": q_snapshot_diff,
+        "group_centroids": q_group_centroids,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -4666,6 +4690,37 @@ def oracle_sql() -> dict[str, str]:
                    round(common / (sa + sb - common), 6) AS jaccard
             FROM pairs
             WHERE round(common / (sa + sb - common), 6) >= 0.5 AND common > 0
+        """,
+        "group_centroids": f"""
+            WITH e AS (
+              SELECT CAST(vec_id % 7 AS BIGINT) AS domain,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+            d AS (
+              SELECT domain, unnest(generate_series(1, {IVF_DIM})) AS i, v
+              FROM e),
+            s AS (
+              SELECT domain, i,
+                     SUM(CAST(floor(COALESCE(v[i], 0.0) * 1000000.0 + 0.5)
+                              AS HUGEINT)) AS sm
+              FROM d GROUP BY domain, i),
+            n AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_vectors
+                  FROM e GROUP BY domain),
+            m AS (
+              SELECT s.domain, s.i,
+                     -- exact floor division: subtract the positive
+                     -- modulus first (DuckDB // truncates toward 0,
+                     -- Spark floor(decimal/) floors)
+                     CAST((sm - (((sm % n_vectors) + n_vectors)
+                                 % n_vectors)) // n_vectors AS BIGINT)
+                       AS mean_micro
+              FROM s JOIN n USING (domain))
+            SELECT domain,
+                   string_agg(CAST(mean_micro AS VARCHAR), ' '
+                              ORDER BY i) AS centroid_micros,
+                   MIN(n.n_vectors) AS n_vectors
+            FROM m JOIN n USING (domain)
+            GROUP BY domain
         """,
         "snapshot_diff": r"""
             WITH prev AS (SELECT doc_id, text FROM documents),

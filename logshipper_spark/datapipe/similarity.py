@@ -1404,3 +1404,67 @@ def ivf_topk_indexed(
     if rerank:
         return quantized_topk(pruned, query, vec_col, id_col, k, rerank=rerank)
     return cosine_topk(pruned, query, vec_col, id_col, k)
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    as_micros: bool = False,
+) -> DataFrame:
+    """Exact per-group mean vectors — the domain-centroid aggregation
+    behind domain-level similarity, mixture seeding, and SemDeDup
+    warm starts: ``(group, centroid, n_vectors)``. Per-dimension sums
+    are integer micros in decimal(38,0) (the kmeans Lloyd-update
+    discipline), so the mean is partition-order independent and an
+    independent engine reproduces it bit-for-bit from the same rows.
+    ``as_micros=True`` returns ``array<long>`` of
+    ``floor(sum_micros / n)`` (pure integer arithmetic end-to-end —
+    the contract-oracle form); otherwise ``array<double>`` true means.
+    NULL vectors are excluded; ragged/NULL elements contribute 0.0 to
+    the dimensions they lack (the Lloyd coalesce convention).
+
+    Scale posture: ONE map-side-combined groupBy; each group ships one
+    dim-wide decimal array through the exchange regardless of row
+    count."""
+    dim = dim if dim is not None else _vec_dim(df, vec_col)
+    v = F.col(vec_col)
+    sums = (
+        df.filter(v.isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.array(
+                *[
+                    F.sum(
+                        F.floor(
+                            F.coalesce(
+                                F.try_element_at(v, F.lit(i + 1)),
+                                F.lit(0.0),
+                            )
+                            * F.lit(1_000_000.0)
+                            + F.lit(0.5)
+                        ).cast("decimal(38,0)")
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("_s"),
+            F.count("*").cast("long").alias("n_vectors"),
+        )
+    )
+    if as_micros:
+        centroid = F.transform(
+            "_s",
+            lambda s: F.floor(
+                s.cast("decimal(38,0)") / F.col("n_vectors")
+            ).cast("long"),
+        )
+    else:
+        centroid = F.transform(
+            "_s",
+            lambda s: s.cast("double")
+            / (F.col("n_vectors") * F.lit(1_000_000.0)),
+        )
+    return sums.select(
+        group_col, centroid.alias("centroid"), "n_vectors"
+    )

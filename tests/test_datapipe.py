@@ -2887,3 +2887,49 @@ def test_containment_pairs(spark):
         df, k=1, threshold=0.5, max_shingle_df=10**6
     ).collect()
     assert jac == []  # the same pair is invisible to symmetric Jaccard
+
+
+def test_group_centroids_exact(spark):
+    """Per-group mean vectors in exact integer-micro arithmetic:
+    matches a scalar replay (incl. negative values, a ragged vector
+    contributing 0 to missing dims, NULL elements, and NULL vectors
+    excluded); as_micros floor-divides exactly."""
+    import math
+
+    from logshipper_spark.datapipe import similarity
+
+    rows = [
+        ("a", [1.25, -2.5, 0.000001]),
+        ("a", [0.75, -0.5, None]),
+        ("a", [3.0]),            # ragged: dims 2..3 contribute 0
+        ("a", None),             # excluded
+        ("b", [-1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<double>")
+    vecs = {
+        "a": [[1.25, -2.5, 0.000001], [0.75, -0.5, 0.0], [3.0, 0.0, 0.0]],
+        "b": [[-1.0, -1.0, -1.0]],
+    }
+    want = {}
+    for g, vs in vecs.items():
+        n = len(vs)
+        sums = [
+            sum(math.floor(v[i] * 1e6 + 0.5) for v in vs) for i in range(3)
+        ]
+        want[g] = ([s // n for s in sums], n)  # python // = floor
+    got = {
+        r["g"]: (list(r["centroid"]), r["n_vectors"])
+        for r in similarity.group_centroids(
+            df, "g", dim=3, as_micros=True
+        ).collect()
+    }
+    assert got == want
+    dbl = {
+        r["g"]: list(r["centroid"])
+        for r in similarity.group_centroids(df, "g", dim=3).collect()
+    }
+    for g, vs in vecs.items():
+        n = len(vs)
+        for i in range(3):
+            exp = sum(math.floor(v[i] * 1e6 + 0.5) for v in vs) / (n * 1e6)
+            assert dbl[g][i] == exp
