@@ -2355,6 +2355,19 @@ def q_dense_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burst_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection over the densified per-event-type series
+    (aggregate.burst_flags): integer cross-multiplied verdicts
+    (n·trailing_buckets·100 > factor·trailing_sum) — exact, no float
+    threshold. The oracle rebuilds the dense spine AND the trailing
+    window and re-evaluates the inequality in SQL."""
+    return agg.burst_flags(
+        _t(spark, sf_dir, "events"), ts_col="ts",
+        key_cols=["event_type"], bucket_s=60,
+        window=10, factor_pct=300, min_periods=3,
+    )
+
+
 _INDUCTION_MSG_EXPR = """
     CASE CAST(event_id % 3 AS INT)
       WHEN 0 THEN concat('user ', CAST(user_id AS STRING),
@@ -2864,6 +2877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "snapshot_diff": q_snapshot_diff,
         "group_centroids": q_group_centroids,
+        "burst_flags": q_burst_flags,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3452,6 +3466,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM idx i
               WHERE abs(length(i.title) - length(b.title)) <= 2
                 AND levenshtein(i.title, b.title) <= 2)
+        """,
+        "burst_flags": r"""
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+                       AS bucket_start,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2),
+            spans AS (
+              SELECT event_type, MIN(bucket_start) AS lo,
+                     MAX(bucket_start) AS hi
+              FROM c GROUP BY event_type),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, 60)) AS bucket_start
+              FROM spans),
+            dense AS (
+              SELECT s.event_type, s.bucket_start, COALESCE(c.n, 0) AS n
+              FROM spine s LEFT JOIN c USING (event_type, bucket_start)),
+            w AS (
+              SELECT event_type, bucket_start, n,
+                     CAST(COALESCE(SUM(n) OVER tw, 0) AS BIGINT)
+                       AS trailing_sum,
+                     CAST(COUNT(n) OVER tw AS BIGINT) AS nt
+              FROM dense
+              WINDOW tw AS (PARTITION BY event_type ORDER BY bucket_start
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, bucket_start, n, trailing_sum,
+                   (nt >= 3 AND n * nt * 100 > 300 * trailing_sum)
+                     AS burst
+            FROM w
         """,
         "dense_buckets": r"""
             WITH c AS (

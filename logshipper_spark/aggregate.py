@@ -433,3 +433,52 @@ def dense_time_buckets(
     return spine.join(counts, [*keys, "bucket_start"], "left").select(
         *keys, "bucket_start", F.coalesce("_n", F.lit(0)).cast("long").alias("n")
     )
+
+
+def burst_flags(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    bucket_s: int = 60,
+    window: int = 10,
+    factor_pct: int = 300,
+    min_periods: int = 3,
+) -> DataFrame:
+    """Rate-burst detection over the GAP-FILLED bucket series: a
+    bucket is a burst when its count exceeds ``factor_pct``% of the
+    trailing-``window`` mean. Runs on ``dense_time_buckets`` output —
+    z-scoring or thresholding the RAW bucket table inflates the
+    trailing baseline by silently skipping zero-count buckets, which
+    is exactly the outage shape a burst detector must see. The
+    comparison is exact integer cross-multiplication
+    (``n · window_len · 100 > factor_pct · trailing_sum``) — no float
+    threshold, so the verdict is engine- and partition-order exact.
+    Output: ``(*key_cols, bucket_start, n, trailing_sum, burst)``;
+    buckets with fewer than ``min_periods`` trailing buckets are never
+    flagged (cold start).
+
+    Scale posture: dense_time_buckets' shuffles plus ONE per-key
+    window over the bucket series (rows = wall-clock buckets, not
+    events)."""
+    keys = key_cols or []
+    dense = dense_time_buckets(df, ts_col, keys, bucket_s)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy("bucket_start")
+        .rowsBetween(-window, -1)
+    )
+    trailing = F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    n_trail = F.count("n").over(w).cast("long")
+    burst = (
+        (F.col("_nt") >= min_periods)
+        & (
+            F.col("n") * F.col("_nt") * F.lit(100)
+            > F.lit(factor_pct) * F.col("trailing_sum")
+        )
+    )
+    return (
+        dense.withColumn("trailing_sum", trailing)
+        .withColumn("_nt", n_trail)
+        .withColumn("burst", burst)
+        .select(*keys, "bucket_start", "n", "trailing_sum", "burst")
+    )

@@ -326,3 +326,35 @@ def test_dense_time_buckets(spark):
         ("a", t0 + 180, 1),
         ("b", t0 + 300, 1),
     ]
+
+
+def test_burst_flags(spark):
+    """Exact integer burst verdicts over the densified series: the
+    zero-filled outage minutes LOWER the trailing baseline so the
+    recovery spike flags; cold-start buckets never flag."""
+    from logshipper_spark import aggregate as agg
+
+    rows = []
+    # key 'a': steady 2/min for 5 min, 3 silent min, then 6 in 1 min
+    for m in range(5):
+        rows += [("a", f"2024-01-01 00:0{m}:10"), ("a", f"2024-01-01 00:0{m}:40")]
+    rows += [("a", "2024-01-01 00:08:%02d" % s) for s in range(6)]
+    df = spark.createDataFrame(rows, "k string, ts string").select(
+        "k", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        r["bucket_start"]: (r["n"], r["trailing_sum"], r["burst"])
+        for r in agg.burst_flags(
+            df, key_cols=["k"], window=5, factor_pct=200, min_periods=3
+        ).collect()
+    }
+    t0 = 1704067200
+    # burst bucket: n=6, trailing 5 buckets = [2,0,0,0] + [2] = sum 4,
+    # count 5 -> 6*5*100 > 200*4 -> flagged
+    assert got[t0 + 480] == (6, 4, True)
+    # steady bucket with full window: 2*5*100 = 1000 !> 200*8
+    assert got[t0 + 240] == (2, 8, False)
+    # cold start (fewer than 3 trailing buckets): never flagged
+    assert got[t0][2] is False and got[t0 + 60][2] is False
+    # zero buckets exist and are unflagged
+    assert got[t0 + 300] == (0, 10, False)
