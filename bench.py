@@ -342,7 +342,65 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         "parse_plain_events",
     )
 
+    # round-4 operators
+    from logshipper_spark import graphalg as graphalg_mod
+    from logshipper_spark import template as template_mod
+
+    # single-shot like the index-build rows (an iterative job's
+    # localCheckpoint blocks release only via GC — six repetitions add
+    # heap pressure, not information). Input = the generator's weighted
+    # topology itself (the edge list pagerank consumes IS topology-
+    # sized — graphalg.adjacency_from_edges discipline); collecting a
+    # fresh aggregate off the live parse chain at this point in the
+    # bench tipped the driver heap, and the per-iteration machinery
+    # being measured is identical either way.
+    pr_rows = [
+        (e[0], e[1], 1000 + 97 * i) for i, e in enumerate(gen._WEIGHTED)
+    ]
+    pr_edges = spark.createDataFrame(pr_rows, "src string, dst string, w long")
+    t0 = time.time()
+    _force(graphalg_mod.pagerank(pr_edges, iterations=10, weight_col="w"))
+    times["pagerank_10iter"] = round(time.time() - t0, 3)
+    log_msgs = enriched.selectExpr(
+        "concat(src_service, ' -> ', dst_service, ' op ', operation,"
+        " ' took ', CAST(latency_us AS STRING), 'us status ',"
+        " CAST(status_code AS STRING)) AS message"
+    )
+    times["template_induction"] = _timed(
+        lambda: _force(template_mod.induce_templates(log_msgs, k=50)),
+        "template_induction",
+    )
+    times["burst_flags"] = _timed(
+        lambda: _force(
+            agg.burst_flags(
+                tr, ts_col="ts", key_cols=["role"], bucket_s=60
+            )
+        ),
+        "burst_flags",
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # round-4 document operators
+    from logshipper_spark.datapipe import textstats as textstats_mod
+
+    fz_titles = docs.selectExpr("doc_id", "substr(text, 1, 24) AS text")
+    times["fuzzy_dedup_pairs"] = _timed(
+        lambda: _force(dedup.fuzzy_dup_pairs(fz_titles, max_edit=2)),
+        "fuzzy_dedup_pairs",
+    )
+    times["pmi_pairs"] = _timed(
+        lambda: _force(
+            textstats_mod.pmi_pairs(docs, window=4, min_pair_count=3, k=50)
+        ),
+        "pmi_pairs",
+    )
+    times["containment_pairs"] = _timed(
+        lambda: _force(
+            dedup.containment_pairs(docs, k=3, threshold=0.5)
+        ),
+        "containment_pairs",
+    )
+
 
     # minhash/curate cache signatures internally: rebuild the plan COLD
     # each timed run (clearCache + release) so best-of-N measures the

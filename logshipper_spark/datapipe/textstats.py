@@ -563,36 +563,41 @@ def cooccurrence_pairs(toks: Column, window: int) -> Column:
     """Unordered within-``window`` token co-occurrence pairs of a token
     array: for every position i and distance d in [1, window], the
     lexicographically sorted ``struct(w1, w2)`` of (toks[i],
-    toks[i+d]), self-pairs (equal tokens) excluded. One nested
-    higher-order transform — no explode until the caller counts, and
-    out-of-range partners drop via try_element_at's NULL (ANSI-safe).
-    ``sequence`` REVERSES when stop < start, so sub-2-token arrays
-    short-circuit to an empty array instead of generating [1, 0]."""
+    toks[i+d]), self-pairs (equal tokens) excluded. Built as ``window``
+    shifted ``zip_with`` passes (the shingles/word_ngrams
+    construction) — each distance is ONE linear zip of the array
+    against its d-shifted self; the per-index
+    ``transform(sequence) + try_element_at`` form re-ran index
+    arithmetic per element in interpreted lambda code and measured
+    ~10x slower at corpus scale. ``zip_with`` null-pads the shorter
+    side, so out-of-range partners (and excluded self-pairs) fall to
+    NULL and one final filter drops them; pair ORDER differs from the
+    positional form (grouped by distance, not position) but the
+    multiset — all any consumer counts — is identical. Sub-2-token
+    arrays short-circuit to empty (``sequence`` would REVERSE on
+    stop < start)."""
     n = F.size(toks)
-    pair_of = lambda i, d: F.when(  # noqa: E731
-        F.try_element_at(toks, i + d).isNotNull()
-        & (
-            F.try_element_at(toks, i)
-            != F.try_element_at(toks, i + d)
-        ),
-        F.struct(
-            F.least(
-                F.try_element_at(toks, i), F.try_element_at(toks, i + d)
-            ).alias("w1"),
-            F.greatest(
-                F.try_element_at(toks, i), F.try_element_at(toks, i + d)
-            ).alias("w2"),
-        ),
-    )
-    inner = lambda i: F.filter(  # noqa: E731
-        F.transform(
-            F.sequence(F.lit(1), F.lit(window)), lambda d: pair_of(i, d)
-        ),
-        lambda s: s.isNotNull(),
-    )
+    lanes = []
+    for d in range(1, window + 1):
+        shifted = F.slice(
+            toks, d + 1, F.greatest(n - d, F.lit(0))
+        )
+        lanes.append(
+            F.zip_with(
+                toks,
+                shifted,
+                lambda a, b: F.when(
+                    b.isNotNull() & (a != b),
+                    F.struct(
+                        F.least(a, b).alias("w1"),
+                        F.greatest(a, b).alias("w2"),
+                    ),
+                ),
+            )
+        )
     return F.when(
         n >= 2,
-        F.flatten(F.transform(F.sequence(F.lit(1), n - 1), inner)),
+        F.filter(F.concat(*lanes), lambda s: s.isNotNull()),
     ).otherwise(
         F.array().cast("array<struct<w1:string,w2:string>>")
     )
