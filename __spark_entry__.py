@@ -2468,6 +2468,23 @@ def q_fuzzy_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS blast-radius depths from the lexicographically smallest
+    source service (graphalg.bfs_depths): fewest-hop distance to every
+    downstream service. The oracle walks the same graph with a
+    recursive CTE over (node, dist) states (recursive UNION dedup
+    bounds the state at V·maxdepth rows even through cycles) and takes
+    MIN(dist) outside the recursion — a different exploration order,
+    same fixpoint."""
+    edges = _pipeline_enriched(spark).filter(
+        "src_service <> '' AND dst_service <> ''"
+    ).select(
+        F.col("src_service").alias("src"), F.col("dst_service").alias("dst")
+    )
+    root = edges.agg(F.min("src")).head()[0]
+    return graphalg.bfs_depths(edges, root)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Service-importance PageRank over the enriched call graph
     (graphalg.pagerank, L66): 10 fixed iterations of the exact
@@ -2878,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "group_centroids": q_group_centroids,
         "burst_flags": q_burst_flags,
+        "blast_radius": q_blast_radius,
         "anomaly_alerts": q_anomaly_alerts,
         "graph_cycles": q_graph_cycles,
         "sink_roundtrip": q_sink_roundtrip,
@@ -3450,6 +3468,21 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "blast_radius": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src_service AS src, dst_service AS dst
+              FROM {_ENRICHED_REL}
+              WHERE src_service <> '' AND dst_service <> ''),
+            r AS (SELECT MIN(src) AS root FROM e),
+            walk(node, dist) AS (
+              SELECT root, 0 FROM r
+              UNION
+              SELECT ee.dst, w.dist + 1
+              FROM walk w JOIN e ee ON ee.src = w.node
+              WHERE w.dist < 64)
+            SELECT node, CAST(MIN(dist) AS INT) AS depth
+            FROM walk GROUP BY node
+        """,
         "fuzzy_dedup_incremental": r"""
             WITH base AS (
               SELECT doc_id, substr(text, 1, 24) AS title

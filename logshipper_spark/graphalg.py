@@ -335,3 +335,54 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_depths(
+    edges: DataFrame, root: str, max_iter: int = 64
+) -> DataFrame:
+    """Blast-radius report: ``(node, depth)`` for every service
+    reachable from ``root`` along directed call edges, depth = fewest
+    hops — 'if this service degrades, what is downstream and how far'.
+    The root always emits ``(root, 0)``; unreachable nodes are absent.
+
+    Distributed semi-naive BFS over the DISTINCT pair graph (the
+    ``cycle_membership`` machinery): each round expands only the
+    frontier, state is bounded by V nodes, lineage severed per round
+    with localCheckpoint; raises after ``max_iter`` rounds without a
+    fixpoint rather than returning shallow depths. NULL endpoints drop
+    like ``adjacency_from_edges``."""
+    spark = edges.sparkSession
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nbr = e.select(F.col("src").alias("_mid"), F.col("dst").alias("_nd"))
+    depths = spark.createDataFrame(
+        [(root, 0)], "node string, depth int"
+    ).localCheckpoint()
+    frontier = depths
+    converged = False
+    for d in range(1, max_iter + 1):
+        grown = (
+            frontier.select(F.col("node").alias("_mid"))
+            .join(nbr, "_mid")
+            .select(F.col("_nd").alias("node"))
+            .distinct()
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        new = grown.join(
+            depths.select("node"), "node", "left_anti"
+        ).localCheckpoint()
+        if new.limit(1).count() == 0:
+            converged = True
+            break
+        depths = depths.unionByName(new).localCheckpoint()
+        frontier = new
+    if not converged:
+        raise RuntimeError(
+            f"bfs_depths: no fixpoint after {max_iter} rounds "
+            "(graph depth exceeds max_iter)"
+        )
+    return depths

@@ -234,3 +234,23 @@ def test_pagerank_matches_python_reference(spark):
         for r2 in pagerank(edges.select("src", "dst"), iterations=8).collect()
     }
     assert uw["a"] > uw["d"]
+
+
+def test_bfs_depths(spark):
+    """Semi-naive BFS: fewest-hop depths, cycles don't loop, the root
+    re-reached keeps depth 0, unreachable nodes absent, NULL edges
+    dropped."""
+    from logshipper_spark.graphalg import bfs_depths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),  # cycle back to root
+         ("a", "c"),                           # shortcut: c at depth 1
+         ("b", "d"), ("x", "y"), (None, "b"), ("a", None)],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, "a").collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # isolated root: just itself
+    alone = {r["node"]: r["depth"]
+             for r in bfs_depths(edges, "zzz").collect()}
+    assert alone == {"zzz": 0}
