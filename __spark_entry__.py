@@ -2034,9 +2034,7 @@ def _ivf_pq_knn_oracle_sql() -> str:
         dsub.append(f"""
             d{s} AS (
               SELECT s0.vec_id, cb.code,
-                     round(list_sum(list_transform(range(1, {w} + 1),
-                           i -> (s0.v[{st} - 1 + i] - cb.centroid[i])
-                              * (s0.v[{st} - 1 + i] - cb.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros(f"s0.v[{st} - 1 + i]", "cb.centroid[i]", w)} AS dist
               FROM s0 CROSS JOIN cb WHERE cb.sub = {s}),
             a{s} AS (
               SELECT vec_id, code FROM d{s}
@@ -2063,9 +2061,7 @@ def _ivf_pq_knn_oracle_sql() -> str:
                FROM read_parquet('{IVFPQ_PATH}_codebook/*.parquet')),
         dcell AS (
           SELECT s0.vec_id, cent.cell,
-                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                       i -> (s0.v[i] - cent.centroid[i])
-                          * (s0.v[i] - cent.centroid[i]))), 6) AS dist
+                 {_sql_sq_l2_micros("s0.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
           FROM s0 CROSS JOIN cent),
         acell AS (
           SELECT vec_id, cell FROM dcell
@@ -2073,9 +2069,7 @@ def _ivf_pq_knn_oracle_sql() -> str:
                                      ORDER BY dist, cell) = 1),
         qd AS (
           SELECT qs.query_id, cent.cell,
-                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                       i -> (qs.qv[i] - cent.centroid[i])
-                          * (qs.qv[i] - cent.centroid[i]))), 6) AS dist
+                 {_sql_sq_l2_micros("qs.qv[i]", "cent.centroid[i]", IVF_DIM)} AS dist
           FROM qs CROSS JOIN cent),
         qprobes AS (
           SELECT query_id, cell FROM qd
@@ -3034,10 +3028,26 @@ _ROLLUP_SQL = f"""
 """
 
 
+def _sql_sq_l2_micros(a_elem: str, b_elem: str, n: int) -> str:
+    """DuckDB twin of ``similarity._sq_l2_micros``: INTEGER-EXACT
+    squared L2 — per-term ``floor(COALESCE((a-b)²,0)·1e6 + 0.5)`` cast
+    BIGINT, list_sum'd. The ops are the same IEEE doubles + exact
+    floor the Spark expression computes, so every cross-engine
+    distance comparison agrees by construction (the round-4 PQ-gate
+    fix: F.round-vs-DuckDB-round could flip a .5-boundary tie).
+    ``a_elem``/``b_elem`` are element expressions containing ``[i]``
+    (or any indexed form using the lambda variable ``i``)."""
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> CAST(floor(COALESCE(({a_elem} - {b_elem}) "
+        f"* ({a_elem} - {b_elem}), 0.0) * 1000000.0 + 0.5) AS BIGINT)))"
+    )
+
+
 def _pq_adc_ctes(base: str) -> tuple[str, str]:
     """Shared PQ-oracle CTE block: per-subspace nearest-code assignment
-    (6-dp-rounded squared L2, code tie-break — the
-    nearest_centroid_struct convention) over rows of ``base``
+    (integer-micro squared L2, code tie-break — the
+    nearest_centroid_struct / _sq_l2_micros convention) over rows of ``base``
     (``vec_id, v``), plus per-element integer-micros partial dots with
     the query (``floor(q_i·c_i·1e6 + 0.5)`` summed as BIGINT — exactly
     the driver's lookup-table arithmetic in similarity._adc_scored).
@@ -3049,9 +3059,7 @@ def _pq_adc_ctes(base: str) -> tuple[str, str]:
         ctes.append(f"""
             d{s} AS (
               SELECT {base}.vec_id, cb.code,
-                     round(list_sum(list_transform(range(1, {w} + 1),
-                           i -> ({base}.v[{st} - 1 + i] - cb.centroid[i])
-                              * ({base}.v[{st} - 1 + i] - cb.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros(f"{base}.v[{st} - 1 + i]", "cb.centroid[i]", w)} AS dist
               FROM {base} CROSS JOIN cb WHERE cb.sub = {s}),
             a{s} AS (
               SELECT vec_id, code FROM d{s}
@@ -3125,9 +3133,7 @@ def _ivf_pq_oracle_sql() -> str:
                FROM read_parquet('{IVFPQ_PATH}_codebook/*.parquet')),
         dcell AS (
           SELECT s0.vec_id, cent.cell,
-                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                       i -> (s0.v[i] - cent.centroid[i])
-                          * (s0.v[i] - cent.centroid[i]))), 6) AS dist
+                 {_sql_sq_l2_micros("s0.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
           FROM s0 CROSS JOIN cent),
         acell AS (
           SELECT vec_id, cell FROM dcell
@@ -3135,9 +3141,7 @@ def _ivf_pq_oracle_sql() -> str:
                                      ORDER BY dist, cell) = 1),
         qd AS (
           SELECT cent.cell,
-                 round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                       i -> (q.qv[i] - cent.centroid[i])
-                          * (q.qv[i] - cent.centroid[i]))), 6) AS dist
+                 {_sql_sq_l2_micros("q.qv[i]", "cent.centroid[i]", IVF_DIM)} AS dist
           FROM cent CROSS JOIN q),
         probes AS (SELECT cell FROM qd ORDER BY dist, cell
                    LIMIT {IVFPQ_PROBE}),
@@ -4155,8 +4159,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             d AS (
               SELECT s.vec_id, s.v, cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (s.v[i] - cent.centroid[i]) * (s.v[i] - cent.centroid[i]))), 6)
+                     {_sql_sq_l2_micros("s.v[i]", "cent.centroid[i]", IVF_DIM)}
                        AS dist
               FROM s CROSS JOIN cent),
             a AS (
@@ -4165,8 +4168,7 @@ def oracle_sql() -> dict[str, str]:
             q AS (SELECT v AS qv FROM s WHERE vec_id = 0),
             qd AS (
               SELECT cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (q.qv[i] - cent.centroid[i]) * (q.qv[i] - cent.centroid[i]))), 6)
+                     {_sql_sq_l2_micros("q.qv[i]", "cent.centroid[i]", IVF_DIM)}
                        AS dist
               FROM cent CROSS JOIN q),
             probes AS (SELECT cell FROM qd ORDER BY dist, cell LIMIT {IVF_TRAINED_PROBE}),
@@ -5787,9 +5789,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings),
             d AS (
               SELECT s.vec_id, s.v, cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (s.v[i] - cent.centroid[i])
-                                * (s.v[i] - cent.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros("s.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
               FROM s CROSS JOIN cent),
             a AS (
               SELECT vec_id, v, cell FROM d
@@ -5836,9 +5836,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id % 7 = 3),
             cd AS (
               SELECT c.vec_id, c.v, cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (c.v[i] - cent.centroid[i])
-                                * (c.v[i] - cent.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros("c.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
               FROM c CROSS JOIN cent),
             ca AS (
               SELECT vec_id, v, cell FROM cd
@@ -5846,9 +5844,7 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY dist, cell) = 1),
             bd AS (
               SELECT b.bid, b.v, cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (b.v[i] - cent.centroid[i])
-                                * (b.v[i] - cent.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros("b.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
               FROM b CROSS JOIN cent),
             ba AS (
               SELECT bid, v, cell FROM bd
@@ -5885,13 +5881,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             d AS (
               SELECT s.vec_id, cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (s.v[i] - cent.centroid[i])
-                                * (s.v[i] - cent.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros("s.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
               FROM s CROSS JOIN cent),
             a AS (
               SELECT vec_id, cell,
-                     CAST(round(dist * {pruning.GRID} + 1e-9, 0) AS BIGINT)
+                     CAST((dist * {pruning.GRID} + 500000) // 1000000 AS BIGINT)
                        AS dist_micro
               FROM d
               QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -5916,9 +5910,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             d AS (
               SELECT s.vec_id, s.v, cent.cell,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
-                           i -> (s.v[i] - cent.centroid[i])
-                                * (s.v[i] - cent.centroid[i]))), 6) AS dist
+                     {_sql_sq_l2_micros("s.v[i]", "cent.centroid[i]", IVF_DIM)} AS dist
               FROM s CROSS JOIN cent),
             a AS (
               SELECT vec_id, v, cell FROM d

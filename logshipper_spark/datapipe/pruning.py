@@ -16,9 +16,9 @@ with the published pruning recipe.
 
 Determinism / oracle posture: centroids come from the deterministic
 ``similarity.kmeans_fit`` (maximin seeding, no rand()) and are
-driver-literals at scoring time; the per-vector distance is rounded to
-6 dp inside ``nearest_centroid_struct`` (the proven semantic-dedup
-cross-engine convention) and then scaled to an integer grid, so ranks
+driver-literals at scoring time; the per-vector distance is integer
+micros from ``nearest_centroid_struct`` (the ``_sq_l2_micros``
+cross-engine convention) and the grid rescale is integer DIV, so ranks
 and keep decisions are integer-exact and partition-independent. The
 contract oracle re-derives assignment, distance, rank, and the keep
 rule from the materialized centroid bytes.
@@ -57,13 +57,13 @@ def prototype_scores(
 ) -> DataFrame:
     """Per-vector prototypicality: ``(id, cell, dist_micro)`` where
     cell is the nearest trained centroid and dist_micro the squared L2
-    distance to it, 6 dp rounded then scaled onto an integer ``grid``
-    (round-to-nearest, +1e-9 nudge before the round: with ``grid`` =
-    1e6 the 6 dp value times 1e6 is within float noise of an integer,
-    but any coarser grid — the 1e3–1e4 settings recommended below —
-    puts real values exactly on .5 halves, where Spark's HALF_UP and
-    an independent re-derivation can disagree; the nudge breaks every
-    half upward on both engines). Map-only."""
+    distance to it. ``nearest_centroid_struct`` now yields the
+    distance directly as INTEGER MICROS (long — the ``_sq_l2_micros``
+    convention), so the grid rescale is pure integer arithmetic:
+    ``(d_micros·grid + 500000) DIV 1000000`` (round-half-up, exact in
+    any engine — no float round anywhere, the round-4 tie-trap class
+    is structurally gone). With the default ``grid`` = 1e6 this is the
+    micro distance itself. Map-only."""
     # stage the struct once: the winning-centroid search is an
     # interpreted HOF tree (num_cells x dim multiply-adds) that Spark
     # does NOT common-subexpression-eliminate across output columns —
@@ -78,8 +78,7 @@ def prototype_scores(
     return staged.select(
         F.col(id_col),
         F.col("_best")["i"].cast("int").alias("cell"),
-        F.round(F.col("_best")["d"] * grid + F.lit(1e-9), 0)
-        .cast("long")
+        F.expr(f"CAST((_best.d * {int(grid)} + 500000) DIV 1000000 AS BIGINT)")
         .alias("dist_micro"),
     )
 

@@ -75,8 +75,8 @@ def assign_trained_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Adds ``cell`` = nearest trained centroid (argmin squared L2,
-    6-dp rounded with index tie-break — the exact rule the
+    """Adds ``cell`` = nearest trained centroid (argmin squared L2 in
+    integer micros with index tie-break — the exact rule the
     ann_ivf_trained contract oracle re-derives from centroid bytes)."""
     return df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids))
 

@@ -456,29 +456,52 @@ def _vec_key(v: Column) -> Column:
     return F.xxhash64(F.concat_ws(",", v.cast("array<string>")))
 
 
+def _sq_l2_micros(v: Column, lit: Column) -> Column:
+    """INTEGER-EXACT squared L2 to a literal vector: each term is
+    ``floor((a-b)²·1e6 + 0.5)`` — three IEEE-754 double ops plus an
+    exact floor, bit-identical in Spark, DuckDB, Python, and numpy —
+    summed as longs (order-independent). This replaced the old
+    ``F.round(Σ, 6)`` double compare after the round-4 driver gate
+    flipped a (dist, code) tie on it: Spark rounds via exact BigDecimal
+    HALF_UP while DuckDB rounds in scaled double arithmetic, so a sum
+    landing near a .5 micro boundary could order differently
+    cross-engine. Per-term integer quantization makes hash parity
+    structural rather than probabilistic (the _adc_scored discipline).
+    A NULL term contributes 0 (per-term coalesce)."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            lit,
+            lambda a, b: F.floor(
+                F.coalesce((a - b) * (a - b), F.lit(0.0))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
 def nearest_centroid_struct(v: Column, centroids: list[list[float]]) -> Column:
     """``struct(d, i)`` of the nearest driver-literal centroid by
-    squared L2: distances rounded to 6 dp before comparison so an
-    independent re-derivation (the DuckDB oracle) agrees on near-ties,
-    index tie-break. One multiply-add pass per centroid per row. ``d``
-    is the (6 dp) distance to the WINNING centroid — the
-    prototypicality score pruning ranks on (datapipe.pruning).
+    squared L2 in INTEGER MICROS (``_sq_l2_micros`` — per-term
+    ``floor(term·1e6+0.5)`` summed as longs, so an independent
+    re-derivation, the DuckDB oracle, agrees on every comparison by
+    construction), index tie-break. One multiply-add pass per centroid
+    per row. ``d`` is the micro-distance (long) to the WINNING
+    centroid — the prototypicality score pruning ranks on
+    (datapipe.pruning).
 
-    A NULL vector ELEMENT contributes 0.0 to every distance (per-term
+    A NULL vector ELEMENT contributes 0 to every distance (per-term
     coalesce) — matching kmeans_fit's Lloyd-sum convention exactly, so
     assignment and centroid update agree on such rows instead of a
     NULL distance silently degenerating every assignment to cell 0."""
     ds = []
     for i, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(
-                v, lit, lambda a, b: F.coalesce((a - b) * (a - b), F.lit(0.0))
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        ds.append(F.struct(F.round(d, 6).alias("d"), F.lit(i).alias("i")))
+        d = _sq_l2_micros(v, lit)
+        ds.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
     return F.array_min(F.array(*ds))
 
 
@@ -492,13 +515,14 @@ def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
 # generated projection blows past the JVM's 64 KB method limit and
 # drops to interpreted eval, and cost is O(num_cells) scalar fold
 # steps per row. Lloyd's INTERNAL assignment switches to an
-# Arrow-batched numpy kernel there — same arithmetic in the same IEEE
-# order (per-term (a-b)^2 with NULL→0, left-to-right accumulation over
-# dimensions, 6-dp round of the total, first-index argmin), verified
-# equal by test_kmeans_arrow_assign_parity. Index-facing assignment
-# (pq_codes, write_ivf_trained) stays expression-based: those codes
-# must be re-derivable by the SQL oracles, and their centroid counts
-# are small by construction.
+# Arrow-batched numpy kernel there — same arithmetic (per-term
+# floor((a-b)²·1e6+0.5) with NULL→0 accumulated in int64 — exact and
+# order-independent, so "same IEEE order" is no longer even needed;
+# first-index argmin), verified equal by
+# test_kmeans_arrow_assign_parity. Index-facing assignment (pq_codes,
+# write_ivf_trained) stays expression-based: those codes must be
+# re-derivable by the SQL oracles, and their centroid counts are small
+# by construction.
 _ARROW_ASSIGN_MIN_CELLS = 33
 
 
@@ -522,15 +546,17 @@ def _lloyd_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
                 continue
             a = np.asarray(vec, dtype=np.float64)[:dim]
             arr[i, : len(a)] = a
-        acc = np.zeros((len(vs), k))
+        acc = np.zeros((len(vs), k), dtype=np.int64)
         for j in range(dim):
             d = arr[:, j][:, None] - C[None, :, j]
             d *= d
-            # NaN terms = missing/NULL elements: contribute 0.0, the
+            # NaN terms = missing/NULL elements: contribute 0, the
             # zip_with coalesce convention
             np.nan_to_num(d, copy=False)
-            acc += d
-        np.round(acc, 6, out=acc)
+            # per-term integer micros (_sq_l2_micros): d*1e6 and +0.5
+            # are the same IEEE double ops as the expression form,
+            # floor is exact, int64 accumulation is order-independent
+            acc += np.floor(d * 1e6 + 0.5).astype(np.int64)
         return pd.Series(np.argmin(acc, axis=1).astype("int32"))
 
     return base.select(cell_of("_v").alias("cell"), "_v")
@@ -542,13 +568,20 @@ def _maximin_seeds_scalar(
     """Scalar reference for ``_maximin_seeds`` — kept as the fallback
     for ragged samples (zip truncates to the shorter vector, which a
     rectangular numpy matrix can't express) and as the equality target
-    for the vectorized path's unit test."""
+    for the vectorized path's unit test. Distances are integer micros
+    (the ``_sq_l2_micros`` convention) so scalar/numpy parity is
+    structural, not corpus-empirical."""
+    import math
+
     centroids = [list(pts[0])]
     dmin = [float("inf")] * len(pts)
     while len(centroids) < num_cells:
         c = centroids[-1]
         for i, p in enumerate(pts):
-            d = round(sum((a - b) * (a - b) for a, b in zip(p, c)), 6)
+            d = sum(
+                int(math.floor((a - b) * (a - b) * 1_000_000.0 + 0.5))
+                for a, b in zip(p, c)
+            )
             if d < dmin[i]:
                 dmin[i] = d
         # max() returns the FIRST maximal element and pts are hash-
@@ -562,18 +595,16 @@ def _maximin_seeds_scalar(
 def _maximin_seeds(pts: list[list[float]], num_cells: int) -> list[list[float]]:
     """Farthest-point (maximin) seeding over a hash-ordered sample,
     numpy-vectorized: first seed = ``pts[0]`` (smallest hash), each
-    next seed = the sample point maximizing its 6-dp-rounded squared
-    L2 distance to the nearest chosen seed. ``np.argmax`` returns the
-    FIRST maximal element and ``pts`` are hash-ordered, so ties
-    resolve to the smallest hash — the scalar reference loop's pick
-    order. Distances accumulate per-dimension in the same order as the
-    scalar loop's left-to-right ``sum``, so every IEEE addition is
-    order-identical; only the 6-dp rounding goes through ``np.round``
-    (verified equal to ``round`` on the repo corpora by the paired
-    unit test). The scalar loop is O(num_cells·|sample|·dim) Python
-    float ops — at a serving-realistic num_cells=4096 over the 32x
-    sample that is hours on the driver; the numpy form is the same
-    arithmetic at C speed."""
+    next seed = the sample point maximizing its integer-micro squared
+    L2 distance (the ``_sq_l2_micros`` convention — per-term
+    ``floor(term·1e6+0.5)`` summed in int64, exact and
+    order-independent, so scalar/numpy parity is structural) to the
+    nearest chosen seed. ``np.argmax`` returns the FIRST maximal
+    element and ``pts`` are hash-ordered, so ties resolve to the
+    smallest hash — the scalar reference loop's pick order. The scalar
+    loop is O(num_cells·|sample|·dim) Python float ops — at a
+    serving-realistic num_cells=4096 over the 32x sample that is hours
+    on the driver; the numpy form is the same arithmetic at C speed."""
 
     if len({len(p) for p in pts}) != 1:
         # ragged sample (mixed vector widths): the reference zip
@@ -583,14 +614,16 @@ def _maximin_seeds(pts: list[list[float]], num_cells: int) -> list[list[float]]:
     n = len(pts)
     seeds = [list(pts[0])]
     last = P[0]
+    # float dmin holding exact int64 micro values (all < 2^53): lets
+    # the init stay +inf while comparisons remain exact
     dmin = np.full(n, np.inf)
     while len(seeds) < num_cells:
         diff = P - last
         sq = diff * diff
-        acc = np.zeros(n)
+        acc = np.zeros(n, dtype=np.int64)
         for j in range(P.shape[1]):
-            acc += sq[:, j]
-        np.minimum(dmin, np.round(acc, 6), out=dmin)
+            acc += np.floor(sq[:, j] * 1e6 + 0.5).astype(np.int64)
+        np.minimum(dmin, acc, out=dmin)
         i = int(np.argmax(dmin))
         seeds.append([float(x) for x in P[i]])
         last = P[i]
@@ -722,13 +755,21 @@ def _nearest_probe_cells(
     cent: dict[int, list[float]], query: list[float], n_probe: int
 ) -> list[int]:
     """The ``n_probe`` trained cells nearest the query, driver-side
-    (the centroid table is num_cells rows): 6-dp-rounded squared-L2 /
-    cell-id tie-break — the ONE convention every probe path and every
-    contract oracle re-derives, kept in one place."""
+    (the centroid table is num_cells rows): integer-micro squared-L2
+    (the ``_sq_l2_micros`` convention — Python floats ARE IEEE
+    doubles, so ``floor((a-b)²·1e6+0.5)`` here is bit-identical to the
+    Spark/DuckDB expression) / cell-id tie-break — the ONE convention
+    every probe path and every contract oracle re-derives, kept in one
+    place."""
+    import math
+
     by_dist = sorted(
         cent,
         key=lambda c: (
-            round(sum((a - b) * (a - b) for a, b in zip(query, cent[c])), 6),
+            sum(
+                int(math.floor((a - b) * (a - b) * 1_000_000.0 + 0.5))
+                for a, b in zip(query, cent[c])
+            ),
             c,
         ),
     )
@@ -951,14 +992,15 @@ def _pq_codes_arrow(
 ) -> Column:
     """All ``m`` subspace code assignments in ONE Arrow kernel —
     ``array<int>`` of per-subspace nearest-code indexes, arithmetic
-    order-identical to the ``nearest_centroid_struct`` expression form
-    (per-term (a-b)² with missing/NULL elements contributing 0.0,
-    left-to-right accumulation over the subspace's dimensions, 6-dp
-    round of the total, first-index argmin) — parity-tested against
-    the expression path. The expression form spends seconds of Janino
-    compilation on ``m·codes_per_sub`` fold expressions per projection
-    and interprets beyond the 64 KB method limit; the kernel is the
-    same arithmetic at C speed and compiles nothing."""
+    identical to the ``nearest_centroid_struct`` expression form
+    (per-term ``floor((a-b)²·1e6+0.5)`` with missing/NULL elements
+    contributing 0, int64 accumulation — exact, so parity with the
+    expression path and the SQL oracles is structural; first-index
+    argmin) — parity-tested against the expression path. The
+    expression form spends seconds of Janino compilation on
+    ``m·codes_per_sub`` fold expressions per projection and interprets
+    beyond the 64 KB method limit; the kernel is the same arithmetic
+    at C speed and compiles nothing."""
     dim = sum(len(b[0]) for b in codebooks)
     bounds = subspace_bounds(dim, len(codebooks))
     mats = [np.asarray(b, dtype=np.float64) for b in codebooks]
@@ -974,13 +1016,12 @@ def _pq_codes_arrow(
         out = np.empty((len(vs), len(bounds)), dtype=np.int32)
         for s, (st, w) in enumerate(bounds):
             C = mats[s]
-            acc = np.zeros((len(vs), C.shape[0]))
+            acc = np.zeros((len(vs), C.shape[0]), dtype=np.int64)
             for j in range(w):
                 d = arr[:, st - 1 + j][:, None] - C[None, :, j]
                 d *= d
                 np.nan_to_num(d, copy=False)
-                acc += d
-            np.round(acc, 6, out=acc)
+                acc += np.floor(d * 1e6 + 0.5).astype(np.int64)
             out[:, s] = np.argmin(acc, axis=1)
         return pd.Series(list(out))
 
@@ -1280,16 +1321,14 @@ def ivf_pq_knn_join(
     dim = sum(len(b[0]) for b in books.values())
     bounds = subspace_bounds(dim, m)
     # probe cells: per-query n_probe nearest trained centroids by the
-    # 6-dp-rounded distance / cell-id tie-break convention
+    # integer-micro distance / cell-id tie-break convention
+    # (_sq_l2_micros — same floor(term*1e6+0.5) long sums the driver
+    # path and the oracle CTEs compute)
     ds = []
     for c in sorted(cent):
         lit = F.array(*[F.lit(float(x)) for x in cent[c]])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        ds.append(F.struct(F.round(d, 6).alias("d"), F.lit(c).alias("i")))
+        d = _sq_l2_micros(F.col(vec_col), lit)
+        ds.append(F.struct(d.alias("d"), F.lit(c).alias("i")))
     probe_arr = F.transform(
         F.slice(F.array_sort(F.array(*ds)), 1, max(1, n_probe)),
         lambda st: st["i"],

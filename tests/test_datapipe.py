@@ -535,8 +535,9 @@ def test_kmeans_empty_input(spark):
 
 def test_maximin_seeds_numpy_matches_scalar():
     """The vectorized maximin seeding (r3 verdict nit #1) is
-    arithmetic-identical to the scalar reference: same IEEE addition
-    order, same 6-dp round, same first-maximal tie-break — including
+    arithmetic-identical to the scalar reference: same per-term
+    integer-micro quantization (exact, order-independent int64 sums),
+    same first-maximal tie-break — including
     num_cells > |distinct sample| (duplicate picks) and a ragged
     sample (numpy path must fall back to the scalar loop)."""
     from logshipper_spark.datapipe import similarity

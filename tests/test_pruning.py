@@ -28,14 +28,21 @@ def _emb(spark, rows=VECS):
 
 
 def _py_scores():
+    import math
+
     out = {}
     for vid, v in VECS:
+        # the _sq_l2_micros convention: per-term floor(term*1e6+0.5)
+        # summed as ints, then integer grid rescale (round-half-up)
         ds = [
-            round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+            sum(
+                int(math.floor((a - b) * (a - b) * 1_000_000.0 + 0.5))
+                for a, b in zip(v, c)
+            )
             for c in CENTS
         ]
         cell = min(range(len(CENTS)), key=lambda i: (ds[i], i))
-        out[vid] = (cell, round(ds[cell] * pruning.GRID))
+        out[vid] = (cell, (ds[cell] * pruning.GRID + 500_000) // 1_000_000)
     return out
 
 
