@@ -2812,14 +2812,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Declaration order is the driver's certification order: the
     # correctness gate runs the FIRST ~50 declared queries each round
-    # (r1: 42, r2: 45, r3: 50 — always a prefix). Policy (r3 verdict
-    # #1): a ~12-query core smoke set leads, then the families with no
-    # green row in any CORRECTNESS_r*.json yet — ANN/similarity,
-    # substring dedup, temporal joins, packing/tokenize, and the
-    # incremental-index ops for round 4 — then the remaining
-    # never-certified queries (next in line for rotation), then the
-    # r1–r3-certified remainder. Rotate the post-core window each
-    # round so driver coverage accumulates across rounds.
+    # (r1: 42, r2: 45, r3: 50, r4: 50 — always a prefix). Round-5
+    # window (r4 verdict #1/#2): an 11-query core smoke set leads,
+    # then the PQ trio whose r4 driver rows were the only hash
+    # failures (now integer-exact — must re-certify FIRST), then
+    # graph_cycles (never driver-green in ANY round) and the 12
+    # round-4 operators, then the 23 older never-certified queries.
+    # That fills exactly 50; everything after has a green driver row
+    # in CORRECTNESS_r1–r4.
     return {
         # ── core smoke (certified every round) ──
         "edge_agg": q_edge_agg,
@@ -2831,10 +2831,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_flags": q_zscore_flags,
         "resolver_chain": q_resolver_chain,
         "turn_rank_salted": q_turn_rank_salted,
-        "conv_stats": q_conv_stats,
         "service_rollup": q_service_rollup,
         "dedup_exact": q_dedup_exact,
-        # ── round-4 window: ANN / similarity family ──
+        # ── PQ trio: r4 hash-fail → integer-exact re-certification ──
+        "pq_topk": q_pq_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "ivf_pq_knn": q_ivf_pq_knn,
+        # ── never driver-green in any round: graph_cycles + r4 ops ──
+        "graph_cycles": q_graph_cycles,
+        "pagerank": q_pagerank,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "fuzzy_dedup_incremental": q_fuzzy_dedup_incremental,
+        "pmi_pairs": q_pmi_pairs,
+        "containment": q_containment,
+        "snapshot_diff": q_snapshot_diff,
+        "group_centroids": q_group_centroids,
+        "template_induction": q_template_induction,
+        "dense_buckets": q_dense_buckets,
+        "burst_flags": q_burst_flags,
+        "blast_radius": q_blast_radius,
+        "scd2_probe": q_scd2_probe,
+        # ── never driver-green: older rotation backlog ──
+        "lm_score": q_lm_score,
+        "lm_bigram": q_lm_bigram,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "html_extract": q_html_extract,
+        "pii_scrub": q_pii_scrub,
+        "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
+        "source_overlap": q_source_overlap,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_decontam": q_semantic_decontam,
+        "prototype_prune": q_prototype_prune,
+        "sample_split": q_sample_split,
+        "stratified_k": q_stratified_k,
+        "quantile_bins": q_quantile_bins,
+        "decontaminate": q_decontaminate,
+        "mixture": q_mixture_sample,
+        "sentence_chunks": q_sentence_chunks,
+        "trending_terms": q_trending_terms,
+        "edge_rollup": q_edge_rollup,
+        "format_level_matrix": q_format_level_matrix,
+        "conv_integrity": q_conv_integrity,
+        "sink_roundtrip": q_sink_roundtrip,
+        # ── driver-certified in r1–r4 (outside the r5 window) ──
+        "conv_stats": q_conv_stats,
         "cosine_topk": q_cosine_topk,
         "quantized_topk": q_quantized_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -2844,12 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "pq_topk": q_pq_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "ivf_pq_knn": q_ivf_pq_knn,
         "knn_join": q_knn_join,
         "hard_negatives": q_hard_negatives,
-        # ── round-4 window: substring-level dedup family ──
         "substr_spans": q_substr_spans,
         "substr_pairs": q_substr_pairs,
         "substr_merge": q_substr_merge,
@@ -2857,11 +2895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_contamination": q_substr_contamination,
         "substr_stop_grams": q_substr_stop_grams,
         "curate_substr": q_curate_substr,
-        # ── round-4 window: temporal joins ──
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "scd2_intervals": q_scd2_intervals,
-        # ── round-4 window: packing / tokenize ──
         "pack_chunks": q_pack_chunks,
         "pack_assemble": q_pack_assemble,
         "sft_mask_pack": q_sft_mask_pack,
@@ -2870,55 +2906,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "shard_plan": q_shard_plan,
         "epoch_shuffle": q_epoch_shuffle,
-        # ── round-4 window: incremental indexes + new-this-round ──
         "dedup_incremental": q_dedup_incremental,
         "near_dedup_incremental": q_near_dedup_incremental,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "index_compaction": q_index_compaction,
         "bpe_segment": q_bpe_segment,
         "dsir": q_dsir,
-        # ── not yet driver-certified: next in rotation ──
-        "pagerank": q_pagerank,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "pmi_pairs": q_pmi_pairs,
-        "template_induction": q_template_induction,
-        "dense_buckets": q_dense_buckets,
-        "scd2_probe": q_scd2_probe,
-        "fuzzy_dedup_incremental": q_fuzzy_dedup_incremental,
-        "containment": q_containment,
-        "snapshot_diff": q_snapshot_diff,
-        "group_centroids": q_group_centroids,
-        "burst_flags": q_burst_flags,
-        "blast_radius": q_blast_radius,
         "anomaly_alerts": q_anomaly_alerts,
-        "graph_cycles": q_graph_cycles,
-        "sink_roundtrip": q_sink_roundtrip,
-        "conv_integrity": q_conv_integrity,
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
-        "trending_terms": q_trending_terms,
-        "edge_rollup": q_edge_rollup,
-        "format_level_matrix": q_format_level_matrix,
-        "lm_score": q_lm_score,
-        "lm_bigram": q_lm_bigram,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_decontam": q_semantic_decontam,
-        "prototype_prune": q_prototype_prune,
-        "sample_split": q_sample_split,
-        "stratified_k": q_stratified_k,
-        "quantile_bins": q_quantile_bins,
-        "decontaminate": q_decontaminate,
-        "mixture": q_mixture_sample,
-        "c4_clean": q_c4_clean,
-        "html_extract": q_html_extract,
-        "line_dedup": q_line_dedup,
-        "source_overlap": q_source_overlap,
-        "pii_scrub": q_pii_scrub,
-        "bm25_topk": q_bm25_topk,
-        "tfidf_topk": q_tfidf_topk,
         "media_features": q_media_features,
-        "sentence_chunks": q_sentence_chunks,
-        # ── r1–r3 driver-certified remainder ──
         "edge_metrics": q_edge_metrics,
         "first_seen": q_first_seen,
         "p99_exact": q_p99_exact,
@@ -3664,7 +3661,7 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(1, flen - 2)) AS pos
               FROM keys WHERE flen >= 3),
             posting1 AS (
-              SELECT fid, flen, substr(fkey, pos, 3) AS gram,
+              SELECT fid, flen, pos, substr(fkey, pos, 3) AS gram,
                      ROW_NUMBER() OVER (
                        PARTITION BY fid, substr(fkey, pos, 3)
                        ORDER BY pos) AS occ
@@ -3672,13 +3669,16 @@ def oracle_sql() -> dict[str, str]:
             dfc AS (SELECT gram, occ, COUNT(*) AS c
                     FROM posting1 GROUP BY gram, occ),
             posting AS (
-              SELECT p.fid, p.flen, p.gram, p.occ
+              SELECT p.fid, p.flen, p.gram, p.occ, p.pos
               FROM posting1 p JOIN dfc USING (gram, occ)
               WHERE dfc.c <= 1000),
+            -- abs(pos diff) <= k is the Gravano positional filter; the
+            -- Spark side's bucket join key is implied by it (width k+1)
             longc AS (
               SELECT a.fid AS id_a, b.fid AS id_b
               FROM posting a JOIN posting b USING (gram, occ)
               WHERE a.fid < b.fid AND abs(a.flen - b.flen) <= 2
+                AND abs(a.pos - b.pos) <= 2
                 AND greatest(a.flen, b.flen) > 8
               GROUP BY a.fid, b.fid, a.flen, b.flen
               HAVING COUNT(*) >= greatest(a.flen, b.flen) - 8),

@@ -279,7 +279,12 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df`` drops shingles appearing in more documents than
     the cutoff (stop-shingles) before the join — the standard guard that
-    keeps the candidate count near-linear at 100 TB scale.
+    keeps the candidate count near-linear at 100 TB scale. The cutoff
+    is applied as a broadcast STOP-LIST anti-join: the over-cutoff
+    shingle set is bounded by boilerplate vocabulary (small by
+    construction), while the KEEP side is O(corpus distinct shingles)
+    — broadcasting the keep side (the pre-round-5 form) would blow the
+    8 GB broadcast cap / OOM the driver at target scale.
     """
     docs = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), k).alias("sh")
@@ -287,7 +292,11 @@ def ngram_jaccard_pairs(
     posting = docs.select("doc_id", "sh_size", F.explode("sh").alias("shingle"))
     df_counts = posting.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
     posting = posting.join(
-        F.broadcast(df_counts.filter(F.col("df_cnt") <= max_shingle_df)), "shingle"
+        F.broadcast(
+            df_counts.filter(F.col("df_cnt") > max_shingle_df).select("shingle")
+        ),
+        "shingle",
+        "left_anti",
     )
     a = posting.select(
         F.col("doc_id").alias("id_a"), F.col("sh_size").alias("size_a"), "shingle"
@@ -882,9 +891,12 @@ def _fuzzy_keys(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
 
 
 def _fuzzy_postings(keys: DataFrame, q: int) -> DataFrame:
-    """Multiset q-gram postings ``(fid, flen, gram, occ)`` of a
+    """Multiset q-gram postings ``(fid, flen, gram, occ, pos)`` of a
     ``_fuzzy_keys`` frame: one (id, gram) window for the occurrence
-    index (per-task state bounded by key length)."""
+    index (per-task state bounded by key length). ``pos`` is the
+    0-based gram start — the positional filter lane (Gravano et al.
+    §4.2) buckets on it; readers with a pinned (fid, flen, gram, occ)
+    schema simply prune it."""
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.col("flen") - q + 1),
         lambda i: F.col("fkey").substr(i, F.lit(q)),
@@ -898,7 +910,7 @@ def _fuzzy_postings(keys: DataFrame, q: int) -> DataFrame:
                 Window.partitionBy("fid", "gram").orderBy("pos")
             ),
         )
-        .select("fid", "flen", "gram", "occ")
+        .select("fid", "flen", "gram", "occ", "pos")
     )
 
 
@@ -919,8 +931,10 @@ def fuzzy_dup_pairs(
     2001, approximate string joins): ``ed(s,t) <= k`` implies the
     multiset q-gram overlap ``>= max(|s|,|t|) - q + 1 - k*q`` (each
     edit destroys at most ``q`` grams). Multiset overlap is an
-    equi-join on ``(gram, occurrence_index)`` postings — never
-    all-pairs. Keys too short for that bound to guarantee a shared
+    equi-join on ``(gram, occurrence_index, pos_bucket)`` postings —
+    never all-pairs; the position bucket (Gravano §4.2: matching grams
+    sit within ``k`` positions, bucket width ``k+1`` + 3-bucket probe
+    fan-out) shrinks candidates before the overlap groupBy. Keys too short for that bound to guarantee a shared
     gram (``len < q*(k+1)``) take the SHORT lane instead: a
     length-window equi-join (each right key fans out to its
     ``2k+1`` admissible lengths), quadratic only within same-length
@@ -942,24 +956,45 @@ def fuzzy_dup_pairs(
     df_counts = posting.groupBy("gram", "occ").agg(
         F.count("*").alias("_df")
     )
+    # stop-gram cutoff as a broadcast ANTI-join: the over-cutoff set
+    # is bounded by boilerplate vocabulary; the keep side is O(corpus
+    # distinct grams) and must never be the broadcast side
     posting = posting.join(
-        F.broadcast(df_counts.filter(F.col("_df") <= max_gram_df)),
+        F.broadcast(
+            df_counts.filter(F.col("_df") > max_gram_df).select("gram", "occ")
+        ),
         ["gram", "occ"],
-    ).select("fid", "flen", "gram", "occ")
+        "left_anti",
+    ).select("fid", "flen", "gram", "occ", "pos")
+    # positional q-gram filter (Gravano et al. §4.2): under <= k edits
+    # a surviving gram's position drifts by at most k, so matching
+    # grams must sit within k positions. Bucketing pos by width k+1
+    # puts any within-k pair in the SAME or ADJACENT buckets: the
+    # probe side fans out to its 3 admissible buckets and the bucket
+    # joins the equi-key — candidates shrink BEFORE the groupBy (the
+    # adversarial-similar-titles corpus collapses ~2x here). The
+    # |pos_a - pos_b| <= k post-filter restores the exact window
+    # inside the bucket pair. Occurrence-index pairing can in
+    # principle pair non-corresponding occurrences of a repeated gram
+    # across > k positions — a recall trade the published filter
+    # accepts; every emitted pair is still levenshtein-verified.
+    pb = (F.col("pos") / F.lit(k + 1)).cast("int")
     a = posting.select(
         F.col("fid").alias("id_a"), F.col("flen").alias("len_a"),
-        "gram", "occ",
+        "gram", "occ", F.col("pos").alias("pos_a"), pb.alias("_pb"),
     )
     b = posting.select(
         F.col("fid").alias("id_b"), F.col("flen").alias("len_b"),
-        "gram", "occ",
+        "gram", "occ", F.col("pos").alias("pos_b"),
+        F.explode(F.array(pb - 1, pb, pb + 1)).alias("_pb"),
     )
     need = (
         F.greatest(F.col("len_a"), F.col("len_b")) - F.lit(q - 1) - F.lit(k * q)
     )
     long_cand = (
-        a.join(b, ["gram", "occ"])
+        a.join(b, ["gram", "occ", "_pb"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= k)
         .filter(
             F.abs(F.col("len_a") - F.col("len_b")) <= k
         )
@@ -1063,12 +1098,16 @@ def fuzzy_dedup_against(
         "fid long, flen int, gram string, occ int"
     ).parquet(f"{path}/postings")
     idf = ipost.groupBy("gram", "occ").agg(F.count("*").alias("_df"))
-    live = F.broadcast(idf.filter(F.col("_df") <= max_gram_df))
-    bp = bpost.join(live, ["gram", "occ"]).select(
+    # broadcast the STOP set (index grams over the cutoff — bounded by
+    # boilerplate vocabulary), not the unbounded keep set
+    stop = F.broadcast(
+        idf.filter(F.col("_df") > max_gram_df).select("gram", "occ")
+    )
+    bp = bpost.join(stop, ["gram", "occ"], "left_anti").select(
         F.col("fid").alias("bid"), F.col("flen").alias("blen"),
         "gram", "occ",
     )
-    ip = ipost.join(live, ["gram", "occ"]).select(
+    ip = ipost.join(stop, ["gram", "occ"], "left_anti").select(
         F.col("fid").alias("iid"), F.col("flen").alias("ilen"),
         "gram", "occ",
     )
@@ -1138,9 +1177,14 @@ def containment_pairs(
         "doc_id", "sh_size", F.explode("sh").alias("shingle")
     )
     df_counts = posting.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    # broadcast STOP-list anti-join (see ngram_jaccard_pairs): the
+    # keep side is unbounded at corpus scale, the stop side is not
     posting = posting.join(
-        F.broadcast(df_counts.filter(F.col("df_cnt") <= max_shingle_df)),
+        F.broadcast(
+            df_counts.filter(F.col("df_cnt") > max_shingle_df).select("shingle")
+        ),
         "shingle",
+        "left_anti",
     )
     a = posting.select(
         F.col("doc_id").alias("id_a"), F.col("sh_size").alias("size_a"),
