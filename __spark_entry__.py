@@ -1529,7 +1529,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.array(*[F.lit(x) for x in qv])
     scored = emb.select(
         "vec_id",
-        F.round(similarity.cosine_similarity(F.col("v"), q), 4).alias("cosine_r"),
+        similarity.floor_round(
+            similarity.cosine_similarity(F.col("v"), q), 4
+        ).alias("cosine_r"),
     )
     return scored.orderBy(F.col("cosine_r").desc(), "vec_id").limit(10)
 
@@ -3025,6 +3027,17 @@ _ROLLUP_SQL = f"""
 """
 
 
+def _sql_floor_round(x: str, dp: int = 6) -> str:
+    """DuckDB twin of ``similarity.floor_round``: round-half-up via
+    ``floor(x·10^dp + 0.5) / 10^dp`` — the same IEEE double ops the
+    Spark expression computes, so rounded values agree bit-for-bit
+    cross-engine (DuckDB's ``round`` is scaled-double, Spark's is
+    BigDecimal HALF_UP — they can disagree at a .5 boundary, the
+    round-4 PQ-gate class)."""
+    s = 10**dp
+    return f"(floor(({x}) * {s}.0 + 0.5) / {s}.0)"
+
+
 def _sql_sq_l2_micros(a_elem: str, b_elem: str, n: int) -> str:
     """DuckDB twin of ``similarity._sq_l2_micros``: INTEGER-EXACT
     squared L2 — per-term ``floor(COALESCE((a-b)²,0)·1e6 + 0.5)`` cast
@@ -3090,7 +3103,8 @@ _PQ_TAIL = f"""
                  sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq
           FROM cand JOIN s USING (vec_id) CROSS JOIN q)
         SELECT vec_id, adc_micros,
-               round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4)
+               (floor((CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END)
+                        * 10000.0 + 0.5) / 10000.0)
                  AS cosine_r
         FROM fin ORDER BY cosine_r DESC, vec_id LIMIT 10
     """
@@ -4055,10 +4069,10 @@ def oracle_sql() -> dict[str, str]:
             p AS (
               -- zero-norm guard mirrors dedup.embedding_near_dup_pairs
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round(CASE WHEN a.nrm * b.nrm > 0
+                     (floor((CASE WHEN a.nrm * b.nrm > 0
                                 THEN list_sum(list_transform(range(1, len(a.v) + 1),
                                               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)
-                                ELSE 0.0 END, 6)
+                                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0)
                        AS cosine
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.95
@@ -4100,10 +4114,11 @@ def oracle_sql() -> dict[str, str]:
               FROM q),
             sc AS (
               SELECT p.query_id, c.vec_id,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                     (floor((list_sum(list_transform(range(1, {IVF_DIM} + 1),
                                                    i -> c.v[i] * p.qv[i]))
                            / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
-                              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))), 6)
+                              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))))
+                            * 1000000.0 + 0.5) / 1000000.0)
                        AS cosine
               FROM probes p JOIN cells c USING (cell))
             SELECT query_id, vec_id, cosine FROM sc
@@ -4126,10 +4141,11 @@ def oracle_sql() -> dict[str, str]:
               FROM q),
             sc AS (
               SELECT p.query_id, c.vec_id,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                     (floor((list_sum(list_transform(range(1, {IVF_DIM} + 1),
                                                    i -> c.v[i] * p.qv[i]))
                            / (sqrt(list_sum(list_transform(c.v, x -> x * x)))
-                              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))), 6)
+                              * sqrt(list_sum(list_transform(p.qv, x -> x * x)))))
+                            * 1000000.0 + 0.5) / 1000000.0)
                        AS cosine
               FROM probes p JOIN cells c USING (cell)),
             cand AS (
@@ -4181,7 +4197,8 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_sum(list_transform(q.qv, x -> x * x))) AS nq
               FROM cand CROSS JOIN q)
             SELECT vec_id,
-                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 6)
+                   (floor((CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END)
+                            * 1000000.0 + 0.5) / 1000000.0)
                      AS cosine
             FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
         """,
@@ -4210,8 +4227,9 @@ def oracle_sql() -> dict[str, str]:
                            sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
                            sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
                     FROM cand)
-            SELECT vec_id, round(qscore + 1e-9, 6) AS qscore_r,
-                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4)
+            SELECT vec_id, (floor((qscore + 1e-9) * 1000000.0 + 0.5) / 1000000.0) AS qscore_r,
+                   (floor((CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END)
+                            * 10000.0 + 0.5) / 10000.0)
                      AS cosine_r
             FROM fin ORDER BY cosine_r DESC, vec_id LIMIT 10
         """,
@@ -4229,7 +4247,7 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
               FROM pruned)
             SELECT vec_id,
-                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 6) AS cosine
+                   (floor((CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0) AS cosine
             FROM sc ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "edge_agg": f"""
@@ -4768,9 +4786,9 @@ def oracle_sql() -> dict[str, str]:
                      len(a.toks) AS sa, len(b.toks) AS sb
               FROM d a JOIN d b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b,
-                   round(common / (sa + sb - common), 6) AS jaccard
+                   (floor((common / (sa + sb - common)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
             FROM pairs
-            WHERE round(common / (sa + sb - common), 6) >= 0.5 AND common > 0
+            WHERE (floor((common / (sa + sb - common)) * 1000000.0 + 0.5) / 1000000.0) >= 0.5 AND common > 0
         """,
         "group_centroids": f"""
             WITH e AS (
@@ -4857,10 +4875,10 @@ def oracle_sql() -> dict[str, str]:
                      len(a.toks) AS sa, len(b.toks) AS sb
               FROM d a JOIN d b ON a.doc_id < b.doc_id)
             SELECT id_a, id_b,
-                   round(common / least(sa, sb), 6) AS containment
+                   (floor((common / least(sa, sb)) * 1000000.0 + 0.5) / 1000000.0) AS containment
             FROM pairs
             WHERE common > 0
-              AND round(common / least(sa, sb), 6) >= 0.8
+              AND (floor((common / least(sa, sb)) * 1000000.0 + 0.5) / 1000000.0) >= 0.8
         """,
         "text_stats": f"""
             {_TEXTSTATS_SQL}
@@ -5798,11 +5816,12 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (
               SELECT x.vec_id AS id_a, y.vec_id AS id_b
               FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
-              WHERE round(
+              WHERE (floor((
                       list_sum(list_transform(range(1, {IVF_DIM} + 1),
                                               i -> x.v[i] * y.v[i]))
                       / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
-                         * sqrt(list_sum(list_transform(y.v, e -> e * e)))), 6)
+                         * sqrt(list_sum(list_transform(y.v, e -> e * e)))))
+                      * 1000000.0 + 0.5) / 1000000.0)
                     >= {SEMDEDUP_TAU}),
             sym AS (
               SELECT DISTINCT * FROM (
@@ -5852,11 +5871,11 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY dist, cell) = 1),
             j AS (
               SELECT ca.vec_id, ba.bid,
-                     round(list_sum(list_transform(range(1, {IVF_DIM} + 1),
+                     (floor((list_sum(list_transform(range(1, {IVF_DIM} + 1),
                                                    i -> ca.v[i] * ba.v[i]))
                            / (sqrt(list_sum(list_transform(ca.v, e -> e * e)))
-                              * sqrt(list_sum(list_transform(ba.v, e -> e * e)))),
-                           6) AS cos
+                              * sqrt(list_sum(list_transform(ba.v, e -> e * e)))))
+                           * 1000000.0 + 0.5) / 1000000.0) AS cos
               FROM ca LEFT JOIN ba ON ca.cell = ba.cell),
             g AS (
               SELECT vec_id, CAST(count(bid) AS BIGINT) AS n_candidates,
@@ -5919,11 +5938,12 @@ def oracle_sql() -> dict[str, str]:
             hits AS (
               SELECT DISTINCT b.vec_id
               FROM a b JOIN a i ON i.cell = b.cell AND i.vec_id % 3 = 0
-              WHERE round(
+              WHERE (floor((
                       list_sum(list_transform(range(1, {IVF_DIM} + 1),
                                               j -> b.v[j] * i.v[j]))
                       / (sqrt(list_sum(list_transform(b.v, e -> e * e)))
-                         * sqrt(list_sum(list_transform(i.v, e -> e * e)))), 6)
+                         * sqrt(list_sum(list_transform(i.v, e -> e * e)))))
+                      * 1000000.0 + 0.5) / 1000000.0)
                     >= {SEMDEDUP_TAU})
             SELECT vec_id FROM s
             WHERE vec_id NOT IN (SELECT vec_id FROM hits)
@@ -5998,7 +6018,7 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) AS nq
               FROM s, q)
             SELECT vec_id,
-                   round(CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END, 4) AS cosine_r
+                   (floor((CASE WHEN nv * nq > 0 THEN dot / (nv * nq) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0) AS cosine_r
             FROM sc ORDER BY cosine_r DESC, vec_id LIMIT 10
         """,
         # Temporal joins: the oracle re-derives both sides from `events`

@@ -388,12 +388,11 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         lambda: _force(dedup.fuzzy_dup_pairs(fz_titles, max_edit=2)),
         "fuzzy_dedup_pairs",
     )
-    times["pmi_pairs"] = _timed(
-        lambda: _force(
-            textstats_mod.pmi_pairs(docs, window=4, min_pair_count=3, k=50)
-        ),
-        "pmi_pairs",
-    )
+    def _pmi_run():
+        _force(textstats_mod.pmi_pairs(docs, window=4, min_pair_count=3, k=50))
+        textstats_mod.release_cached_postings()  # in-op pair/uni caches
+
+    times["pmi_pairs"] = _timed(_pmi_run, "pmi_pairs")
     times["containment_pairs"] = _timed(
         lambda: _force(
             dedup.containment_pairs(docs, k=3, threshold=0.5)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from . import textstats
 from .filters import word_ngrams
+from .similarity import floor_round
 
 
 def _exploded_grams(df: DataFrame, n: int, text_col: str, *keep_cols: str) -> DataFrame:
@@ -173,7 +174,7 @@ def semantic_decontaminate(
         lambda s, x: s + x,
     )
     n2 = F.col("_cn") * F.col("_bn")
-    cos = F.round(F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0)), 6)
+    cos = floor_round(F.when(n2 > 0, dot / n2).otherwise(F.lit(0.0)), 6)
     cand = joined.withColumn(
         "_cand",
         F.when(

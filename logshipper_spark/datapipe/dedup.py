@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import floor_round
 from .textstats import tokens
 
 # signature frames cached by minhash_lsh_pairs (lazy builders cannot
@@ -312,7 +313,7 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", floor_round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -661,7 +662,7 @@ def embedding_near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", floor_round(F.col("cosine"), 6).alias("cosine"))
     )
 
 
@@ -1202,7 +1203,7 @@ def containment_pairs(
     )
     cont = F.col("common") / F.least(F.col("size_a"), F.col("size_b"))
     return (
-        pairs.withColumn("containment", F.round(cont, 6))
+        pairs.withColumn("containment", floor_round(cont, 6))
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )

@@ -44,7 +44,7 @@ def release_cached_cells() -> None:
         _CELL_CACHE.pop().unpersist()
 
 from .dedup import near_dup_components
-from .similarity import _nearest_centroid
+from .similarity import _nearest_centroid, floor_round
 
 
 def _norm(v) -> Column:
@@ -127,7 +127,7 @@ def semantic_pairs(
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("cosine", floor_round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -282,7 +282,7 @@ def semantic_dedup_against(
     cos = _cos("_bv", "_iv", F.col("_bn"), F.col("_in"))
     hits = (
         batch.join(idx, "cell")
-        .filter(F.round(cos, 6) >= threshold)
+        .filter(floor_round(cos, 6) >= threshold)
         .select(F.col("_bid").alias(id_col))
         .distinct()
     )

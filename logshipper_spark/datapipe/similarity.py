@@ -44,6 +44,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(n > 0, _dot(a, b) / n).otherwise(F.lit(0.0))
 
 
+def floor_round(c: Column, dp: int = 6) -> Column:
+    """Cross-engine-EXACT round-half-up to ``dp`` decimals:
+    ``floor(x·10^dp + 0.5) / 10^dp`` — two IEEE double ops, an exact
+    floor, and one IEEE divide, bit-identical in Spark, DuckDB, and
+    Python. ``F.round`` is exact-BigDecimal HALF_UP while DuckDB
+    rounds in scaled double arithmetic, so a value landing near a .5
+    boundary can round differently per engine — the round-4 PQ-gate
+    failure class. Every rounded value a contract oracle re-derives
+    (cosines, jaccard, containment) goes through this instead; the
+    oracle twin is ``__spark_entry__._sql_floor_round``. Halves round
+    toward +inf (not away-from-zero) — a convention change that is
+    irrelevant as long as both engines share it. NULL propagates."""
+    scale = float(10**dp)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def cosine_topk(
     df: DataFrame,
     query: list[float],
@@ -55,7 +71,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        floor_round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -283,7 +299,7 @@ def ivf_knn_join(
     scored = idx.join(qx, join_keys).select(
         query_id_col,
         F.col(id_col),
-        F.round(cos, 6).alias("cosine"),
+        floor_round(cos, 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
@@ -442,8 +458,12 @@ def quantized_topk(
     return (
         cand.select(
             F.col(id_col),
-            F.round(F.col("qscore") + F.lit(1e-9), 6).alias("qscore_r"),
-            F.round(cosine_similarity(F.col(vec_col), qlit), 4).alias("cosine_r"),
+            # +1e-9 kept for value-stability with the r1-era oracle
+            # convention; floor_round makes the tie handling structural
+            floor_round(F.col("qscore") + F.lit(1e-9), 6).alias("qscore_r"),
+            floor_round(
+                cosine_similarity(F.col(vec_col), qlit), 4
+            ).alias("cosine_r"),
         )
         .orderBy(F.col("cosine_r").desc(), F.col(id_col))
         .limit(k)
@@ -1210,7 +1230,7 @@ def _adc_cut(
         .select(
             F.col(id_col),
             F.col("adc_micros"),
-            F.round(cosine_similarity(F.col("_rv"), qlit), 4).alias("cosine_r"),
+            floor_round(cosine_similarity(F.col("_rv"), qlit), 4).alias("cosine_r"),
         )
         .orderBy(F.col("cosine_r").desc(), F.col(id_col))
         .limit(k)
@@ -1412,7 +1432,7 @@ def ivf_pq_knn_join(
             query_id_col,
             F.col(id_col),
             F.col("adc_micros"),
-            F.round(cosine_similarity(F.col("_rv"), F.col("_qv")), 4).alias(
+            floor_round(cosine_similarity(F.col("_rv"), F.col("_qv")), 4).alias(
                 "cosine_r"
             ),
         )

@@ -631,17 +631,27 @@ def pmi_pairs(
     are vocabulary-sized, and the final top-k is TakeOrdered — no
     all-pairs, no full sort."""
     toks = tokens(F.lower(F.col(text_col)))
+    # all_pairs feeds BOTH the p_tot driver aggregate and the reported
+    # pair_rows join, and uni feeds the t_tok aggregate plus the na/nb
+    # joins — uncached, each consumer re-runs the full corpus
+    # co-occurrence explode (the documented self-join recompute trap).
+    # The in-op driver aggregations below materialize both caches;
+    # eager call sites release via release_cached_postings().
     all_pairs = (
         df.select(F.explode(cooccurrence_pairs(toks, window)).alias("p"))
         .groupBy(F.col("p.w1").alias("token_a"), F.col("p.w2").alias("token_b"))
         .agg(F.count("*").cast("long").alias("pair_count"))
+        .persist()
     )
+    _POSTING_CACHE.append(all_pairs)
     pair_rows = all_pairs.filter(F.col("pair_count") >= min_pair_count)
     uni = (
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("_n"))
+        .persist()
     )
+    _POSTING_CACHE.append(uni)
     totals = uni.agg(F.sum("_n").alias("t")).head()
     t_tok = float(totals["t"] or 0)
     # P is the TOTAL pair mass (pre-cutoff): the min_pair_count filter

@@ -73,9 +73,19 @@ def _claim_stream_dir(
 
     digest = hashlib.sha256(_stream_key(checkpoint_dir).encode()).hexdigest()
     run_id = f"stream-{digest[:12]}"
+    # migration: before the RFC-3986 scheme fix, a RELATIVE checkpoint
+    # path containing a colon (e.g. ``ckpt:v2/cp``) hashed VERBATIM;
+    # it now abspaths, so a restart over pre-fix state would derive a
+    # different run_id and be refused as foreign. Accept the legacy
+    # verbatim-key id as the same owner (and leave the marker as-is —
+    # rewriting it would strand a rollback to the old code).
+    legacy_digest = hashlib.sha256(checkpoint_dir.encode()).hexdigest()
+    legacy_run_id = f"stream-{legacy_digest[:12]}"
     marker = os.path.join(state_dir, "_stream_id")
     if _exists(spark, marker):
         owner = spark.read.schema("run_id string").parquet(marker).head()
+        if owner is not None and owner["run_id"] == legacy_run_id:
+            return legacy_run_id
         if owner is not None and owner["run_id"] != run_id:
             raise ValueError(
                 f"{state_dir!r} is owned by stream {owner['run_id']!r}; "
