@@ -142,8 +142,8 @@ def semantic_decontaminate(
     ``semdedup.semantic_dedup_against`` (shuffle-join form) instead.
 
     Same conventions as ``semdedup.semantic_pairs`` — trained-centroid
-    assignment (argmin 6-dp squared L2, index tie-break), staged
-    per-row norms, 6-dp cosine rounding, zero-norm → 0.0 — so the
+    assignment (argmin integer-micro squared L2, index tie-break), staged
+    per-row norms, floor-micros cosine rounding, zero-norm → 0.0 — so the
     contract oracle re-derives every decision from the materialized
     centroid bytes. Cosine ties pick the HIGHEST bench id
     (``max(struct)`` order — deterministic, oracle mirrors it).

@@ -1164,7 +1164,7 @@ def containment_pairs(
     long one scores low Jaccard but containment 1.0); it is the
     quotation/aggregator signal between exact dedup and the
     substring-level pass. Output ``(id_a, id_b, containment)``,
-    ``id_a < id_b``, 6-dp rounded.
+    ``id_a < id_b``, floor-micros rounded (6 dp grid).
 
     Same scale posture as ``ngram_jaccard_pairs`` (one posting-list
     self-join with the stop-shingle df cutoff, never all-pairs); the

@@ -222,7 +222,7 @@ def semantic_dedup_against(
     candidate join is bounded per task by cell population, never index
     size (the SemDeDup cluster-bounding argument, applied
     incrementally). Same cosine convention as ``semantic_pairs``
-    (staged per-row norms, 6-dp rounding, zero-norm → 0.0), so the
+    (staged per-row norms, floor-micros rounding, zero-norm → 0.0), so the
     cell-blindness trade is identical and the contract oracle
     re-derives every decision from the materialized centroid bytes.
 

@@ -670,7 +670,7 @@ def kmeans_fit(
     (hashes are uniform, so this is a uniform sample), then maximin
     runs driver-side over the sample: first seed = smallest hash, each
     next seed = sample point maximizing distance to its nearest chosen
-    seed (6-dp rounded, ties broken by hash order). Hash-min-k init is
+    seed (integer-micro distances, ties broken by hash order). Hash-min-k init is
     NOT used directly as the seeds: two of the k smallest hashes can
     land in one dense cluster and Lloyd then sits in a local minimum
     that merges two true clusters. Init is ONE scan regardless of
@@ -706,10 +706,10 @@ def kmeans_fit(
         # per-dimension sums quantized to integer micros and summed in
         # decimal(38,0): plain double F.sum is partition-merge-order
         # dependent, so the same data could yield ulp-different
-        # centroids run-to-run and flip a 6-dp nearest-centroid tie —
+        # centroids run-to-run and flip a micro-grid nearest-centroid tie —
         # integer sums make Lloyd exactly reproducible (the lm.py /
         # anomaly.py order-independent-sum convention); 1e-6 grid is
-        # the repo-wide 6-dp distance convention
+        # the repo-wide 1e-6-grid distance convention
         # try_element_at + coalesce-to-0.0: dim comes from the FIRST
         # row, and under ANSI (Spark 4 default) a plain element_at on
         # one truncated/ragged vector would throw INVALID_ARRAY_INDEX
@@ -1055,7 +1055,7 @@ def pq_codes(
     use_arrow: bool | None = None,
 ) -> DataFrame:
     """Adds ``codes`` (``array<int>``, one code per subspace): each
-    subspace slice's nearest codebook entry by 6-dp-rounded squared L2,
+    subspace slice's nearest codebook entry by integer-micro squared L2,
     index tie-break — the ``nearest_centroid_struct`` convention, so an
     independent reader (the contract oracle) re-derives identical codes
     from the persisted codebook bytes. The sub-vector slices are STAGED
