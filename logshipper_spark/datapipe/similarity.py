@@ -566,7 +566,7 @@ def _lloyd_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
                 continue
             a = np.asarray(vec, dtype=np.float64)[:dim]
             arr[i, : len(a)] = a
-        acc = np.zeros((len(vs), k), dtype=np.int64)
+        acc = np.zeros((len(vs), k))
         for j in range(dim):
             d = arr[:, j][:, None] - C[None, :, j]
             d *= d
@@ -574,9 +574,17 @@ def _lloyd_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
             # zip_with coalesce convention
             np.nan_to_num(d, copy=False)
             # per-term integer micros (_sq_l2_micros): d*1e6 and +0.5
-            # are the same IEEE double ops as the expression form,
-            # floor is exact, int64 accumulation is order-independent
-            acc += np.floor(d * 1e6 + 0.5).astype(np.int64)
+            # are the same IEEE double ops as the expression form and
+            # floor is exact. The floored terms are integer-VALUED
+            # doubles; accumulating them in float64 is exact while the
+            # running total stays < 2^53 (term ≤ ~1.6e7 micros for
+            # unit-scale embeddings × dim ≤ 1e3 → ~1e10), so the sums
+            # equal the expression path's long sums without paying an
+            # int64 astype per (row × centroid × dim) term.
+            d *= 1e6
+            d += 0.5
+            np.floor(d, out=d)
+            acc += d
         return pd.Series(np.argmin(acc, axis=1).astype("int32"))
 
     return base.select(cell_of("_v").alias("cell"), "_v")
@@ -1036,12 +1044,17 @@ def _pq_codes_arrow(
         out = np.empty((len(vs), len(bounds)), dtype=np.int32)
         for s, (st, w) in enumerate(bounds):
             C = mats[s]
-            acc = np.zeros((len(vs), C.shape[0]), dtype=np.int64)
+            # float64 accumulation of integer-valued floored micros is
+            # exact below 2^53 — see _lloyd_assign's kernel note
+            acc = np.zeros((len(vs), C.shape[0]))
             for j in range(w):
                 d = arr[:, st - 1 + j][:, None] - C[None, :, j]
                 d *= d
                 np.nan_to_num(d, copy=False)
-                acc += np.floor(d * 1e6 + 0.5).astype(np.int64)
+                d *= 1e6
+                d += 0.5
+                np.floor(d, out=d)
+                acc += d
             out[:, s] = np.argmin(acc, axis=1)
         return pd.Series(list(out))
 
