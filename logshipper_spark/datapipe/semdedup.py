@@ -44,7 +44,7 @@ def release_cached_cells() -> None:
         _CELL_CACHE.pop().unpersist()
 
 from .dedup import near_dup_components
-from .similarity import _nearest_centroid, floor_round
+from .similarity import _nearest_centroid_col, floor_round
 
 
 def _norm(v) -> Column:
@@ -78,7 +78,7 @@ def assign_trained_cells(
     """Adds ``cell`` = nearest trained centroid (argmin squared L2 in
     integer micros with index tie-break — the exact rule the
     ann_ivf_trained contract oracle re-derives from centroid bytes)."""
-    return df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids))
+    return df.withColumn("cell", _nearest_centroid_col(vec_col, centroids))
 
 
 def semantic_pairs(

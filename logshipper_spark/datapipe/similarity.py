@@ -530,20 +530,35 @@ def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
     return nearest_centroid_struct(v, centroids)["i"].cast("int")
 
 
-# Above this many centroids the expression form of nearest-centroid
-# assignment (one fold per centroid per row) stops being viable: the
-# generated projection blows past the JVM's 64 KB method limit and
-# drops to interpreted eval, and cost is O(num_cells) scalar fold
-# steps per row. Lloyd's INTERNAL assignment switches to an
-# Arrow-batched numpy kernel there — same arithmetic (per-term
-# floor((a-b)²·1e6+0.5) with NULL→0 accumulated in int64 — exact and
-# order-independent, so "same IEEE order" is no longer even needed;
-# first-index argmin), verified equal by
-# test_kmeans_arrow_assign_parity. Index-facing assignment (pq_codes,
-# write_ivf_trained) stays expression-based: those codes must be
-# re-derivable by the SQL oracles, and their centroid counts are small
-# by construction.
-_ARROW_ASSIGN_MIN_CELLS = 33
+def _nearest_centroid_col(vec_col: str, centroids: list[list[float]]) -> Column:
+    """``_nearest_centroid`` with the kernel/expression switch: at or
+    above ``_ARROW_ASSIGN_MIN_CELLS`` centroids the assignment runs in
+    the Arrow kernel (``_pq_codes_arrow`` with the centroid set as a
+    single full-width 'codebook' — identical integer-micro arithmetic,
+    no Janino cost), else the expression form. Index writers and cell
+    assigners that take a COLUMN NAME use this; pruning keeps the
+    struct form because it also needs the winning distance."""
+    if len(centroids) >= _ARROW_ASSIGN_MIN_CELLS:
+        return F.element_at(_pq_codes_arrow(vec_col, [centroids]), 1)
+    return _nearest_centroid(F.col(vec_col), centroids)
+
+
+# At or above this many centroids, nearest-centroid assignment uses
+# the Arrow-batched numpy kernel instead of the expression cascade —
+# same arithmetic (per-term floor((a-b)²·1e6+0.5), NULL→0, exact
+# integer-valued sums, first-index argmin), verified equal by
+# test_kmeans_arrow_assign_parity / test_pq_codes_arrow. The
+# expression form pays seconds of Janino compilation PER PROJECTION
+# (each Lloyd iteration recompiles its num_cells × dim fold cascade
+# because the centroid literals changed) and interprets past the
+# 64 KB method cliff; measured at sf0.1/64-dim the kernel wins even
+# at 8 cells (2.6 s vs 4.7 s kmeans_fit; pq_fit 1.9 s vs 5.4 s), so
+# the threshold sits low — the expression path remains for
+# tiny/degenerate centroid sets and as the parity reference. Oracle
+# re-derivability is unaffected: both paths produce identical codes
+# (integer-micro parity is structural), and the SQL oracles re-derive
+# from the persisted centroid/codebook bytes either way.
+_ARROW_ASSIGN_MIN_CELLS = 8
 
 
 def _lloyd_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
@@ -817,7 +832,7 @@ def write_ivf_trained(
     self-describing: probes (and the contract oracle) re-derive every
     assignment from the same centroid bytes."""
     spark = df.sparkSession
-    df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids)).write.mode(
+    df.withColumn("cell", _nearest_centroid_col(vec_col, centroids)).write.mode(
         mode
     ).option("compression", codec).partitionBy("cell").parquet(path)
     _write_centroids(spark, path + "_centroids", centroids, mode, codec)
@@ -1271,7 +1286,7 @@ def write_ivf_pq(
     map-only assignment pass + one partitioned write."""
     spark = df.sparkSession
     coded = pq_codes(
-        df.withColumn("cell", _nearest_centroid(F.col(vec_col), centroids)),
+        df.withColumn("cell", _nearest_centroid_col(vec_col, centroids)),
         codebooks,
         vec_col,
     )
