@@ -94,6 +94,20 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(a)} rows ({time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures: {failures}")
+    # rotation-ledger summary rides along with every sweep (r4 verdict
+    # #6: the ledger regenerates with CI, not by archaeology)
+    try:
+        from rotation_ledger import ledger
+
+        rows = ledger()
+        never = [q for _, q, g, _ in rows if g == "—"]
+        print(
+            f"ledger: {len(rows)} declared, {len(rows) - len(never)} "
+            f"driver-green in some CORRECTNESS_r*.json, "
+            f"{len(never)} awaiting certification"
+        )
+    except Exception as exc:  # the compare result stays authoritative
+        print(f"ledger: unavailable ({exc})")
     return 1 if failures else 0
 
 
