@@ -2193,6 +2193,60 @@ def _ensure_media(spark: SparkSession) -> None:
         _media_written = True
 
 
+MEDIA_DECODE_N = 64
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (multimodal.gen_real_media /
+    decode_media_features — round 5): even ids carry an actual PNG of
+    a deterministic 16×16 pixel pattern, odd ids an actual PCM16 WAV
+    of a deterministic 256-sample pattern; the operator decodes the
+    BYTES (pure-stdlib PNG/WAV codecs, full filter + CRC handling) and
+    emits 16 integer band sums per row. The oracle never touches the
+    payloads — it re-derives the expected sums from the id arithmetic
+    (64-bit wrapping mix, the gen_media precedent), so a hash match
+    certifies encode→decode→feature end-to-end."""
+    media = multimodal.gen_real_media(spark, MEDIA_DECODE_N)
+    return multimodal.decode_media_features(media)
+
+
+def _media_decode_oracle_sql() -> str:
+    k_img_id, k_img_px = multimodal._K_IMG_ID, multimodal._K_IMG_PX
+    k_aud_id, k_aud_smp = multimodal._K_AUD_ID, multimodal._K_AUD_SMP
+    m64 = "18446744073709551616"
+    return f"""
+        WITH ids AS (
+          SELECT unnest(generate_series(0, {MEDIA_DECODE_N - 1}))
+            AS media_id),
+        bands AS (SELECT unnest(generate_series(0, 15)) AS band),
+        offs AS (SELECT unnest(generate_series(0, 15)) AS o),
+        img AS (
+          SELECT m.media_id, 'image' AS kind, b.band,
+                 CAST(SUM(
+                   (CAST(((CAST(m.media_id + 1 AS HUGEINT) * {k_img_id}
+                           + CAST(b.band * 16 + o.o + 1 AS HUGEINT)
+                             * {k_img_px}) % {m64}) AS UBIGINT)
+                    >> 24) % 256
+                 ) AS BIGINT) AS band_sum
+          FROM ids m CROSS JOIN bands b CROSS JOIN offs o
+          WHERE m.media_id % 2 = 0
+          GROUP BY m.media_id, b.band),
+        aud AS (
+          SELECT m.media_id, 'audio' AS kind, b.band,
+                 CAST(SUM(
+                   CAST((CAST(((CAST(m.media_id + 1 AS HUGEINT) * {k_aud_id}
+                           + CAST(b.band * 16 + o.o + 1 AS HUGEINT)
+                             * {k_aud_smp}) % {m64}) AS UBIGINT)
+                    >> 24) % 65536 AS BIGINT) - 32768
+                 ) AS BIGINT) AS band_sum
+          FROM ids m CROSS JOIN bands b CROSS JOIN offs o
+          WHERE m.media_id % 2 = 1
+          GROUP BY m.media_id, b.band)
+        SELECT media_id, kind, CAST(band AS INTEGER) AS band, band_sum
+        FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+    """
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary media payloads, one
     row per (media row, feature dim). Oracle: DuckDB recomputes the
@@ -2918,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": q_pipeline_sink_counts,
         "pipeline_edge_agg": q_pipeline_edge_agg,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
         "edge_metrics": q_edge_metrics,
         "first_seen": q_first_seen,
         "p99_exact": q_p99_exact,
@@ -4101,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
                    n_bytes
             FROM d
         """,
+        "media_decode": _media_decode_oracle_sql(),
         "pq_topk": _pq_oracle_sql(),
         "ivf_pq_topk": _ivf_pq_oracle_sql(),
         "ivf_pq_knn": _ivf_pq_knn_oracle_sql(),

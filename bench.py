@@ -578,6 +578,15 @@ def run_bench(sf_dir: str, pipeline_only: bool = False) -> dict:
         ),
         "sentence_chunks",
     )
+    from logshipper_spark.datapipe import multimodal as multimodal_mod
+
+    media = multimodal_mod.gen_real_media(spark, 4000).persist()
+    media.count()  # encode once; the row times DECODE throughput
+    times["media_decode"] = _timed(
+        lambda: _force(multimodal_mod.decode_media_features(media)),
+        "media_decode",
+    )
+    media.unpersist()
     bm25_queries = textstats_mod.prefix_queries(docs, mod=37, rem=3, n_tokens=5)
 
     def _cold_bm25() -> None:
