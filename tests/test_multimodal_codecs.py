@@ -117,3 +117,34 @@ def test_decode_media_features_matches_pattern(spark):
         kind = "image" if mid % 2 == 0 else "audio"
         for band in range(mm.N_BANDS):
             assert got[mid][band] == (kind, exp[band]), (mid, band)
+
+
+def test_decode_media_features_streaming(spark, tmp_path):
+    """The real decode runs under Structured Streaming unchanged:
+    mapInPandas over a file stream (availableNow drain) produces the
+    same band sums as the batch path — the L30 streaming story."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    media = mm.gen_real_media(spark, 6)
+    media.write.parquet(in_dir)
+    stream = spark.readStream.schema(mm.MEDIA_SCHEMA).parquet(in_dir)
+    q = (
+        mm.decode_media_features(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["media_id"], r["band"]): r["band_sum"]
+        for r in spark.read.schema(mm.DECODE_FEATURES_SCHEMA)
+        .parquet(out_dir)
+        .collect()
+    }
+    assert len(got) == 6 * mm.N_BANDS
+    for mid in range(6):
+        exp = _py_band_sums(mid)
+        for band in range(mm.N_BANDS):
+            assert got[(mid, band)] == exp[band]
