@@ -478,9 +478,15 @@ def test_media_features(spark):
     assert again[rows[0]["media_id"]] == rows[0]["features"]
 
 
-def test_decode_real_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_decode_real_dispatch_contract():
+    # round 5: image/audio decode is REAL (stdlib codecs) — junk bytes
+    # fail as a codec error, not as a stub; only video stays blocked
+    with pytest.raises(ValueError):
         multimodal.decode_real(b"", "image", {})
+    with pytest.raises(ValueError):
+        multimodal.decode_real(b"", "audio", {})
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"", "video", {})
 
 
 def test_frame_sample(spark):
