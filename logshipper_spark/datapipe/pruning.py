@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import quantile_bins
-from .similarity import nearest_centroid_struct
+from .similarity import nearest_centroid_struct_col
 
 GRID = 1_000_000
 
@@ -64,16 +64,16 @@ def prototype_scores(
     any engine — no float round anywhere, the round-4 tie-trap class
     is structurally gone). With the default ``grid`` = 1e6 this is the
     micro distance itself. Map-only."""
-    # stage the struct once: the winning-centroid search is an
-    # interpreted HOF tree (num_cells x dim multiply-adds) that Spark
-    # does NOT common-subexpression-eliminate across output columns —
+    # stage the struct once: at/above the Arrow threshold this is one
+    # kernel call; below it, the expression HOF tree is NOT
+    # common-subexpression-eliminated across output columns —
     # referencing it from both cell and dist_micro in one projection
     # plans it twice per row (verified: 2x the aggregate() nodes in the
     # executed plan), while CollapseProject keeps this non-cheap
     # multi-referenced alias staged, so two selects = one evaluation
     staged = df.select(
         F.col(id_col),
-        nearest_centroid_struct(F.col(vec_col), centroids).alias("_best"),
+        nearest_centroid_struct_col(vec_col, centroids).alias("_best"),
     )
     return staged.select(
         F.col(id_col),

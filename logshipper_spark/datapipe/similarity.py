@@ -560,6 +560,15 @@ def _nearest_centroid_col(vec_col: str, centroids: list[list[float]]) -> Column:
 # from the persisted centroid/codebook bytes either way.
 _ARROW_ASSIGN_MIN_CELLS = 8
 
+# The per-QUERY probe-cell cascade in ivf_pq_knn_join keeps the
+# expression form longer: with one fold per cell over a small cached
+# cascade, the Arrow worker round trip costs more than the compute at
+# serving-typical small batches (measured +0.6 s at 16 cells /
+# 32 queries), and the Janino/64 KB wall only threatens at cell counts
+# far above contract scale. Parity between the two forms is pinned by
+# test_cell_dist_and_probe_kernels_match_expression.
+_ARROW_PROBE_MIN_CELLS = 64
+
 
 def _lloyd_assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """``(cell, _v)`` Lloyd assignment of ``base._v`` to the nearest
@@ -1076,6 +1085,104 @@ def _pq_codes_arrow(
     return codes_of(vec_col)
 
 
+def _cell_dist_arrow(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """``struct<d: long, i: int>`` of the nearest centroid in ONE
+    Arrow kernel — the kernel twin of ``nearest_centroid_struct`` for
+    consumers that need the winning DISTANCE too (pruning). Identical
+    integer-micro arithmetic (floored micro terms summed exactly in
+    float64, see the ``_lloyd_assign`` kernel note), first-index
+    argmin; missing/NULL ELEMENTS contribute 0 — the per-term coalesce
+    convention. A wholly-NULL vector mirrors the expression form
+    exactly: cell 0 with a NULL distance (``F.aggregate`` over a NULL
+    array is NULL)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+
+    @F.pandas_udf("struct<d: long, i: int>")
+    def cell_dist_of(vs: pd.Series) -> pd.DataFrame:
+        arr = np.full((len(vs), dim), np.nan)
+        null_row = np.zeros(len(vs), dtype=bool)
+        for i, vec in enumerate(vs):
+            if vec is None:
+                null_row[i] = True
+                continue
+            a = np.asarray(vec, dtype=np.float64)[:dim]
+            arr[i, : len(a)] = a
+        acc = np.zeros((len(vs), k))
+        for j in range(dim):
+            d = arr[:, j][:, None] - C[None, :, j]
+            d *= d
+            np.nan_to_num(d, copy=False)
+            d *= 1e6
+            d += 0.5
+            np.floor(d, out=d)
+            acc += d
+        best = np.argmin(acc, axis=1)
+        dvals = pd.array(
+            acc[np.arange(len(vs)), best].astype(np.int64), dtype="Int64"
+        )
+        dvals[null_row] = pd.NA
+        return pd.DataFrame({"d": dvals, "i": best.astype(np.int32)})
+
+    return cell_dist_of(vec_col)
+
+
+def _probe_cells_arrow(
+    vec_col: str, cent: dict[int, list[float]], n_probe: int
+) -> Column:
+    """Per-row top-``n_probe`` probe cells as ``array<int>`` in ONE
+    Arrow kernel — the kernel twin of the per-cell
+    ``_sq_l2_micros``-struct cascade in ``ivf_pq_knn_join``. Same
+    integer-micro distances (floored micro terms summed exactly in
+    float64), same (distance, cell-id) tie-break (``np.lexsort`` with
+    the cell ids as the secondary key), so probe sets are
+    bit-identical to the expression form and to the SQL oracle's
+    QUALIFY ordering."""
+    cells = np.asarray(sorted(cent), dtype=np.int32)
+    C = np.asarray([cent[c] for c in cells], dtype=np.float64)
+    k, dim = C.shape
+    n_probe = min(n_probe, k)
+
+    @F.pandas_udf("array<int>")
+    def probes_of(vs: pd.Series) -> pd.Series:
+        arr = np.full((len(vs), dim), np.nan)
+        for i, vec in enumerate(vs):
+            if vec is None:
+                continue
+            a = np.asarray(vec, dtype=np.float64)[:dim]
+            arr[i, : len(a)] = a
+        acc = np.zeros((len(vs), k))
+        for j in range(dim):
+            d = arr[:, j][:, None] - C[None, :, j]
+            d *= d
+            np.nan_to_num(d, copy=False)
+            d *= 1e6
+            d += 0.5
+            np.floor(d, out=d)
+            acc += d
+        out = []
+        for r in range(len(vs)):
+            order = np.lexsort((cells, acc[r]))[:n_probe]
+            out.append(cells[order])
+        return pd.Series(out)
+
+    return probes_of(vec_col)
+
+
+def nearest_centroid_struct_col(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """``nearest_centroid_struct`` with the kernel/expression switch
+    (the ``_nearest_centroid_col`` convention, keeping the ``d``
+    lane): expression below ``_ARROW_ASSIGN_MIN_CELLS``, Arrow kernel
+    at/above — bit-identical, parity-tested."""
+    if len(centroids) >= _ARROW_ASSIGN_MIN_CELLS:
+        return _cell_dist_arrow(vec_col, centroids)
+    return nearest_centroid_struct(F.col(vec_col), centroids)
+
+
 def pq_codes(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1371,16 +1478,27 @@ def ivf_pq_knn_join(
     # probe cells: per-query n_probe nearest trained centroids by the
     # integer-micro distance / cell-id tie-break convention
     # (_sq_l2_micros — same floor(term*1e6+0.5) long sums the driver
-    # path and the oracle CTEs compute)
-    ds = []
-    for c in sorted(cent):
-        lit = F.array(*[F.lit(float(x)) for x in cent[c]])
-        d = _sq_l2_micros(F.col(vec_col), lit)
-        ds.append(F.struct(d.alias("d"), F.lit(c).alias("i")))
-    probe_arr = F.transform(
-        F.slice(F.array_sort(F.array(*ds)), 1, max(1, n_probe)),
-        lambda st: st["i"],
-    )
+    # path and the oracle CTEs compute). Above _ARROW_PROBE_MIN_CELLS
+    # the per-cell expression cascade (one fold per cell — the same
+    # Janino/64 KB wall class as Lloyd assignment) switches to a
+    # kernel computing all cell distances + the (d, cell) tie-broken
+    # top-n_probe in one pass, bit-identical by the integer-micro
+    # argument. The gate sits HIGHER than _ARROW_ASSIGN_MIN_CELLS:
+    # at contract/bench cell counts (8-16) the Arrow worker round trip
+    # costs more than the small cached cascade (measured +0.6 s on the
+    # 32-query bench row), while the 64 KB wall begins far above.
+    if len(cent) >= _ARROW_PROBE_MIN_CELLS:
+        probe_arr = _probe_cells_arrow(vec_col, cent, max(1, n_probe))
+    else:
+        ds = []
+        for c in sorted(cent):
+            lit = F.array(*[F.lit(float(x)) for x in cent[c]])
+            d = _sq_l2_micros(F.col(vec_col), lit)
+            ds.append(F.struct(d.alias("d"), F.lit(c).alias("i")))
+        probe_arr = F.transform(
+            F.slice(F.array_sort(F.array(*ds)), 1, max(1, n_probe)),
+            lambda st: st["i"],
+        )
     # per-query integer ADC tables, one staged column per subspace so
     # no generated method outgrows the JIT limit (CLAUDE.md trap)
     q1 = q0

@@ -2940,3 +2940,70 @@ def test_group_centroids_exact(spark):
         for i in range(3):
             exp = sum(math.floor(v[i] * 1e6 + 0.5) for v in vs) / (n * 1e6)
             assert dbl[g][i] == exp
+
+
+def test_cell_dist_and_probe_kernels_match_expression(spark):
+    """Round-5 kernel twins: _cell_dist_arrow (struct d+i) and
+    _probe_cells_arrow (tie-broken top-n_probe) equal the expression
+    forms row-for-row — including ragged, NULL-element, and NULL
+    vectors, and planted exact distance ties."""
+    from logshipper_spark.datapipe import similarity
+
+    rows = [
+        (i, [((i * 37 + j * 13) % 200) / 50.0 - 2.0 for j in range(12)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select("vec_id", F.col("embedding").alias("_v")).unionByName(
+        spark.createDataFrame(
+            [
+                (900, [0.3] * 5),
+                (901, [None] + [0.1] * 11),
+                (902, None),
+            ],
+            "vec_id long, _v array<double>",
+        )
+    )
+    cents = similarity.kmeans_fit(df, num_cells=16, dim=12, max_iter=1)
+    cents[3] = list(cents[5])  # planted duplicate centroid: exact tie
+    exp = {
+        r["vec_id"]: (r["b"]["d"], r["b"]["i"])
+        for r in base.select(
+            "vec_id",
+            similarity.nearest_centroid_struct(
+                F.col("_v"), cents
+            ).alias("b"),
+        ).collect()
+    }
+    arw = {
+        r["vec_id"]: (r["b"]["d"], r["b"]["i"])
+        for r in base.select(
+            "vec_id", similarity._cell_dist_arrow("_v", cents).alias("b")
+        ).collect()
+    }
+    assert exp == arw
+    # probe kernel vs expression cascade (3 probes, planted tie)
+    cent = {i: c for i, c in enumerate(cents)}
+    ds = []
+    for c in sorted(cent):
+        lit = F.array(*[F.lit(float(x)) for x in cent[c]])
+        ds.append(
+            F.struct(
+                similarity._sq_l2_micros(F.col("_v"), lit).alias("d"),
+                F.lit(c).alias("i"),
+            )
+        )
+    probe_expr = F.transform(
+        F.slice(F.array_sort(F.array(*ds)), 1, 3), lambda st: st["i"]
+    )
+    nn = base.filter(F.col("_v").isNotNull())  # expression cascade:
+    # NULL vector yields d=0 per cell too, but keep parity domain to
+    # the join's isNotNull contract
+    e = {r["vec_id"]: r["p"] for r in nn.select("vec_id", probe_expr.alias("p")).collect()}
+    a = {
+        r["vec_id"]: r["p"]
+        for r in nn.select(
+            "vec_id", similarity._probe_cells_arrow("_v", cent, 3).alias("p")
+        ).collect()
+    }
+    assert e == a
